@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver test tables (/root/repo/FIXTURES.md §3). Reading through
+  * `spark.read.parquet` keeps filter pushdown + column pruning available to every
+  * downstream operator.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4's parquet reader
+    * rejects at schema-conversion time. Read `ts` as raw INT64 nanos via an
+    * explicit schema (works regardless of session config, so the driver's own
+    * SparkSession needs no special flags), then truncate to micros with exact
+    * integer division — matching DuckDB's own nanos→micros truncation.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.read.schema(sch).parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "region")
+}

@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Num._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the driver `events` table — the engine's flagship
+  * `decompose()` pipeline (SURVEY.md §7.4, W4-W9), treating each `event_type` as one
+  * series ordered by `(ts, event_id)`.
+  *
+  * Mirrors the decomposition semantics of the reference model
+  * (/root/reference/models/diffusion_ts_model.py:200-290): low-frequency trend,
+  * top-K DFT seasonality on the detrended signal, residual as the rest
+  * (/root/reference/utils/visualisation.py:117).
+  *
+  * Scale notes (100 TB thinking):
+  *  - the per-series `row_number` is the one inherently sequential step; its window
+  *    shuffle partitions by series key, so parallelism = #series. For wide
+  *    deployments the series key should be high-cardinality (here: event_type at
+  *    test scale; user_id x event_type in production).
+  *  - the DFT is the O(N·K) explode+groupBy form: rows fan out K-fold
+  *    (`maxFreq`=64 caps the fan-out) and collapse through a partial-aggregating
+  *    hash agg, so shuffle volume is #series × K, not N × K.
+  */
+object EventsOps {
+  val TopK = 4      // config.json:21 (top_k)
+  val HalfWin = 8   // centered moving-average half-window (W8-lite trend)
+  val MaxFreq = 64  // cap on scanned DFT bins — bounds the explode fan-out (§7.6.1)
+
+  /** Per-series long view: (event_type, t, value, n). */
+  def series(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("t", (row_number().over(w) - 1).cast("int"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .drop("ts", "event_id")
+  }
+
+  /** value + centered-moving-average trend + detrended remainder. */
+  def trended(spark: SparkSession, dir: String): DataFrame = {
+    val wt = Window.partitionBy("event_type").orderBy("t")
+      .rowsBetween(-HalfWin, HalfWin)
+    series(spark, dir)
+      .withColumn("trend", avg("value").over(wt))
+      .withColumn("detr", col("value") - col("trend"))
+  }
+
+  /** O(N·K) explicit rDFT of the detrended signal: bins k = 1..min(MaxFreq, ceil(n/2)-1).
+    * re/im rounded to 6dp before anything ranks or reconstructs from them, so the
+    * DuckDB oracle sees identical inputs (SURVEY.md §7.6.2).
+    */
+  def spectrum(spark: SparkSession, dir: String): DataFrame = {
+    val tr = trended(spark, dir)
+    val freqs = tr.select("event_type", "n").distinct()
+      .withColumn("k", explode(sequence(lit(1),
+        least(lit(MaxFreq), (ceil(col("n") / 2) - 1).cast("int")))))
+      .select("event_type", "k")
+    val theta = lit(2.0 * math.Pi) * col("k") * col("t") / col("n")
+    tr.join(freqs, "event_type")
+      .groupBy(col("event_type"), col("k"))
+      .agg(
+        r6(sum(col("detr") * cos(theta))).as("re"),
+        r6(-sum(col("detr") * sin(theta))).as("im"),
+        first(col("n")).as("n"))
+      .withColumn("amplitude", r6(sqrt(col("re") * col("re") + col("im") * col("im"))))
+  }
+
+  /** Top-K strongest bins per series (W3); deterministic tiebreak on k. */
+  def topBins(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(desc("amplitude"), asc("k"))
+    spectrum(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Flagship decompose: (event_type, t, value, trend, seasonality, residual). */
+  def decompose(spark: SparkSession, dir: String): DataFrame = {
+    val tr = trended(spark, dir)
+    val top = topBins(spark, dir).select("event_type", "k", "re", "im")
+    val theta = lit(2.0 * math.Pi) * col("k") * col("t") / col("n")
+    // inverse rDFT over the kept bins only: each (series,t) row joins K=4 bins
+    val seas = tr.select("event_type", "t", "n").join(broadcast(top), "event_type")
+      .groupBy(col("event_type"), col("t"))
+      .agg(r6(sum((lit(2.0) / col("n")) * (col("re") * cos(theta) - col("im") * sin(theta)))).as("seasonality"))
+    tr.join(seas, Seq("event_type", "t"))
+      .select(col("event_type"), col("t"),
+        r6(col("value")).as("value"),
+        r6(col("trend")).as("trend"),
+        col("seasonality"),
+        r6(col("value") - col("trend") - col("seasonality")).as("residual"))
+      .orderBy("event_type", "t")
+  }
+
+  /** Per-series reconstruction MSE of value vs trend+seasonality (A3 over W9). */
+  def decomposeMse(spark: SparkSession, dir: String): DataFrame =
+    decompose(spark, dir)
+      .groupBy("event_type")
+      .agg(r6(avg(pow(col("value") - col("trend") - col("seasonality"), 2))).as("mse"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Stride downsampling of a series (W10 — utils/visualisation.py:76). */
+  def stride(spark: SparkSession, dir: String, s: Int = 5): DataFrame =
+    series(spark, dir).filter(col("t") % s === 0)
+      .select(col("event_type"), col("t"), r6(col("value")).as("value"))
+      .orderBy("event_type", "t")
+
+  /** Tumbling-window aggregate over event time (§7.5 streaming-shaped, batch form). */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        r6(sum(col("value"))).as("sum_value"),
+        r6(avg(col("value"))).as("avg_value"))
+      .orderBy("ws", "event_type")
+
+  // ---- DuckDB oracle twins ----
+
+  private def seriesSql: String =
+    """WITH series AS (
+      |  SELECT event_type, value,
+      |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS INT) AS t,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |)""".stripMargin
+
+  private def trendedSql: String = seriesSql +
+    """, trended AS (
+      |  SELECT *, avg(value) OVER (PARTITION BY event_type ORDER BY t ROWS BETWEEN 8 PRECEDING AND 8 FOLLOWING) AS trend
+      |  FROM series
+      |), detr_t AS (
+      |  SELECT *, value - trend AS detr FROM trended
+      |)""".stripMargin
+
+  private def spectrumSql: String = trendedSql +
+    s""", freqs AS (
+       |  SELECT event_type, CAST(g.k AS INT) AS k
+       |  FROM (SELECT DISTINCT event_type, n FROM series) s,
+       |       LATERAL (SELECT unnest(generate_series(1, CAST(least($MaxFreq, CAST(ceil(n/2.0e0) AS BIGINT) - 1) AS BIGINT))) AS k) g
+       |), spectrum AS (
+       |  SELECT d.event_type, f.k,
+       |         ${sqlR6(s"sum(d.detr * cos(${sqlD(2.0 * math.Pi)} * f.k * d.t / d.n))")} AS re,
+       |         ${sqlR6(s"-sum(d.detr * sin(${sqlD(2.0 * math.Pi)} * f.k * d.t / d.n))")} AS im,
+       |         max(d.n) AS n
+       |  FROM detr_t d JOIN freqs f USING (event_type)
+       |  GROUP BY d.event_type, f.k
+       |), spectrum_a AS (
+       |  SELECT *, ${sqlR6("sqrt(re*re + im*im)")} AS amplitude FROM spectrum
+       |)""".stripMargin
+
+  def spectrumOracle: String = spectrumSql +
+    " SELECT event_type, k, re, im, amplitude FROM spectrum_a ORDER BY event_type, k"
+
+  def topBinsOracle: String = spectrumSql +
+    s""" SELECT event_type, k, re, im, amplitude
+       | FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY amplitude DESC, k ASC) AS rn FROM spectrum_a)
+       | WHERE rn <= $TopK ORDER BY event_type, k""".stripMargin
+
+  def decomposeOracle: String = spectrumSql +
+    s""", top AS (
+       |  SELECT event_type, k, re, im
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY amplitude DESC, k ASC) AS rn FROM spectrum_a)
+       |  WHERE rn <= $TopK
+       |), seas AS (
+       |  SELECT d.event_type, d.t,
+       |         ${sqlR6(s"sum((2.0e0/d.n) * (b.re * cos(${sqlD(2.0 * math.Pi)} * b.k * d.t / d.n) - b.im * sin(${sqlD(2.0 * math.Pi)} * b.k * d.t / d.n)))")} AS seasonality
+       |  FROM (SELECT event_type, t, n FROM detr_t) d JOIN top b USING (event_type)
+       |  GROUP BY d.event_type, d.t
+       |)
+       | SELECT d.event_type, d.t, ${sqlR6("d.value")} AS value, ${sqlR6("d.trend")} AS trend,
+       |        s.seasonality, ${sqlR6("d.value - d.trend - s.seasonality")} AS residual
+       | FROM detr_t d JOIN seas s ON d.event_type = s.event_type AND d.t = s.t
+       | ORDER BY 1, 2""".stripMargin
+
+  def decomposeMseOracle: String =
+    s"""WITH dec AS (${decomposeOracle.replace(" ORDER BY event_type, t", "")})
+       | SELECT event_type, ${sqlR6("avg(pow(value - trend - seasonality, 2))")} AS mse, count(*) AS n
+       | FROM dec GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def strideOracle: String = seriesSql +
+    s" SELECT event_type, t, ${sqlR6("value")} AS value FROM series WHERE t % 5 = 0 ORDER BY event_type, t"
+
+  def tumblingOracle: String =
+    s"""SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n_events,
+       |       ${sqlR6("sum(value)")} AS sum_value, ${sqlR6("avg(value)")} AS avg_value
+       |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_spectrum" -> ((s, d) => spectrum(s, d).orderBy("event_type", "k")
+      .select("event_type", "k", "re", "im", "amplitude")),
+    "ts_topk_bins" -> ((s, d) => topBins(s, d).orderBy("event_type", "k")
+      .select("event_type", "k", "re", "im", "amplitude")),
+    "ts_decompose" -> ((s, d) => decompose(s, d)),
+    "ts_decompose_mse" -> ((s, d) => decomposeMse(s, d)),
+    "ts_stride" -> ((s, d) => stride(s, d)),
+    "ts_tumbling_agg" -> ((s, d) => tumbling(s, d))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ts_spectrum" -> spectrumOracle,
+    "ts_topk_bins" -> topBinsOracle,
+    "ts_decompose" -> decomposeOracle,
+    "ts_decompose_mse" -> decomposeMseOracle,
+    "ts_stride" -> strideOracle,
+    "ts_tumbling_agg" -> tumblingOracle
+  )
+}
