@@ -14,7 +14,8 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (EventsOps.queries, EventsOps.oracles)
+      (EventsOps.queries, EventsOps.oracles),
+      (Generators.queries, Generators.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
