@@ -15,7 +15,10 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (EventsOps.queries, EventsOps.oracles),
-      (Generators.queries, Generators.oracles)
+      (Generators.queries, Generators.oracles),
+      (Diffusion.queries, Diffusion.oracles),
+      (Metrics.queries, Metrics.oracles),
+      (Reshape.queries, Reshape.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,389 @@
+package graft.operators
+
+import graft.functions.{DetRand => R}
+import graft.functions.Num._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DDPM-style diffusion operators re-expressed relationally (SURVEY.md §2 P2-P5,
+  * W1-W2, J1-J3, I1-I2; reference /root/reference/models/diffusion_ts_model.py:580-772).
+  *
+  * The schedule is a tiny `timesteps`-row table (the reference's precomputed
+  * buffers, diffusion_ts_model.py:592-608); every per-row lookup (`extract`,
+  * :70-74) becomes a broadcast equi-join on `step` — no shuffle of the data side.
+  * Cumulative products (W1) use the exp-sum-of-logs window since alpha ∈ (0,1).
+  *
+  * Scale: data frames partition by series; the schedule (≤500 rows) broadcasts.
+  * The closed-form sampler collapses the reference's 500 sequential passes
+  * (diffusion_ts_model.py:765) into ONE scan: with the zero-noise predictor the
+  * per-step affine maps compose, so x_final is a single weighted sum over
+  * (cell × step) — no iteration, no lineage growth, embarrassingly parallel.
+  * The iterative sampler (I1) is kept for predictor-pluggability and uses
+  * driver-collected scalar coefficients + localCheckpoint to bound lineage.
+  */
+object Diffusion {
+  val T = 500 // config.json:16
+  val BetaStart = 1e-4
+  val BetaEnd = 0.02 // diffusion_ts_model.py:77
+  val CosS = 0.008   // diffusion_ts_model.py:82
+
+  /** Schedule table: step, beta, alpha, ac (= ᾱ), ac_prev, posterior_var,
+    * sqrt_ac, sqrt_omac. Unrounded — query wrappers round at the edge.
+    */
+  def schedule(spark: SparkSession, timesteps: Int = T, kind: String = "linear"): DataFrame = {
+    val stepD = col("step").cast("double")
+    val base = spark.range(timesteps).select(col("id").cast("int").as("step"))
+    val withBeta = kind match {
+      case "linear" =>
+        base.withColumn("beta",
+          lit(BetaStart) + lit(BetaEnd - BetaStart) * (stepD / lit((timesteps - 1).toDouble)))
+      case "cosine" =>
+        def f(x: Column): Column =
+          pow(cos(((x / lit(timesteps.toDouble) + lit(CosS)) / lit(1.0 + CosS)) * lit(math.Pi * 0.5)), 2.0)
+        base.withColumn("beta",
+          greatest(least(lit(1.0) - f(stepD + 1.0) / f(stepD), lit(0.9999)), lit(1e-4)))
+      case other => throw new IllegalArgumentException(s"unknown schedule: $other")
+    }
+    val wCum = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withBeta
+      .withColumn("alpha", lit(1.0) - col("beta"))
+      .withColumn("ac", exp(sum(log(col("alpha"))).over(wCum)))
+      .withColumn("ac_prev", lag(col("ac"), 1, 1.0).over(Window.orderBy("step")))
+      .withColumn("posterior_var", col("beta") * (lit(1.0) - col("ac_prev")) / (lit(1.0) - col("ac")))
+      .withColumn("sqrt_ac", sqrt(col("ac")))
+      .withColumn("sqrt_omac", sqrt(lit(1.0) - col("ac")))
+  }
+
+  /** x0 fixture: a generated dataset with a per-series random timestep (I4). */
+  private[operators] val N = 50L
+  private[operators] val L = 64
+
+  private def withStep(df: DataFrame): DataFrame =
+    df.withColumn("step", floor(R.u01(col("series_id").cast("double"), 13) * T).cast("int"))
+
+  private def cell: Column = col("series_id").cast("double") * L + col("t")
+
+  /** P2+J1: forward noising x_t = √ᾱ·x0 + √(1-ᾱ)·ε via broadcast schedule join. */
+  def qSample(spark: SparkSession, kind: String = "linear"): DataFrame = {
+    val x0 = withStep(Generators.dataset(spark, "linear_sum", N, L))
+    x0.join(broadcast(schedule(spark, T, kind)), "step")
+      .withColumn("noise", R.gauss(cell, 11))
+      .withColumn("xt", col("sqrt_ac") * col("value") + col("sqrt_omac") * col("noise"))
+  }
+
+  /** P3: recover x0 from x_t and the (true) noise. */
+  def predictStart(spark: SparkSession): DataFrame =
+    qSample(spark)
+      .withColumn("x0_hat", (col("xt") - col("sqrt_omac") * col("noise")) / col("sqrt_ac"))
+
+  /** P4: one reverse step. x0_hat from P3, fresh z, posterior mean + σ·z (t>0). */
+  def pSampleStep(spark: SparkSession): DataFrame =
+    predictStart(spark)
+      .withColumn("z", R.gauss(cell, 12))
+      .withColumn("mean",
+        (sqrt(col("alpha")) * (lit(1.0) - col("ac_prev")) * col("xt") +
+          sqrt(col("ac_prev")) * (lit(1.0) - col("alpha")) * col("x0_hat")) / (lit(1.0) - col("ac")))
+      .withColumn("x_prev",
+        when(col("step") > 0, col("mean") + sqrt(col("posterior_var")) * col("z"))
+          .otherwise(col("x0_hat")))
+
+  /** Per-step affine coefficients for the zero-noise-predictor sampler:
+    * x_{t-1} = g_t·x_t + sv_t·z_t for t ≥ 1, final division by √ᾱ₀ at t = 0.
+    */
+  private def stepCoefs(spark: SparkSession, timesteps: Int): DataFrame = {
+    val sched = schedule(spark, timesteps)
+    val g = (sqrt(col("alpha")) * (lit(1.0) - col("ac_prev")) +
+      sqrt(col("ac_prev")) * (lit(1.0) - col("alpha")) / sqrt(col("ac"))) / (lit(1.0) - col("ac"))
+    val wPrev = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, -1)
+    sched.filter(col("step") >= 1)
+      .withColumn("g", g)
+      .withColumn("sv", sqrt(col("posterior_var")))
+      .withColumn("p_prev", exp(coalesce(sum(log(col("g"))).over(wPrev), lit(0.0))))
+      .withColumn("p_cum", exp(sum(log(col("g"))).over(
+        Window.orderBy("step").rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+  }
+
+  /** I1 collapsed: full reverse diffusion in one scan (see class doc). */
+  def sampleClosedForm(spark: SparkSession, n: Long = 20, seqLen: Int = L,
+                       timesteps: Int = T): DataFrame = {
+    val coefs = stepCoefs(spark, timesteps)
+    val lastP = coefs.orderBy(desc("step")).limit(1).select(col("p_cum").as("p_total"))
+    val alpha0 = schedule(spark, timesteps).filter(col("step") === 0)
+      .select(sqrt(col("ac")).as("sqrt_ac0"))
+    val cells = Generators.grid(spark, n, seqLen)
+      .withColumn("x_init", R.gauss(col("series_id").cast("double") * seqLen + col("t"), 0))
+    val zKey = (col("series_id").cast("double") * seqLen + col("t")) * timesteps + col("step")
+    val noiseSum = cells
+      .crossJoin(broadcast(coefs.select("step", "p_prev", "sv")))
+      .withColumn("z", R.gauss(zKey, 14))
+      .groupBy("series_id", "t")
+      .agg(sum(col("p_prev") * col("sv") * col("z")).as("zsum"))
+    cells.join(noiseSum, Seq("series_id", "t"))
+      .crossJoin(broadcast(lastP))
+      .crossJoin(broadcast(alpha0))
+      .select(col("series_id"), col("t"),
+        r6((col("p_total") * col("x_init") + col("zsum")) / col("sqrt_ac0")).as("value"))
+  }
+
+  /** I1 literal: sequential reverse loop with driver-collected scalar schedule,
+    * `localCheckpoint` every 25 steps to cut lineage (SURVEY §7.6.3). Same noise
+    * keying as the closed form, so both agree to fp tolerance — the closed-form
+    * SQL is its oracle.
+    */
+  def sampleIterative(spark: SparkSession, n: Long = 20, seqLen: Int = L,
+                      timesteps: Int = 100): DataFrame = {
+    val sc = stepCoefs(spark, timesteps)
+      .select("step", "g", "sv").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(-_._1)
+    val sqrtAc0 = math.sqrt(1.0 - (BetaStart + (BetaEnd - BetaStart) * 0.0 / (timesteps - 1)))
+    var x = Generators.grid(spark, n, seqLen)
+      .withColumn("x", R.gauss(col("series_id").cast("double") * seqLen + col("t"), 0))
+    val zKeyBase = col("series_id").cast("double") * seqLen + col("t")
+    for (((step, g, sv), i) <- sc.zipWithIndex) {
+      x = x.withColumn("x", lit(g) * col("x") + lit(sv) * R.gauss(zKeyBase * timesteps + step, 14))
+      if ((i + 1) % 25 == 0) x = x.localCheckpoint(eager = true)
+    }
+    x.select(col("series_id"), col("t"), r6(col("x") / lit(sqrtAc0)).as("value"))
+  }
+
+  /** P9: random mask + last-observation-carried-forward imputation. */
+  def maskImputeLocf(spark: SparkSession): DataFrame = {
+    val w = Window.partitionBy("series_id").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Generators.dataset(spark, "sine", 20, L)
+      .withColumn("observed", R.u01(cell, 15) > 0.2)
+      .withColumn("masked", when(col("observed"), col("value")))
+      .withColumn("imputed", coalesce(last(col("masked"), ignoreNulls = true).over(w), lit(0.0)))
+      .select(col("series_id"), col("t"), col("observed"), r6(col("imputed")).as("imputed"))
+  }
+
+  /** A8: patch observed iff ANY element observed (diffusion_ts_model.py:495). */
+  def maskPatchAny(spark: SparkSession, patchSize: Int = 4): DataFrame =
+    Generators.dataset(spark, "sine", 20, L)
+      .withColumn("observed", R.u01(cell, 15) > 0.2)
+      .withColumn("patch_id", (col("t") / patchSize).cast("int"))
+      .groupBy("series_id", "patch_id")
+      .agg(bool_or(col("observed")).as("patch_observed"),
+        count(lit(1)).as("n"),
+        sum(when(col("observed"), 1).otherwise(0)).as("n_observed"))
+
+  /** J2: class-embedding dimension table (labels 0..3 + null-class 4, dim 8)
+    * broadcast-joined to the labeled series (diffusion_ts_model.py:152-198).
+    */
+  def classEmbedLookup(spark: SparkSession): DataFrame = {
+    val labels = spark.range(200).select(col("id").as("series_id"))
+      .withColumn("label", floor(R.u01(col("series_id").cast("double"), 12) * 4.0).cast("int"))
+    val dim = spark.range(5).select(col("id").cast("int").as("label"))
+      .crossJoin(broadcast(spark.range(8).select(col("id").cast("int").as("j"))))
+      .withColumn("emb", r6(R.u01(col("label").cast("double") * 8 + col("j"), 16) * 2.0 - 1.0))
+    labels.join(broadcast(dim), "label")
+      .select("series_id", "label", "j", "emb")
+  }
+
+  /** J3: label → function-family name via a literal dimension table. */
+  def labelFamilyMap(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val names = Seq((0, "sine"), (1, "cosine"), (2, "mixed"), (3, "exponential_decay"))
+      .toDF("label", "family")
+    spark.range(200).select(col("id").as("series_id"))
+      .withColumn("label", floor(R.u01(col("series_id").cast("double"), 12) * 4.0).cast("int"))
+      .groupBy("label").agg(count(lit(1)).as("n_series"))
+      .join(broadcast(names), "label")
+      .select("label", "family", "n_series")
+  }
+
+  // ---------------- DuckDB oracle twins ----------------
+
+  /** Schedule chain as CTEs ending in `sched`. */
+  def schedSql(timesteps: Int, kind: String): String = {
+    val betaExpr = kind match {
+      case "linear" =>
+        s"(1.0e-4 + ${sqlD(BetaEnd - BetaStart)} * (CAST(step AS DOUBLE) / ${sqlD((timesteps - 1).toDouble)}))"
+      case "cosine" =>
+        def f(x: String) =
+          s"pow(cos((((($x) / ${sqlD(timesteps.toDouble)}) + ${sqlD(CosS)}) / ${sqlD(1.0 + CosS)}) * ${sqlD(math.Pi * 0.5)}), 2.0e0)"
+        s"greatest(least(1.0e0 - ${f("CAST(step AS DOUBLE) + 1.0e0")} / ${f("CAST(step AS DOUBLE)")}, 0.9999e0), 1.0e-4)"
+    }
+    s"""sched0 AS (
+       |  SELECT CAST(i AS INT) AS step, $betaExpr AS beta
+       |  FROM range(0, $timesteps) r(i)
+       |), sched1 AS (
+       |  SELECT step, beta, 1.0e0 - beta AS alpha FROM sched0
+       |), sched2 AS (
+       |  SELECT *, exp(sum(ln(alpha)) OVER (ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS ac
+       |  FROM sched1
+       |), sched3 AS (
+       |  SELECT *, coalesce(lag(ac) OVER (ORDER BY step), 1.0e0) AS ac_prev FROM sched2
+       |), sched AS (
+       |  SELECT *, beta * (1.0e0 - ac_prev) / (1.0e0 - ac) AS posterior_var,
+       |         sqrt(ac) AS sqrt_ac, sqrt(1.0e0 - ac) AS sqrt_omac
+       |  FROM sched3
+       |)""".stripMargin
+  }
+
+  private def scheduleOracle(kind: String): String =
+    s"""WITH ${schedSql(T, kind)}
+       |SELECT step, ${sqlR6("beta")} AS beta, ${sqlR6("alpha")} AS alpha, ${sqlR6("ac")} AS ac,
+       |       ${sqlR6("ac_prev")} AS ac_prev, ${sqlR6("posterior_var")} AS posterior_var,
+       |       ${sqlR6("sqrt_ac")} AS sqrt_ac, ${sqlR6("sqrt_omac")} AS sqrt_omac
+       |FROM sched ORDER BY step""".stripMargin
+
+  private def sd = "CAST(series_id AS DOUBLE)"
+  private def cellSql = s"($sd * $L + t)"
+
+  /** x0 + step + schedule join + noise, ending in CTE `qs`. */
+  private def qSampleSql: String =
+    s"""WITH x0 AS (${Generators.datasetSqlCore("linear_sum", N, L)}),
+       |${schedSql(T, "linear")},
+       |stepped AS (
+       |  SELECT x0.*, CAST(floor((${R.sqlU01(sd, 13)}) * $T) AS INT) AS step FROM x0
+       |), qs AS (
+       |  SELECT s.series_id, s.t, s.step, s.value,
+       |         c.alpha, c.ac, c.ac_prev, c.posterior_var, c.sqrt_ac, c.sqrt_omac,
+       |         ${R.sqlGauss(cellSql, 11)} AS noise,
+       |         c.sqrt_ac * s.value + c.sqrt_omac * (${R.sqlGauss(cellSql, 11)}) AS xt
+       |  FROM stepped s JOIN sched c USING (step)
+       |)""".stripMargin
+
+  private def qSampleOracle: String = qSampleSql +
+    s""" SELECT series_id, t, step, ${sqlR6("xt")} AS xt
+       | FROM qs ORDER BY series_id, t""".stripMargin
+
+  private def predictStartOracle: String = qSampleSql +
+    s""" SELECT series_id, t, step, ${sqlR6("(xt - sqrt_omac * noise) / sqrt_ac")} AS x0_hat
+       | FROM qs ORDER BY series_id, t""".stripMargin
+
+  private def pSampleStepOracle: String = qSampleSql +
+    s""", ps AS (
+       |  SELECT *, (xt - sqrt_omac * noise) / sqrt_ac AS x0_hat, ${R.sqlGauss(cellSql, 12)} AS z
+       |  FROM qs
+       |), pm AS (
+       |  SELECT *, (sqrt(alpha) * (1.0e0 - ac_prev) * xt + sqrt(ac_prev) * (1.0e0 - alpha) * x0_hat) / (1.0e0 - ac) AS mean
+       |  FROM ps
+       |)
+       |SELECT series_id, t, step,
+       |       ${sqlR6("CASE WHEN step > 0 THEN mean + sqrt(posterior_var) * z ELSE x0_hat END")} AS x_prev
+       |FROM pm ORDER BY series_id, t""".stripMargin
+
+  /** Closed-form sampler SQL, parameterized so it also oracles the iterative query. */
+  def sampleClosedFormSql(n: Long, seqLen: Int, timesteps: Int): String = {
+    val zKey = s"(($sd * $seqLen + t) * $timesteps + step)"
+    s"""WITH ${schedSql(timesteps, "linear")},
+       |coefs AS (
+       |  SELECT step,
+       |         (sqrt(alpha) * (1.0e0 - ac_prev) + sqrt(ac_prev) * (1.0e0 - alpha) / sqrt(ac)) / (1.0e0 - ac) AS g,
+       |         sqrt(posterior_var) AS sv
+       |  FROM sched WHERE step >= 1
+       |), coefs2 AS (
+       |  SELECT step, sv,
+       |         exp(coalesce(sum(ln(g)) OVER (ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0e0)) AS p_prev,
+       |         exp(sum(ln(g)) OVER (ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_cum
+       |  FROM coefs
+       |), ptotal AS (
+       |  SELECT p_cum AS p_total FROM coefs2 ORDER BY step DESC LIMIT 1
+       |), ac0 AS (
+       |  SELECT sqrt_ac AS sqrt_ac0 FROM sched WHERE step = 0
+       |), cells AS (
+       |  SELECT CAST(s.i AS BIGINT) AS series_id, CAST(g.j AS INT) AS t,
+       |         ${R.sqlGauss(s"(CAST(s.i AS DOUBLE) * $seqLen + g.j)", 0)} AS x_init
+       |  FROM range(0, $n) s(i) CROSS JOIN range(0, $seqLen) g(j)
+       |), zsum_t AS (
+       |  SELECT series_id, t, sum(p_prev * sv * (${R.sqlGauss(zKey, 14)})) AS zsum
+       |  FROM cells CROSS JOIN coefs2
+       |  GROUP BY series_id, t
+       |)
+       |SELECT c.series_id, c.t,
+       |       ${sqlR6("(p.p_total * c.x_init + z.zsum) / a.sqrt_ac0")} AS value
+       |FROM cells c JOIN zsum_t z USING (series_id, t) CROSS JOIN ptotal p CROSS JOIN ac0 a
+       |ORDER BY series_id, t""".stripMargin
+  }
+
+  private def maskBaseSql: String =
+    s"""WITH ds AS (${Generators.datasetSqlCore("sine", 20, L)}),
+       |m AS (
+       |  SELECT series_id, t, value, (${R.sqlU01(cellSql, 15)}) > 0.2e0 AS observed
+       |  FROM ds
+       |)""".stripMargin
+
+  private def maskImputeLocfOracle: String = maskBaseSql +
+    s""" SELECT series_id, t, observed,
+       |       ${sqlR6("coalesce(last_value(CASE WHEN observed THEN value END IGNORE NULLS) OVER (PARTITION BY series_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0e0)")} AS imputed
+       | FROM m ORDER BY series_id, t""".stripMargin
+
+  private def maskPatchAnyOracle: String = maskBaseSql +
+    s""" SELECT series_id, CAST(floor(t / 4) AS INT) AS patch_id, bool_or(observed) AS patch_observed,
+       |        count(*) AS n, CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS n_observed
+       | FROM m GROUP BY 1, 2 ORDER BY series_id, patch_id""".stripMargin
+
+  private def classEmbedOracle: String =
+    s"""WITH labels AS (
+       |  SELECT CAST(i AS BIGINT) AS series_id,
+       |         CAST(floor((${R.sqlU01("CAST(i AS DOUBLE)", 12)}) * 4.0e0) AS INT) AS label
+       |  FROM range(0, 200) r(i)
+       |), dim AS (
+       |  SELECT CAST(l.i AS INT) AS label, CAST(d.j AS INT) AS j,
+       |         ${sqlR6(s"(${R.sqlU01("(CAST(l.i AS DOUBLE) * 8 + d.j)", 16)}) * 2.0e0 - 1.0e0")} AS emb
+       |  FROM range(0, 5) l(i) CROSS JOIN range(0, 8) d(j)
+       |)
+       |SELECT series_id, labels.label, j, emb
+       |FROM labels JOIN dim ON labels.label = dim.label
+       |ORDER BY series_id, j""".stripMargin
+
+  private def labelFamilyMapOracle: String =
+    s"""WITH labels AS (
+       |  SELECT CAST(i AS BIGINT) AS series_id,
+       |         CAST(floor((${R.sqlU01("CAST(i AS DOUBLE)", 12)}) * 4.0e0) AS INT) AS label
+       |  FROM range(0, 200) r(i)
+       |)
+       |SELECT label,
+       |       CASE label WHEN 0 THEN 'sine' WHEN 1 THEN 'cosine' WHEN 2 THEN 'mixed'
+       |            ELSE 'exponential_decay' END AS family,
+       |       count(*) AS n_series
+       |FROM labels GROUP BY 1, 2 ORDER BY label""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "diff_schedule_linear" -> ((s, _) => schedule(s, T, "linear")
+      .select(col("step"), r6(col("beta")).as("beta"), r6(col("alpha")).as("alpha"),
+        r6(col("ac")).as("ac"), r6(col("ac_prev")).as("ac_prev"),
+        r6(col("posterior_var")).as("posterior_var"),
+        r6(col("sqrt_ac")).as("sqrt_ac"), r6(col("sqrt_omac")).as("sqrt_omac"))
+      .orderBy("step")),
+    "diff_schedule_cosine" -> ((s, _) => schedule(s, T, "cosine")
+      .select(col("step"), r6(col("beta")).as("beta"), r6(col("alpha")).as("alpha"),
+        r6(col("ac")).as("ac"), r6(col("ac_prev")).as("ac_prev"),
+        r6(col("posterior_var")).as("posterior_var"),
+        r6(col("sqrt_ac")).as("sqrt_ac"), r6(col("sqrt_omac")).as("sqrt_omac"))
+      .orderBy("step")),
+    "diff_qsample" -> ((s, _) => qSample(s)
+      .select(col("series_id"), col("t"), col("step"), r6(col("xt")).as("xt"))
+      .orderBy("series_id", "t")),
+    "diff_predict_start" -> ((s, _) => predictStart(s)
+      .select(col("series_id"), col("t"), col("step"), r6(col("x0_hat")).as("x0_hat"))
+      .orderBy("series_id", "t")),
+    "diff_psample_step" -> ((s, _) => pSampleStep(s)
+      .select(col("series_id"), col("t"), col("step"), r6(col("x_prev")).as("x_prev"))
+      .orderBy("series_id", "t")),
+    "diff_sample_closedform" -> ((s, _) => sampleClosedForm(s).orderBy("series_id", "t")),
+    "diff_sample_iterative" -> ((s, _) => sampleIterative(s).orderBy("series_id", "t")),
+    "mask_impute_locf" -> ((s, _) => maskImputeLocf(s).orderBy("series_id", "t")),
+    "mask_patch_any" -> ((s, _) => maskPatchAny(s).orderBy("series_id", "patch_id")),
+    "class_embed_lookup" -> ((s, _) => classEmbedLookup(s).orderBy("series_id", "j")),
+    "label_family_map" -> ((s, _) => labelFamilyMap(s).orderBy("label"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "diff_schedule_linear" -> scheduleOracle("linear"),
+    "diff_schedule_cosine" -> scheduleOracle("cosine"),
+    "diff_qsample" -> qSampleOracle,
+    "diff_predict_start" -> predictStartOracle,
+    "diff_psample_step" -> pSampleStepOracle,
+    "diff_sample_closedform" -> sampleClosedFormSql(20, L, T),
+    "diff_sample_iterative" -> sampleClosedFormSql(20, L, 100),
+    "mask_impute_locf" -> maskImputeLocfOracle,
+    "mask_patch_any" -> maskPatchAnyOracle,
+    "class_embed_lookup" -> classEmbedOracle,
+    "label_family_map" -> labelFamilyMapOracle
+  )
+}

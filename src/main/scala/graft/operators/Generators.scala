@@ -208,7 +208,10 @@ object Generators {
     }
   }
 
-  private def datasetSql(family: String, n: Long, seqLen: Int): String = {
+  /** The dataset pipeline as a reusable SQL SELECT (no ORDER BY) so other
+    * modules (Diffusion, Metrics, Reshape) can embed it as a CTE.
+    */
+  def datasetSqlCore(family: String, n: Long, seqLen: Int): String = {
     val cell = s"($sd * $seqLen + t)"
     s"""WITH ${gridSql(n, seqLen)},
        |noisy_t AS (
@@ -223,8 +226,11 @@ object Generators {
        |  FROM noisy_t
        |)
        |SELECT series_id, t, ${sqlR6("(noisy - mu) / (sigma + 1e-8)")} AS value
-       |FROM z ORDER BY series_id, t""".stripMargin
+       |FROM z""".stripMargin
   }
+
+  private def datasetSql(family: String, n: Long, seqLen: Int): String =
+    datasetSqlCore(family, n, seqLen) + " ORDER BY series_id, t"
 
   private def labeledSql(n: Long, seqLen: Int): String = {
     val cell = s"($sd * $seqLen + t)"
