@@ -18,7 +18,11 @@ object SparkEntry {
       (Generators.queries, Generators.oracles),
       (Diffusion.queries, Diffusion.oracles),
       (Metrics.queries, Metrics.oracles),
-      (Reshape.queries, Reshape.oracles)
+      (Reshape.queries, Reshape.oracles),
+      (TextOps.queries, TextOps.oracles),
+      (Dedup.queries, Dedup.oracles),
+      (Similarity.queries, Similarity.oracles),
+      (Relational.queries, Relational.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,269 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Num._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` (SURVEY.md §7.5;
+  * north-star LLM-pipeline ops): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * and embedding-cosine near-dup.
+  *
+  * Hash functions are md5 (identical hex in Spark and DuckDB), so signatures,
+  * band keys, and pair sets reproduce bit-for-bit in the oracle.
+  *
+  * Scale notes:
+  *  - exact dedup is one hash-agg on a 128-bit digest (group by md5(text), not
+  *    by the raw text — at 100 TB you never shuffle full documents).
+  *  - minhash: explode(shingle × hashId) collapses through partial min-agg
+  *    before the shuffle, so shuffle volume is #docs × k, independent of doc
+  *    length; candidate pairs come from equi-joins on band keys (shuffle on a
+  *    short hash key), never from a cross join.
+  *  - n-gram blocking drops shingles with document frequency > MaxShingleDf:
+  *    stop-shingles generate quadratic candidate blowup and carry no signal —
+  *    the standard guard at corpus scale.
+  */
+object Dedup {
+  val NumHashes = 12
+  val BandRows = 3 // → 4 bands
+  val MaxShingleDf = 50
+  val JaccardThreshold = 0.1
+
+  /** Word 3-gram shingles of a tokenized text, as an array column. */
+  def shingles3(ws: Column): Column =
+    transform(sequence(lit(0), greatest(size(ws) - 3, lit(0))),
+      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
+
+  /** DuckDB twin of [[shingles3]] (1-based list indexing there too). */
+  def shingles3Sql(ws: String): String =
+    s"list_transform(generate_series(0, greatest(len($ws) - 3, 0)), " +
+      s"i -> concat_ws(' ', $ws[i + 1], $ws[i + 2], $ws[i + 3]))"
+
+  private def words = split(col("text"), "\\s+")
+
+  /** Distinct (doc_id, shingle) long table. */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles3(words)).as("shingle"))
+      .distinct()
+
+  private val docShinglesSql: String =
+    s"""shingles AS (
+       |  SELECT DISTINCT doc_id, unnest(${shingles3Sql("regexp_split_to_array(text, '\\s+')")}) AS shingle
+       |  FROM documents
+       |)""".stripMargin
+
+  /** Exact dedup: canonical = min doc_id per identical text; grouped on the
+    * md5 digest so the shuffle key is 32 bytes regardless of document size.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        min(col("doc_id")).over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("group_size"))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+  }
+
+  /** MinHash signatures: minhash_h = min over shingles of md5(h || '|' || shingle),
+    * then LSH band keys = md5 of the concatenated in-band minhashes.
+    */
+  def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = spark.range(NumHashes).select(col("id").cast("int").as("h"))
+    docShingles(spark, dir)
+      .crossJoin(broadcast(hashes))
+      .groupBy("doc_id", "h")
+      .agg(min(md5(concat(col("h").cast("string"), lit("|"), col("shingle")))).as("mh"))
+      .withColumn("band", (col("h") / BandRows).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws(",", transform(sort_array(collect_list(struct(col("h"), col("mh")))),
+        x => x.getField("mh")))).as("band_key"))
+  }
+
+  private def minhashBandsSql: String =
+    s"""WITH $docShinglesSql,
+       |mh AS (
+       |  SELECT doc_id, CAST(h.i AS INT) AS h,
+       |         min(md5(CAST(h.i AS VARCHAR) || '|' || shingle)) AS mh
+       |  FROM shingles CROSS JOIN range(0, $NumHashes) h(i)
+       |  GROUP BY doc_id, h.i
+       |), bands AS (
+       |  SELECT doc_id, CAST(floor(h / $BandRows) AS INT) AS band,
+       |         md5(string_agg(mh, ',' ORDER BY h)) AS band_key
+       |  FROM mh GROUP BY doc_id, 2
+       |)""".stripMargin
+
+  /** LSH candidate pairs (same band key) verified with exact shingle Jaccard. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(spark, dir)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    withJaccard(spark, dir, cand)
+  }
+
+  /** Attach exact shingle Jaccard to a (doc_a, doc_b) pair set. */
+  private def withJaccard(spark: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    pairs
+      .join(shA, "doc_a")
+      .join(shB, Seq("doc_b", "shingle")) // equi-join on (doc_b, shingle) = set intersection
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        r6(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double")).as("jaccard"))
+  }
+
+  /** N-gram Jaccard near-dup: block on shared rare shingles (df ≤ MaxShingleDf),
+    * then exact Jaccard ≥ threshold.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf && col("df") >= 2)
+    val blocked = sh.join(rare.select("shingle"), "shingle")
+    val cand = blocked.as("a").join(blocked.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    withJaccard(spark, dir, cand).filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** SimHash: 16-bit fingerprint from per-token md5 bits, weight ±1 per distinct
+    * token; bit set iff the signed vote is positive.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("tok")).distinct()
+      .withColumn("hv", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"))
+    val bits = spark.range(16).select(col("id").cast("int").as("bit"))
+    toks.crossJoin(broadcast(bits))
+      .withColumn("vote", when(expr("shiftright(hv, bit) % 2") === 1, 1).otherwise(-1))
+      .groupBy("doc_id", "bit")
+      .agg(sum(col("vote")).as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Embedding-cosine near-dup: nearest neighbour within the same label block
+    * for a query subset; near_dup flag at cosine ≥ 0.9.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val q = emb.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("qid"), col("label"), col("v").as("qv"), col("norm").as("qn"))
+    val dot = (a: Column, b: Column) => aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val pairs = q.join(emb, Seq("label"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", r6(dot(col("qv"), col("v")) / (col("qn") * col("norm"))))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id").as("nn_id"), col("cos"),
+        (col("cos") >= 0.9).as("near_dup"))
+  }
+
+  // ---------------- DuckDB oracle twins ----------------
+
+  private def jaccardSql(candCte: String): String =
+    s""", sizes AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+       |), shared AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+       |  FROM $candCte c
+       |  JOIN shingles sa ON sa.doc_id = c.doc_a
+       |  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY c.doc_a, c.doc_b
+       |), jac AS (
+       |  SELECT s.doc_a, s.doc_b,
+       |         ${sqlR6("CAST(n_shared AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_shared AS DOUBLE)")} AS jaccard
+       |  FROM shared s
+       |  JOIN sizes na ON na.doc_id = s.doc_a
+       |  JOIN sizes nb ON nb.doc_id = s.doc_b
+       |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => exact(s, d).orderBy("doc_id")),
+    "dedup_minhash_sig" -> ((s, d) => minhashBands(s, d).orderBy("doc_id", "band")),
+    "dedup_minhash_pairs" -> ((s, d) => minhashPairs(s, d).orderBy("doc_a", "doc_b")),
+    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d).orderBy("doc_a", "doc_b")),
+    "dedup_simhash" -> ((s, d) => simhash(s, d).orderBy("doc_id")),
+    "dedup_embedding_nn" -> ((s, d) => embeddingNearDup(s, d).orderBy("qid"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id,
+        |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |       count(*) OVER (PARTITION BY md5(text)) AS group_size,
+        |       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_sig" -> (minhashBandsSql + " SELECT doc_id, band, band_key FROM bands ORDER BY doc_id, band"),
+    "dedup_minhash_pairs" -> (minhashBandsSql +
+      s""", cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |)${jaccardSql("cand")}
+         | SELECT doc_a, doc_b, jaccard FROM jac ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_ngram_jaccard" ->
+      s"""WITH $docShinglesSql,
+         |rare AS (
+         |  SELECT shingle FROM shingles GROUP BY shingle
+         |  HAVING count(*) <= $MaxShingleDf AND count(*) >= 2
+         |), blocked AS (
+         |  SELECT s.doc_id, s.shingle FROM shingles s JOIN rare r ON s.shingle = r.shingle
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocked a JOIN blocked b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |)${jaccardSql("cand")}
+         | SELECT doc_a, doc_b, jaccard FROM jac
+         | WHERE jaccard >= ${sqlD(JaccardThreshold)}
+         | ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+         |  FROM documents
+         |), hv_t AS (
+         |  SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS hv FROM toks
+         |), votes AS (
+         |  SELECT doc_id, CAST(b.i AS INT) AS bit,
+         |         CAST(sum(CASE WHEN (hv >> CAST(b.i AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+         |  FROM hv_t CROSS JOIN range(0, 16) b(i)
+         |  GROUP BY doc_id, b.i
+         |)
+         |SELECT doc_id,
+         |       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_embedding_nn" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+         |), flat AS (
+         |  SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM emb
+         |), norms AS (
+         |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id
+         |), dots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vid, a.label, sum(a.x * b.x) AS dot
+         |  FROM flat a JOIN flat b ON a.d = b.d AND a.label = b.label
+         |  WHERE a.vec_id < 200 AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2, 3
+         |), cosv AS (
+         |  SELECT d.qid, d.vid, ${sqlR6("d.dot / (na.nrm * nb.nrm)")} AS cos
+         |  FROM dots d JOIN norms na ON na.vec_id = d.qid JOIN norms nb ON nb.vec_id = d.vid
+         |)
+         |SELECT qid, vid AS nn_id, cos, cos >= 0.9e0 AS near_dup
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn FROM cosv)
+         |WHERE rn = 1 ORDER BY qid""".stripMargin
+  )
+}

@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Num._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped relational queries over the driver star schema (SURVEY.md §7.5)
+  * — the join/agg surface Catalyst provides, exercised explicitly, plus
+  * sessionization over `events`.
+  *
+  * Money sums use exact integer micros (floor(x·1e6 + 0.5) summed as BIGINT,
+  * divided back once) so aggregation order — nondeterministic in any parallel
+  * engine — cannot perturb the oracle hash.
+  *
+  * Scale: dimension tables (region/nation/customer/supplier/part) broadcast;
+  * only fact-fact joins (orders⋈lineitem) shuffle, on their natural key. AQE
+  * handles skew; filters sit directly on the scans for parquet pushdown.
+  */
+object Relational {
+
+  /** Exact order-independent sum of a money-like double: Σ as integer micros. */
+  private def exactSum(c: Column): Column =
+    (sum(floor(c * 1e6 + 0.5)) / 1e6).as("x")
+  private def sqlExactSum(x: String): String =
+    s"(CAST(sum(CAST(floor(($x)*1e6 + 0.5) AS BIGINT)) AS DOUBLE)/1e6)"
+
+  private def exactAvg(c: Column): Column =
+    sum(floor(c * 1e6 + 0.5)) / count(lit(1)) / 1e6
+  private def sqlExactAvg(x: String): String =
+    s"(CAST(sum(CAST(floor(($x)*1e6 + 0.5) AS BIGINT)) AS DOUBLE)/count(*)/1e6)"
+
+  /** Q1-style pricing summary. */
+  def q1(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        exactAvg(col("l_quantity")).as("avg_qty"),
+        exactAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Q3-style: top 10 open orders by revenue for one segment. */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-style: revenue per nation through the full star join. */
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Q6-style: filtered revenue delta. */
+  def q6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(exactSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Window ranking: top-3 customers by account balance per nation. */
+  def topCustomersPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("n_name").orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("n_name"), col("rank"), col("c_custkey"), r6(col("c_acctbal")).as("c_acctbal"))
+  }
+
+  /** Running per-customer order total (cumulative window, deterministic order). */
+  def customerRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        r6(sum(col("o_totalprice")).over(w)).as("running_total"))
+  }
+
+  /** Gap-based sessionization of events: new session when > 30 min idle. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // fractional-second-exact gap: timestamp→double seconds matches DuckDB epoch()
+    val gapMin = (col("ts").cast("double") - col("prev_ts").cast("double")) / 60.0
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || gapMin > 30.0, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        r6(exactSum(col("value"))).as("session_value"))
+  }
+
+  // ---------------- DuckDB oracle twins ----------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q1" -> ((s, d) => q1(s, d).orderBy("l_returnflag", "l_linestatus")),
+    "tpch_q3" -> ((s, d) => q3(s, d)),
+    "tpch_q5" -> ((s, d) => q5(s, d).orderBy("r_name", "n_name")),
+    "tpch_q6" -> ((s, d) => q6(s, d)),
+    "top_customers_per_nation" -> ((s, d) => topCustomersPerNation(s, d).orderBy("n_name", "rank")),
+    "customer_running_total" -> ((s, d) => customerRunningTotal(s, d).orderBy("o_custkey", "o_orderdate", "o_orderkey")),
+    "events_sessionize" -> ((s, d) => sessionize(s, d).orderBy("user_id", "session_seq"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${sqlExactSum("l_quantity")} AS sum_qty,
+         |       ${sqlExactSum("l_extendedprice")} AS sum_base_price,
+         |       ${sqlExactSum("l_extendedprice * (1.0e0 - l_discount)")} AS sum_disc_price,
+         |       ${sqlExactAvg("l_quantity")} AS avg_qty,
+         |       ${sqlExactAvg("l_discount")} AS avg_disc,
+         |       count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "tpch_q3" ->
+      s"""SELECT l.l_orderkey, o.o_orderdate,
+         |       ${sqlExactSum("l.l_extendedprice * (1.0e0 - l.l_discount)")} AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "tpch_q5" ->
+      s"""SELECT r.r_name, n.n_name,
+         |       ${sqlExactSum("l.l_extendedprice * (1.0e0 - l.l_discount)")} AS revenue,
+         |       count(*) AS n_items
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "tpch_q6" ->
+      s"""SELECT ${sqlExactSum("l_extendedprice * l_discount")} AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount >= 0.05e0 AND l_discount <= 0.07e0 AND l_quantity < 24.0e0""".stripMargin,
+    "top_customers_per_nation" ->
+      s"""SELECT n_name, CAST(rank AS INT) AS rank, c_custkey, ${sqlR6("c_acctbal")} AS c_acctbal
+         |FROM (
+         |  SELECT n.n_name, c.c_custkey, c.c_acctbal,
+         |         row_number() OVER (PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rank
+         |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |)
+         |WHERE rank <= 3 ORDER BY n_name, rank""".stripMargin,
+    "customer_running_total" ->
+      s"""SELECT o_custkey, o_orderkey, o_orderdate,
+         |       ${sqlR6("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_total
+         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "events_sessionize" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events
+         |), marked AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |                   OR (epoch(ts) - epoch(prev_ts)) / 60.0e0 > 30.0e0 THEN 1 ELSE 0 END AS new_session
+         |  FROM g
+         |), sess AS (
+         |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         |  FROM marked
+         |)
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |       min(ts) AS session_start, max(ts) AS session_end,
+         |       ${sqlR6(sqlExactSum("value"))} AS session_value
+         |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin
+  )
+}

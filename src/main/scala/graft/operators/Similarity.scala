@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{DetRand => R}
+import graft.functions.Num._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbour search over the `embeddings` table (SURVEY.md
+  * §7.5; north-star similarity ops).
+  *
+  * Two paths:
+  *  - brute force: query set × corpus cosine via sequential array folds
+  *    (`zip_with` + `aggregate` — codegen'd, deterministic accumulation order),
+  *    windowed top-k. The correctness baseline.
+  *  - LSH: 8 deterministic random hyperplanes (LCG weights) → 8-bit sign bucket
+  *    per vector → candidates only within the same bucket. The scale path: the
+  *    join key is a 1-byte bucket, candidate volume drops ~2^8 for isotropic
+  *    data, and bucketing is one narrow pass + a bucket-key shuffle.
+  *
+  * Scale: the query subset broadcasts; at 100 TB the corpus side stays
+  * partitioned and each partition scans once per batch of queries (a
+  * broadcast-nested-loop with array folds — the same shape GPU ANN services use
+  * for the re-rank stage). IVF with learned centroids is the next refinement;
+  * the bucket plumbing here is identical (bucket = nearest-centroid id).
+  */
+object Similarity {
+  val TopK = 10
+  val NumPlanes = 8
+  val Dim = 64
+  val NumQueries = 100 // query subset: vec_id < 100
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-k for the query subset. */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", r6(dot(col("qv"), col("v")) / (col("qn") * col("norm"))))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Deterministic hyperplane table: weight(h, d) = u01(h·Dim + d, 18) − 0.5. */
+  def hyperplanes(spark: SparkSession): DataFrame =
+    spark.range(NumPlanes).select(col("id").cast("int").as("h"))
+      .crossJoin(spark.range(Dim).select(col("id").cast("int").as("d")))
+      .withColumn("w", R.u01(col("h").cast("double") * Dim + col("d"), 18) - 0.5)
+
+  /** Sign-bucket per vector: bucket = Σ_h [v·w_h > 0]·2^h. */
+  def buckets(spark: SparkSession, dir: String): DataFrame = {
+    val flat = emb(spark, dir)
+      .select(col("vec_id"), col("label"), col("norm"), posexplode(col("v")))
+      .withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
+    flat.join(broadcast(hyperplanes(spark)), "d")
+      .groupBy("vec_id", "h")
+      .agg(sum(col("x") * col("w")).as("proj"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("proj") > 0, expr("shiftleft(cast(1 as bigint), h)")).otherwise(0L)).as("bucket"))
+  }
+
+  /** LSH top-k: same scoring as brute force but only within matching buckets. */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).join(buckets(spark, dir), "vec_id")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"), col("bucket"))
+    val scored = e.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", r6(dot(col("qv"), col("v")) / (col("qn") * col("norm"))))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("bucket"), col("rank"), col("cos"))
+  }
+
+  /** Per-label centroid + per-vector distance-to-centroid — the IVF building
+    * block (label stands in for a coarse cluster id at test scale).
+    */
+  def centroidDistance(spark: SparkSession, dir: String): DataFrame = {
+    val flat = emb(spark, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("v")))
+      .withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
+    val centroids = flat.groupBy("label", "d").agg(avg(col("x")).as("c"))
+    flat.join(centroids, Seq("label", "d"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(r6(sqrt(sum(pow(col("x") - col("c"), 2)))).as("dist_to_centroid"))
+  }
+
+  // ---------------- DuckDB oracle twins ----------------
+
+  private val flatSql =
+    """flat AS (
+      |  SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+      |         generate_subscripts(embedding, 1) - 1 AS d
+      |  FROM embeddings
+      |), norms AS (
+      |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id
+      |)""".stripMargin
+
+  private def cosTopKSql(bucketJoin: Boolean): String = {
+    val bucketCtes = if (bucketJoin) s""",
+       |planes AS (
+       |  SELECT CAST(h.i AS INT) AS h, CAST(d.j AS INT) AS d,
+       |         (${R.sqlU01(s"(CAST(h.i AS DOUBLE) * $Dim + d.j)", 18)}) - 0.5e0 AS w
+       |  FROM range(0, $NumPlanes) h(i) CROSS JOIN range(0, $Dim) d(j)
+       |), projs AS (
+       |  SELECT f.vec_id, p.h, sum(f.x * p.w) AS proj
+       |  FROM flat f JOIN planes p ON f.d = p.d
+       |  GROUP BY f.vec_id, p.h
+       |), bkt AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM projs GROUP BY vec_id
+       |)""".stripMargin else ""
+    val pairCond =
+      if (bucketJoin) "JOIN bkt ba ON ba.vec_id = a.vec_id JOIN bkt bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket"
+      else ""
+    val bucketCol = if (bucketJoin) ", ba.bucket" else ""
+    s"""WITH $flatSql$bucketCtes,
+       |dots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS vid$bucketCol, sum(a.x * b.x) AS dot
+       |  FROM flat a JOIN flat b ON a.d = b.d $pairCond
+       |  WHERE a.vec_id < $NumQueries AND a.vec_id <> b.vec_id
+       |  GROUP BY ALL
+       |), cosv AS (
+       |  SELECT qid, vid${if (bucketJoin) ", bucket" else ""}, ${sqlR6("dot / (na.nrm * nb.nrm)")} AS cos
+       |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = vid
+       |)
+       |SELECT qid, vid AS neighbor_id${if (bucketJoin) ", bucket" else ""}, CAST(rn AS INT) AS rank, cos
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn FROM cosv)
+       |WHERE rn <= $TopK ORDER BY qid, rank""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce_topk" -> ((s, d) => bruteForceTopK(s, d).orderBy("qid", "rank")),
+    "ann_lsh_topk" -> ((s, d) => lshTopK(s, d).orderBy("qid", "rank")),
+    "ann_lsh_buckets" -> ((s, d) => buckets(s, d).orderBy("vec_id")),
+    "ann_centroid_dist" -> ((s, d) => centroidDistance(s, d).orderBy("vec_id"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ann_bruteforce_topk" -> cosTopKSql(bucketJoin = false),
+    "ann_lsh_topk" -> cosTopKSql(bucketJoin = true),
+    "ann_lsh_buckets" ->
+      s"""WITH $flatSql,
+         |planes AS (
+         |  SELECT CAST(h.i AS INT) AS h, CAST(d.j AS INT) AS d,
+         |         (${R.sqlU01(s"(CAST(h.i AS DOUBLE) * $Dim + d.j)", 18)}) - 0.5e0 AS w
+         |  FROM range(0, $NumPlanes) h(i) CROSS JOIN range(0, $Dim) d(j)
+         |), projs AS (
+         |  SELECT f.vec_id, p.h, sum(f.x * p.w) AS proj
+         |  FROM flat f JOIN planes p ON f.d = p.d
+         |  GROUP BY f.vec_id, p.h
+         |)
+         |SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
+         |FROM projs GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "ann_centroid_dist" ->
+      s"""WITH $flatSql,
+         |centroids AS (
+         |  SELECT label, d, avg(x) AS c FROM flat GROUP BY label, d
+         |)
+         |SELECT f.vec_id, f.label, ${sqlR6("sqrt(sum(pow(f.x - c.c, 2)))")} AS dist_to_centroid
+         |FROM flat f JOIN centroids c ON f.label = c.label AND f.d = c.d
+         |GROUP BY f.vec_id, f.label ORDER BY f.vec_id""".stripMargin
+  )
+}

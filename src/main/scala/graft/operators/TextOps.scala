@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Num._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §7.5; north-star
+  * LLM-pipeline ops, no reference counterpart): token counting, quality scoring,
+  * n-gram-heuristic language ID, and document fingerprinting.
+  *
+  * Scale: every query is a single narrow projection + optional hash-agg — no
+  * joins, no windows; predicate/column pruning reaches the parquet scan, so at
+  * 100 TB these are embarrassingly parallel map-side passes.
+  */
+object TextOps {
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  private val words: Column = split(col("text"), "\\s+")
+
+  /** Whole-word stopword hit count (list kept tiny and literal). */
+  private def stopHits(ws: Column, stops: Seq[String]): Column =
+    size(filter(ws, w => stops.map(s => w === s).reduce(_ || _))).cast("long")
+
+  /** Token counting: whitespace words plus a BPE-ish regex token count. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_alpha"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("n_bpeish"),
+      length(col("text")).cast("long").as("len_chars"),
+      col("n_chars"))
+
+  /** Quality scoring: length/punctuation/digit/stopword ratios + a composite. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = size(words).cast("double")
+    val lenC = length(col("text")).cast("double")
+    val punct = regexp_count(col("text"), lit("[.,;:!?]")).cast("double") / lenC
+    val digit = regexp_count(col("text"), lit("[0-9]")).cast("double") / lenC
+    val stopR = stopHits(words, Seq("the", "a", "and", "of")).cast("double") / nWords
+    val awl = length(regexp_replace(col("text"), "\\s", "")).cast("double") / nWords
+    val score = greatest(lit(0.0), least(lit(1.0),
+      lit(0.25) * log(lit(1.0) + nWords) - lit(2.0) * punct - lit(2.0) * digit))
+    docs(spark, dir).select(
+      col("doc_id"), col("lang"), col("source"),
+      size(words).cast("long").as("n_words"),
+      r6(awl).as("avg_word_len"),
+      r6(punct).as("punct_ratio"),
+      r6(digit).as("digit_ratio"),
+      r6(stopR).as("stopword_ratio"),
+      r6(score).as("quality_score"))
+  }
+
+  /** N-gram-heuristic language ID: stopword votes per language, deterministic
+    * argmax priority en > de > es > fr, else 'und'.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val cEn = stopHits(words, Seq("the", "a", "and", "of"))
+    val cDe = stopHits(words, Seq("der", "die", "das", "und"))
+    val cEs = stopHits(words, Seq("el", "los", "las", "y"))
+    val cFr = stopHits(words, Seq("le", "les", "et", "ou"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), cEn.as("c_en"), cDe.as("c_de"),
+        cEs.as("c_es"), cFr.as("c_fr"))
+      .withColumn("pred_lang",
+        when(col("c_en") + col("c_de") + col("c_es") + col("c_fr") === 0, "und")
+          .when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") && col("c_en") >= col("c_fr"), "en")
+          .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr"), "de")
+          .when(col("c_es") >= col("c_fr"), "es")
+          .otherwise("fr"))
+      .withColumn("matches_tag", col("pred_lang") === col("lang"))
+  }
+
+  /** Document fingerprinting: md5 of the normalized text plus the minimum
+    * word-3-shingle hash (a 1-permutation minhash / rolling-hash stand-in).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val shingles = Dedup.shingles3(words)
+    docs(spark, dir).select(
+      col("doc_id"),
+      md5(norm).as("fingerprint"),
+      array_min(transform(shingles, s => md5(s))).as("min_shingle_hash"))
+  }
+
+  /** Per-(lang, source) corpus aggregates. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        r6(avg(size(words).cast("double"))).as("avg_words"))
+
+  // ---------------- DuckDB oracle twins ----------------
+
+  private val wordsSql = """regexp_split_to_array(text, '\s+')"""
+
+  private def stopHitsSql(stops: Seq[String]): String =
+    s"len(list_filter($wordsSql, w -> w IN (${stops.map(s => s"'$s'").mkString(", ")})))::BIGINT"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_counts" -> ((s, d) => tokenCounts(s, d).orderBy("doc_id")),
+    "text_quality" -> ((s, d) => quality(s, d).orderBy("doc_id")),
+    "text_langid" -> ((s, d) => langId(s, d).orderBy("doc_id")),
+    "text_fingerprint" -> ((s, d) => fingerprint(s, d).orderBy("doc_id")),
+    "text_corpus_stats" -> ((s, d) => corpusStats(s, d).orderBy("lang", "source"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "text_token_counts" ->
+      s"""SELECT doc_id,
+         |       len($wordsSql)::BIGINT AS n_words,
+         |       len(regexp_extract_all(text, '[a-z]+'))::BIGINT AS n_alpha,
+         |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpeish,
+         |       length(text)::BIGINT AS len_chars, n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, source,
+         |         len($wordsSql)::BIGINT AS n_words,
+         |         CAST(length(text) AS DOUBLE) AS len_c,
+         |         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
+         |         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+         |         CAST(${stopHitsSql(Seq("the", "a", "and", "of"))} AS DOUBLE) AS n_stop,
+         |         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS n_nonspace
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang, source, n_words,
+         |       ${sqlR6("n_nonspace / CAST(n_words AS DOUBLE)")} AS avg_word_len,
+         |       ${sqlR6("n_punct / len_c")} AS punct_ratio,
+         |       ${sqlR6("n_digit / len_c")} AS digit_ratio,
+         |       ${sqlR6("n_stop / CAST(n_words AS DOUBLE)")} AS stopword_ratio,
+         |       ${sqlR6("greatest(0.0e0, least(1.0e0, 0.25e0 * ln(1.0e0 + CAST(n_words AS DOUBLE)) - 2.0e0 * (n_punct / len_c) - 2.0e0 * (n_digit / len_c)))")} AS quality_score
+         |FROM q ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, lang,
+         |         ${stopHitsSql(Seq("the", "a", "and", "of"))} AS c_en,
+         |         ${stopHitsSql(Seq("der", "die", "das", "und"))} AS c_de,
+         |         ${stopHitsSql(Seq("el", "los", "las", "y"))} AS c_es,
+         |         ${stopHitsSql(Seq("le", "les", "et", "ou"))} AS c_fr
+         |  FROM documents
+         |)
+         |SELECT *,
+         |       CASE WHEN c_en + c_de + c_es + c_fr = 0 THEN 'und'
+         |            WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+         |            WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+         |            WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+         |       (CASE WHEN c_en + c_de + c_es + c_fr = 0 THEN 'und'
+         |            WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+         |            WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+         |            WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END) = lang AS matches_tag
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         |       list_min(list_transform(${Dedup.shingles3Sql(wordsSql)}, s -> md5(s))) AS min_shingle_hash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_corpus_stats" ->
+      s"""SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       ${sqlR6(s"avg(CAST(len($wordsSql) AS DOUBLE))")} AS avg_words
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+  )
+}
