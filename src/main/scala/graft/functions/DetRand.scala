@@ -24,9 +24,19 @@ object DetRand {
   private def fmod(x: Column): Column = x - floor(x / M).cast("double") * M
   private def lcg(x: Column): Column = fmod(x * 69069.0 + 12345.0)
 
-  /** Uniform (0,1), bit-identical in Spark and DuckDB ([[sqlU01]]). */
-  def u01(key: Column, stream: Int): Column =
-    (lcg(lcg(fmod(key * 40503.0 + stream.toDouble * 30011.0 + 12345.0))) + 0.5) / M
+  /** Uniform (0,1), bit-identical in Spark and DuckDB ([[sqlU01]]).
+    *
+    * The first multiplier is stream-dependent: with a shared multiplier,
+    * consecutive streams of the same key stay a constant offset apart through
+    * every (affine) LCG round — Box-Muller over such a pair collapses to a 1-D
+    * transform and biases the Gaussian mean (caught by GeneratorsSpec's
+    * white-noise moments test). Distinct multipliers per stream break the
+    * affine relation.
+    */
+  def u01(key: Column, stream: Int): Column = {
+    val seed = fmod(key * 40503.0 + stream.toDouble * 30011.0 + 12345.0)
+    (lcg(lcg(fmod(seed * (69069.0 + 2.0 * stream)))) + 0.5) / M
+  }
 
   def uniform(key: Column, stream: Int, lo: Double, hi: Double): Column =
     u01(key, stream) * (hi - lo) + lo
@@ -43,8 +53,10 @@ object DetRand {
   def sqlFmod(x: String): String =
     s"(($x) - floor(($x)/2147483648.0)*2147483648.0)"
   def sqlLcg(x: String): String = sqlFmod(s"($x)*69069.0 + 12345.0")
-  def sqlU01(key: String, stream: Int): String =
-    s"((${sqlLcg(sqlLcg(sqlFmod(s"($key)*40503.0 + $stream.0*30011.0 + 12345.0")))}) + 0.5)/2147483648.0"
+  def sqlU01(key: String, stream: Int): String = {
+    val seed = sqlFmod(s"($key)*40503.0 + $stream.0*30011.0 + 12345.0")
+    s"((${sqlLcg(sqlLcg(sqlFmod(s"($seed)*${69069.0 + 2.0 * stream}")))}) + 0.5)/2147483648.0"
+  }
   def sqlUniform(key: String, stream: Int, lo: Double, hi: Double): String =
     s"((${sqlU01(key, stream)})*(${Num.sqlD(hi - lo)}) + (${Num.sqlD(lo)}))"
   def sqlGauss(key: String, stream: Int): String =

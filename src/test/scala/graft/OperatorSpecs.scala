@@ -1,0 +1,200 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class DecomposeSpec extends SparkSpec {
+  test("entry returns decomposition rows on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSet ==
+      Set("event_type", "t", "value", "trend", "seasonality", "residual"))
+  }
+
+  test("decomposition identity: value = trend + seasonality + residual (±2e-6)") {
+    val bad = EventsOps.decompose(spark, sf)
+      .filter(abs(col("value") - col("trend") - col("seasonality") - col("residual")) > 2e-6)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("DFT localizes a pure sinusoid in the right bin") {
+    import spark.implicits._
+    val n = 128
+    val freq = 4
+    val df = (0 until n).map(t => (1L, t, math.sin(2 * math.Pi * freq * t / n)))
+      .toDF("series_id", "t", "detr")
+    val bins = spark.range(1, n / 2).select(col("id").cast("int").as("k"))
+    val theta = lit(2.0 * math.Pi) * col("k") * col("t") / lit(n.toDouble)
+    val top = df.crossJoin(bins)
+      .groupBy("k")
+      .agg(sqrt(pow(sum(col("detr") * cos(theta)), 2) + pow(sum(col("detr") * sin(theta)), 2)).as("amp"))
+      .orderBy(desc("amp")).limit(1).collect()(0)
+    assert(top.getInt(0) == freq)
+  }
+
+  test("top-K bins returns exactly K per series") {
+    val counts = EventsOps.topBins(spark, sf).groupBy("event_type").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) == EventsOps.TopK))
+  }
+}
+
+class GeneratorsSpec extends SparkSpec {
+  test("z-scored series have mean ~0 and sample std ~1") {
+    val stats = Generators.dataset(spark, "sine", 50, 128)
+      .groupBy("series_id")
+      .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sd"))
+      .agg(max(abs(col("mu"))).as("worst_mu"), max(abs(col("sd") - 1.0)).as("worst_sd"))
+      .collect()(0)
+    assert(stats.getDouble(0) < 1e-6, s"mean drift ${stats.getDouble(0)}")
+    assert(stats.getDouble(1) < 1e-3, s"std drift ${stats.getDouble(1)}")
+  }
+
+  test("labeled generator labels are in 0..3 with all families present") {
+    val labels = Generators.labeled(spark, 200, 16)
+      .select("label").distinct().collect().map(_.getInt(0)).sorted
+    assert(labels.sameElements(Array(0, 1, 2, 3)))
+  }
+
+  test("deterministic PRNG: same key+stream → same value, distinct streams differ") {
+    import graft.functions.DetRand
+    val r = spark.range(100)
+      .select(DetRand.u01(col("id").cast("double"), 0).as("a"),
+        DetRand.u01(col("id").cast("double"), 0).as("b"),
+        DetRand.u01(col("id").cast("double"), 1).as("c"))
+      .agg(sum(when(col("a") === col("b"), 0).otherwise(1)).as("mismatch"),
+        sum(when(col("a") === col("c"), 1).otherwise(0)).as("collide"),
+        avg("a").as("mean")).collect()(0)
+    assert(r.getLong(0) == 0)
+    assert(r.getLong(1) == 0)
+    assert(math.abs(r.getDouble(2) - 0.5) < 0.1)
+  }
+
+  test("white noise is standard-normal-ish") {
+    val m = Generators.whiteNoise(spark, 100, 256)
+      .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sd")).collect()(0)
+    assert(math.abs(m.getDouble(0)) < 0.02)
+    assert(math.abs(m.getDouble(1) - 1.0) < 0.02)
+  }
+}
+
+class DiffusionSpec extends SparkSpec {
+  test("schedule: alpha_cumprod strictly decreasing, prev is lagged with pad 1.0") {
+    val rows = Diffusion.schedule(spark, 100, "cosine")
+      .orderBy("step").select("ac", "ac_prev").collect()
+    assert(rows(0).getDouble(1) == 1.0)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(0) < a.getDouble(0))
+      assert(b.getDouble(1) == a.getDouble(0))
+    }
+  }
+
+  test("q_sample then predict_start recovers x0 (P2 ∘ P3 = id)") {
+    val bad = Diffusion.predictStart(spark)
+      .filter(abs(col("x0_hat") - col("value")) > 1e-8).count()
+    assert(bad == 0)
+  }
+
+  test("iterative sampler matches closed form at T=50") {
+    val it = Diffusion.sampleIterative(spark, 10, 32, 50).withColumnRenamed("value", "vi")
+    val cf = Diffusion.sampleClosedForm(spark, 10, 32, 50).withColumnRenamed("value", "vc")
+    val worst = it.join(cf, Seq("series_id", "t"))
+      .agg(max(abs(col("vi") - col("vc")))).collect()(0).getDouble(0)
+    assert(worst < 1e-5, s"iterative vs closed form drift $worst")
+  }
+
+  test("LOCF imputation: observed rows keep their value") {
+    val bad = Diffusion.maskImputeLocf(spark)
+      .join(Generators.dataset(spark, "sine", 20, 64), Seq("series_id", "t"))
+      .filter(col("observed") && abs(col("imputed") - col("value")) > 1e-9)
+      .count()
+    assert(bad == 0)
+  }
+}
+
+class ReshapeSpec extends SparkSpec {
+  test("patchify ∘ unpatchify = identity") {
+    val original = Generators.dataset(spark, "mixed", 20, 64)
+    val roundtrip = Reshape.roundtrip(spark)
+    assert(roundtrip.count() == original.count())
+    val diff = roundtrip.withColumnRenamed("value", "rt")
+      .join(original, Seq("series_id", "t"))
+      .filter(col("rt") =!= col("value")).count()
+    assert(diff == 0)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  test("exact dedup: identical texts collapse to one canonical id") {
+    import spark.implicits._
+    // synthesize dups inline: 6 docs, 2 groups of identical text + 2 singletons
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c"),
+      (4L, "x y z"), (5L, "x y z"), (6L, "unique text")
+    ).toDF("doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    val out = df.select(col("doc_id"), min(col("doc_id")).over(w).as("canonical_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(2L) == 1L && out(3L) == 1L && out(5L) == 4L && out(6L) == 6L)
+  }
+
+  test("minhash produces 4 band keys per document") {
+    val counts = Dedup.minhashBands(spark, sf).groupBy("doc_id").count()
+      .agg(min("count"), max("count")).collect()(0)
+    assert(counts.getLong(0) == 4 && counts.getLong(1) == 4)
+  }
+
+  test("jaccard pairs are within [0,1] and ordered doc_a < doc_b") {
+    val rows = Dedup.ngramJaccardPairs(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= Dedup.JaccardThreshold && j <= 1.0)
+    }
+  }
+
+  test("simhash fingerprints are 16-bit") {
+    val mm = Dedup.simhash(spark, sf).agg(min("simhash"), max("simhash")).collect()(0)
+    assert(mm.getLong(0) >= 0 && mm.getLong(1) < 65536)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  test("brute-force top-k: k neighbors per query, cosine within [-1,1], self excluded") {
+    val df = Similarity.bruteForceTopK(spark, sf).cache()
+    val perQ = df.groupBy("qid").count().agg(min("count"), max("count")).collect()(0)
+    assert(perQ.getLong(0) == Similarity.TopK && perQ.getLong(1) == Similarity.TopK)
+    assert(df.filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
+    assert(df.filter(col("qid") === col("neighbor_id")).count() == 0)
+    df.unpersist()
+  }
+
+  test("LSH buckets are 8-bit and LSH hits are a subset of brute-force candidates' buckets") {
+    val b = Similarity.buckets(spark, sf).agg(min("bucket"), max("bucket")).collect()(0)
+    assert(b.getLong(0) >= 0 && b.getLong(1) < 256)
+  }
+
+  test("LSH top-1 neighbor shares the query's bucket") {
+    val buckets = Similarity.buckets(spark, sf)
+    val top = Similarity.lshTopK(spark, sf).filter(col("rank") === 1)
+    val joined = top.join(buckets.withColumnRenamed("vec_id", "neighbor_id")
+      .withColumnRenamed("bucket", "nb"), "neighbor_id")
+    assert(joined.filter(col("bucket") =!= col("nb")).count() == 0)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("media feature extraction is deterministic and shuffle-free on payloads") {
+    val a = Multimodal.extractFeatures(spark).collect().sortBy(_.getLong(0))
+    val b = Multimodal.extractFeatures(spark).collect().sortBy(_.getLong(0))
+    assert(a.length == 64)
+    assert(a.zip(b).forall { case (x, y) => x == y })
+  }
+
+  test("frame sampling yields strided frames for video rows only") {
+    val frames = Multimodal.frameSample(spark).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getLong(0) % 3 == 2)) // only video ids
+    assert(frames.forall(_.getInt(1) % 4 == 0))  // stride 4
+  }
+}

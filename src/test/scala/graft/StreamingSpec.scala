@@ -1,0 +1,55 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+
+  private def mkEvents: Seq[Ev] = {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    (0 until 500).map { i =>
+      Ev(i, new Timestamp(base + i.toLong * 97 * 1000), i % 7,
+        Seq("click", "view", "purchase")(i % 3), (i % 100) / 10.0)
+    }
+  }
+
+  test("streaming tumbling aggregate equals the batch plan on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents
+
+    val stream = MemoryStream[Ev]
+    val query = StreamingOps.tumblingCounts(stream.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    stream.addData(events)
+    query.processAllAvailable()
+    query.stop()
+
+    // round the double sum: streaming's incremental state accumulates in a
+    // different order than the batch hash-agg
+    val streamed = spark.table("tumbling_out")
+      .select(col("ws"), col("event_type"), col("n_events"), round(col("sum_value"), 6))
+      .collect().map(_.toSeq).toSet
+    val batch = StreamingOps.tumblingCounts(events.toDF())
+      .select(col("ws"), col("event_type"), col("n_events"), round(col("sum_value"), 6))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("session windows merge events within the 30-minute gap") {
+    import spark.implicits._
+    val out = StreamingOps.sessionCounts(mkEvents.toDF())
+    // events are 97s apart per user (7 users → 679s gaps per user < 30 min):
+    // every user collapses into a single session holding all their events
+    val perUser = out.groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+      sum("n_events").as("total"))
+    assert(perUser.filter(col("n_sessions") =!= 1).count() == 0)
+    assert(perUser.agg(sum("total")).collect()(0).getLong(0) == 500)
+  }
+}
