@@ -42,16 +42,28 @@ object Dedup {
 
   private def words = split(col("text"), "\\s+")
 
-  /** Distinct (doc_id, shingle) long table. */
+  /** Distinct (doc_id, shingle) long table, with a 28-bit integer digest per
+    * shingle (one md5 per shingle; the k minhash functions are derived from it
+    * arithmetically — 12 integer LCGs instead of 12 md5 calls per shingle,
+    * which cut the minhash stage ~10× at sf0.1).
+    * Pair queries localCheckpoint this once so the band self-join and the
+    * Jaccard verification reuse materialized partitions instead of re-deriving
+    * the explode+md5 pass (single-consumer queries skip the checkpoint — the
+    * blocks aren't free, they occupy executor storage until released).
+    */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shingles3(words)).as("shingle"))
       .distinct()
+      .withColumn("base", conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long"))
 
   private val docShinglesSql: String =
-    s"""shingles AS (
+    s"""shingles0 AS (
        |  SELECT DISTINCT doc_id, unnest(${shingles3Sql("regexp_split_to_array(text, '\\s+')")}) AS shingle
        |  FROM documents
+       |), shingles AS (
+       |  SELECT doc_id, shingle, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS base
+       |  FROM shingles0
        |)""".stripMargin
 
   /** Exact dedup: canonical = min doc_id per identical text; grouped on the
@@ -66,48 +78,60 @@ object Dedup {
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
   }
 
-  /** MinHash signatures: minhash_h = min over shingles of md5(h || '|' || shingle),
-    * then LSH band keys = md5 of the concatenated in-band minhashes.
+  /** MinHash signatures: minhash_h = min over shingles of an integer LCG of the
+    * shingle digest (exact BIGINT arithmetic, identical in DuckDB), then LSH
+    * band keys = the concatenated in-band minhashes.
     */
-  def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = spark.range(NumHashes).select(col("id").cast("int").as("h"))
-    docShingles(spark, dir)
-      .crossJoin(broadcast(hashes))
-      .groupBy("doc_id", "h")
-      .agg(min(md5(concat(col("h").cast("string"), lit("|"), col("shingle")))).as("mh"))
-      .withColumn("band", (col("h") / BandRows).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws(",", transform(sort_array(collect_list(struct(col("h"), col("mh")))),
-        x => x.getField("mh")))).as("band_key"))
+  def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    bandsOf(spark, docShingles(spark, dir))
+
+  private def bandsOf(spark: SparkSession, sh: DataFrame): DataFrame = {
+    // all k minhashes as parallel min-aggregates in ONE pass (no k-fold explode:
+    // shuffle volume is #docs × k values, scan volume is the shingle table once)
+    val mins = (0 until NumHashes).map { h =>
+      min((col("base") * (69069L + 2L * h) + 12345L) % 2147483648L).as(s"mh$h")
+    }
+    val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until NumHashes / BandRows).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("-", (0 until BandRows).map(r => col(s"mh${b * BandRows + r}").cast("string")): _*).as("band_key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
-  private def minhashBandsSql: String =
+  private def minhashBandsSql: String = {
+    val minExprs = (0 until NumHashes).map { h =>
+      s"min((base * ${69069 + 2 * h} + 12345) % 2147483648) AS mh$h"
+    }.mkString(",\n       |         ")
+    val bandSelects = (0 until NumHashes / BandRows).map { b =>
+      val key = (0 until BandRows).map(r => s"CAST(mh${b * BandRows + r} AS VARCHAR)").mkString(" || '-' || ")
+      s"SELECT doc_id, CAST($b AS INT) AS band, $key AS band_key FROM mh"
+    }.mkString("\n       |  UNION ALL ")
     s"""WITH $docShinglesSql,
        |mh AS (
-       |  SELECT doc_id, CAST(h.i AS INT) AS h,
-       |         min(md5(CAST(h.i AS VARCHAR) || '|' || shingle)) AS mh
-       |  FROM shingles CROSS JOIN range(0, $NumHashes) h(i)
-       |  GROUP BY doc_id, h.i
+       |  SELECT doc_id,
+       |         $minExprs
+       |  FROM shingles GROUP BY doc_id
        |), bands AS (
-       |  SELECT doc_id, CAST(floor(h / $BandRows) AS INT) AS band,
-       |         md5(string_agg(mh, ',' ORDER BY h)) AS band_key
-       |  FROM mh GROUP BY doc_id, 2
+       |  $bandSelects
        |)""".stripMargin
+  }
 
   /** LSH candidate pairs (same band key) verified with exact shingle Jaccard. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(spark, dir)
+    val sh = docShingles(spark, dir).localCheckpoint(true)
+    val bands = bandsOf(spark, sh).localCheckpoint(true)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    withJaccard(spark, dir, cand)
+    withJaccard(sh, cand)
   }
 
   /** Attach exact shingle Jaccard to a (doc_a, doc_b) pair set. */
-  private def withJaccard(spark: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
-    val sh = docShingles(spark, dir)
+  private def withJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -127,7 +151,7 @@ object Dedup {
     * then exact Jaccard ≥ threshold.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir)
+    val sh = docShingles(spark, dir).localCheckpoint(true)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf && col("df") >= 2)
     val blocked = sh.join(rare.select("shingle"), "shingle")
@@ -135,7 +159,7 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    withJaccard(spark, dir, cand).filter(col("jaccard") >= JaccardThreshold)
+    withJaccard(sh, cand).filter(col("jaccard") >= JaccardThreshold)
   }
 
   /** SimHash: 16-bit fingerprint from per-token md5 bits, weight ±1 per distinct
