@@ -5,15 +5,17 @@ import org.apache.spark.sql.SparkSession
 /** Dev-only scratchpad for driving entry points interactively via sbt. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.entry(spark)
-    println("ENTRY ROWS: " + df.count())
-    df.show(5, false)
+    val d = "/root/testdata/sf0.01"
+    for (q <- Seq("tpch_q3", "tpch_q6", "ann_bruteforce_topk", "ts_decompose")) {
+      println(s"######## $q")
+      SparkEntry.queries(q)(spark, d).explain("formatted")
+    }
     spark.stop()
   }
 }

@@ -22,7 +22,9 @@ object SparkEntry {
       (TextOps.queries, TextOps.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
-      (Relational.queries, Relational.oracles)
+      (Relational.queries, Relational.oracles),
+      (Pipeline.queries, Pipeline.oracles),
+      (Multimodal.queries, Multimodal.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
 object Metrics {
   private val L = Diffusion.L
 
-  /** (series_id, t, step, target=value, pred=xt). */
+  /** (series_id, t, step, target=value, pred=xt) — also the input surface for
+    * Pipeline's pluggable-loss queries (U3).
+    */
+  def lossInput(spark: SparkSession): DataFrame = predTarget(spark)
+  def lossInputSql: String = predTargetSql
+
   private def predTarget(spark: SparkSession): DataFrame =
     Diffusion.qSample(spark).select(
       col("series_id"), col("t"), col("step"),
