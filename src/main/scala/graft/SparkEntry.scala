@@ -24,7 +24,8 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracles),
       (Relational.queries, Relational.oracles),
       (Pipeline.queries, Pipeline.oracles),
-      (Multimodal.queries, Multimodal.oracles)
+      (Multimodal.queries, Multimodal.oracles),
+      (TrendFit.queries, TrendFit.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
