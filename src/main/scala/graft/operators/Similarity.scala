@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.{DetRand => R}
 import graft.functions.Num._
+import graft.plans.VectorFunctions.cosine_sim
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,9 +12,11 @@ import org.apache.spark.sql.functions._
   * §7.5; north-star similarity ops).
   *
   * Two paths:
-  *  - brute force: query set × corpus cosine via sequential array folds
-  *    (`zip_with` + `aggregate` — codegen'd, deterministic accumulation order),
-  *    windowed top-k. The correctness baseline.
+  *  - brute force: query set × corpus cosine via the native codegen'd
+  *    [[graft.plans.CosineSimilarity]] expression (fused dot+norms loop inside
+  *    WholeStageCodegen; the interpreted `zip_with`+`aggregate` fold it
+  *    replaced computes the same doubles), windowed top-k. The correctness
+  *    baseline.
   *  - LSH: 8 deterministic random hyperplanes (LCG weights) → 8-bit sign bucket
   *    per vector → candidates only within the same bucket. The scale path: the
   *    join key is a 1-byte bucket, candidate volume drops ~2^8 for isotropic
@@ -47,7 +50,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", r6(dot(col("qv"), col("v")) / (col("qn") * col("norm"))))
+      .withColumn("cos", r6(cosine_sim(col("qv"), col("v"))))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
@@ -78,7 +81,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"), col("bucket"))
     val scored = e.join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", r6(dot(col("qv"), col("v")) / (col("qn") * col("norm"))))
+      .withColumn("cos", r6(cosine_sim(col("qv"), col("v"))))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("bucket"), col("rank"), col("cos"))

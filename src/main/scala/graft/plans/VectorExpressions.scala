@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for fused cosine similarity over two
+  * ARRAY<DOUBLE> columns (SURVEY.md §7.3 escalation path (b): a custom
+  * `Expression` with codegen, preferred over the interpreted higher-order
+  * `zip_with`+`aggregate` chain for the ANN hot loop — one pass computes
+  * dot, |a|², |b|² together and stays inside WholeStageCodegen).
+  *
+  * Accumulation order matches the sequential array fold the composed form
+  * uses, so results are bit-compatible with the DuckDB oracle's formulation
+  * after Num.r6 rounding.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column wrapper: fused cosine similarity of two ARRAY<DOUBLE> columns. */
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+}
