@@ -42,6 +42,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("foreachBatch runs a periodic side-effect per micro-batch (I5)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val batchCounts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = stream.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchCounts.add(df.count()) // stand-in for the reference's every-10-epochs visualization hook
+        ()
+      }.start()
+    for (chunk <- mkEvents.grouped(200)) {
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val counts = batchCounts.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(counts.sum == 500 && counts.length >= 3)
+  }
+
   test("session windows merge events within the 30-minute gap") {
     import spark.implicits._
     val out = StreamingOps.sessionCounts(mkEvents.toDF())
