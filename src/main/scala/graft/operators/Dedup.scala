@@ -28,6 +28,7 @@ object Dedup {
   val NumHashes = 12
   val BandRows = 3 // → 4 bands
   val MaxShingleDf = 50
+  val MinSharedRare = 2 // candidate prefilter: ≥2 shared rare shingles
   val JaccardThreshold = 0.1
 
   /** Word 3-gram shingles of a tokenized text, as an array column. */
@@ -148,17 +149,22 @@ object Dedup {
   }
 
   /** N-gram Jaccard near-dup: block on shared rare shingles (df ≤ MaxShingleDf),
-    * then exact Jaccard ≥ threshold.
+    * require ≥ MinSharedRare shared rare shingles (the groupBy count doubles as
+    * the candidate dedup — no separate DISTINCT pass), then exact Jaccard ≥
+    * threshold over the full shingle sets.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(spark, dir).localCheckpoint(true)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf && col("df") >= 2)
     val blocked = sh.join(rare.select("shingle"), "shingle")
+      .select("doc_id", "shingle").localCheckpoint(true)
     val cand = blocked.as("a").join(blocked.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_rare_shared"))
+      .filter(col("n_rare_shared") >= MinSharedRare)
+      .select("doc_a", "doc_b")
     withJaccard(sh, cand).filter(col("jaccard") >= JaccardThreshold)
   }
 
@@ -249,8 +255,9 @@ object Dedup {
          |), blocked AS (
          |  SELECT s.doc_id, s.shingle FROM shingles s JOIN rare r ON s.shingle = r.shingle
          |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM blocked a JOIN blocked b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinSharedRare
          |)${jaccardSql("cand")}
          | SELECT doc_a, doc_b, jaccard FROM jac
          | WHERE jaccard >= ${sqlD(JaccardThreshold)}
