@@ -87,6 +87,69 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("bucket"), col("rank"), col("cos"))
   }
 
+  // ---- IVF: learned coarse quantizer (Lloyd's k-means) + bucket search ----
+
+  val KMeansK = 16
+  val KMeansIters = 3
+
+  import graft.plans.VectorFunctions.l2_sq
+
+  /** Nearest-centroid assignment; distances rounded before the argmin with a
+    * deterministic (dist, c) tiebreak so both engines pick identical clusters.
+    */
+  private def assign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy("dist", "c")
+    e.crossJoin(broadcast(cent))
+      .withColumn("dist", r6(l2_sq(col("v"), col("w"))))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "c")
+  }
+
+  private def toArrayForm(flatCent: DataFrame): DataFrame =
+    flatCent.groupBy("c")
+      .agg(transform(sort_array(collect_list(struct(col("d"), col("w")))),
+        x => x.getField("w")).as("w"))
+
+  /** 3 unrolled Lloyd iterations, k=16, initialized from the first k vectors.
+    * Updated centroid coordinates are r6-rounded each iteration — the same
+    * round-before-reuse rule as the DFT bins — so the oracle's arbitrary-order
+    * averages agree with Spark's and every assignment matches.
+    */
+  def kmeansCentroidsFlat(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "v").localCheckpoint(true)
+    val flat = e.select(col("vec_id"), posexplode(col("v")))
+      .withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
+      .localCheckpoint(true)
+    var centFlat = e.filter(col("vec_id") < KMeansK)
+      .select(col("vec_id").cast("int").as("c"), posexplode(col("v")))
+      .withColumnRenamed("pos", "d").withColumnRenamed("col", "w")
+    for (_ <- 1 to KMeansIters) {
+      val asg = assign(e, toArrayForm(centFlat))
+      centFlat = asg.join(flat, "vec_id")
+        .groupBy("c", "d").agg(r6(avg(col("x"))).as("w"))
+        .localCheckpoint(true)
+    }
+    centFlat
+  }
+
+  /** IVF search: probe the query's own bucket (nprobe = 1) and rank by fused
+    * cosine. The learned-coarse-quantizer twin of [[lshTopK]].
+    */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "v").localCheckpoint(true)
+    val buckets = assign(e, toArrayForm(kmeansCentroidsFlat(spark, dir)))
+    val eb = e.join(buckets, "vec_id")
+    val q = eb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("c"))
+    val scored = eb.join(broadcast(q), "c")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", r6(cosine_sim(col("qv"), col("v"))))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("c").as("bucket"),
+        col("rank"), col("cos"))
+  }
+
   /** Per-label centroid + per-vector distance-to-centroid — the IVF building
     * block (label stands in for a coarse cluster id at test scale).
     */
@@ -144,11 +207,34 @@ object Similarity {
        |WHERE rn <= $TopK ORDER BY qid, rank""".stripMargin
   }
 
+  /** k-means iteration chain as CTEs: cent0 … cent$iters, asg(i) per step. */
+  private def kmeansSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""dist$i AS (
+         |  SELECT f.vec_id, c.c, ${sqlR6("sum(pow(f.x - c.w, 2))")} AS dist
+         |  FROM flat f JOIN cent${i - 1} c ON f.d = c.d GROUP BY f.vec_id, c.c
+         |), asg$i AS (
+         |  SELECT vec_id, c FROM (
+         |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM dist$i)
+         |  WHERE rn = 1
+         |), cent$i AS (
+         |  SELECT a.c, f.d, ${sqlR6("avg(f.x)")} AS w
+         |  FROM asg$i a JOIN flat f ON a.vec_id = f.vec_id GROUP BY a.c, f.d
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""cent0 AS (
+       |  SELECT CAST(vec_id AS INT) AS c, d, x AS w FROM flat WHERE vec_id < $KMeansK
+       |),
+       |$steps""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> ((s, d) => bruteForceTopK(s, d).orderBy("qid", "rank")),
     "ann_lsh_topk" -> ((s, d) => lshTopK(s, d).orderBy("qid", "rank")),
     "ann_lsh_buckets" -> ((s, d) => buckets(s, d).orderBy("vec_id")),
-    "ann_centroid_dist" -> ((s, d) => centroidDistance(s, d).orderBy("vec_id"))
+    "ann_centroid_dist" -> ((s, d) => centroidDistance(s, d).orderBy("vec_id")),
+    "ann_ivf_centroids" -> ((s, d) => kmeansCentroidsFlat(s, d).orderBy("c", "d")),
+    "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d).orderBy("qid", "rank"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -174,6 +260,35 @@ object Similarity {
          |)
          |SELECT f.vec_id, f.label, ${sqlR6("sqrt(sum(pow(f.x - c.c, 2)))")} AS dist_to_centroid
          |FROM flat f JOIN centroids c ON f.label = c.label AND f.d = c.d
-         |GROUP BY f.vec_id, f.label ORDER BY f.vec_id""".stripMargin
+         |GROUP BY f.vec_id, f.label ORDER BY f.vec_id""".stripMargin,
+    "ann_ivf_centroids" ->
+      s"""WITH $flatSql,
+         |${kmeansSql(KMeansIters)}
+         |SELECT c, d, w FROM cent$KMeansIters ORDER BY c, d""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH $flatSql,
+         |${kmeansSql(KMeansIters)},
+         |bdist AS (
+         |  SELECT f.vec_id, c.c, ${sqlR6("sum(pow(f.x - c.w, 2))")} AS dist
+         |  FROM flat f JOIN cent$KMeansIters c ON f.d = c.d GROUP BY f.vec_id, c.c
+         |), bkt AS (
+         |  SELECT vec_id, c FROM (
+         |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM bdist)
+         |  WHERE rn = 1
+         |), dots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vid, ba.c AS bucket, sum(a.x * b.x) AS dot
+         |  FROM flat a
+         |  JOIN bkt ba ON ba.vec_id = a.vec_id
+         |  JOIN bkt bb ON bb.c = ba.c
+         |  JOIN flat b ON b.vec_id = bb.vec_id AND b.d = a.d
+         |  WHERE a.vec_id < $NumQueries AND a.vec_id <> b.vec_id
+         |  GROUP BY ALL
+         |), cosv AS (
+         |  SELECT qid, vid, bucket, ${sqlR6("dot / (na.nrm * nb.nrm)")} AS cos
+         |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = vid
+         |)
+         |SELECT qid, vid AS neighbor_id, bucket, CAST(rn AS INT) AS rank, cos
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn FROM cosv)
+         |WHERE rn <= $TopK ORDER BY qid, rank""".stripMargin
   )
 }

@@ -61,8 +61,55 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused squared-L2 distance over two ARRAY<DOUBLE> columns — the k-means /
+  * IVF assignment kernel (single codegen'd loop).
+  */
+case class L2SqDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column wrapper: fused cosine similarity of two ARRAY<DOUBLE> columns. */
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column wrapper: fused squared L2 distance of two ARRAY<DOUBLE> columns. */
+  def l2_sq(a: Column, b: Column): Column =
+    Bridge.column(L2SqDistance(Bridge.expression(a), Bridge.expression(b)))
 }
