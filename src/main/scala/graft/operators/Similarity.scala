@@ -22,11 +22,14 @@ import org.apache.spark.sql.functions._
   *    join key is a 1-byte bucket, candidate volume drops ~2^8 for isotropic
   *    data, and bucketing is one narrow pass + a bucket-key shuffle.
   *
+  *  - IVF: a learned coarse quantizer (3 Lloyd iterations, k=16) assigns every
+  *    vector to its nearest centroid; search probes only the query's bucket.
+  *
   * Scale: the query subset broadcasts; at 100 TB the corpus side stays
   * partitioned and each partition scans once per batch of queries (a
-  * broadcast-nested-loop with array folds — the same shape GPU ANN services use
-  * for the re-rank stage). IVF with learned centroids is the next refinement;
-  * the bucket plumbing here is identical (bucket = nearest-centroid id).
+  * broadcast-nested-loop with fused vector kernels — the same shape ANN
+  * services use for the re-rank stage). LSH and IVF share the bucket plumbing;
+  * the bucket key is what changes (hyperplane signs vs nearest-centroid id).
   */
 object Similarity {
   val TopK = 10
@@ -38,16 +41,12 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Brute-force cosine top-k for the query subset. */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", r6(cosine_sim(col("qv"), col("v"))))
@@ -65,7 +64,7 @@ object Similarity {
   /** Sign-bucket per vector: bucket = Σ_h [v·w_h > 0]·2^h. */
   def buckets(spark: SparkSession, dir: String): DataFrame = {
     val flat = emb(spark, dir)
-      .select(col("vec_id"), col("label"), col("norm"), posexplode(col("v")))
+      .select(col("vec_id"), col("label"), posexplode(col("v")))
       .withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
     flat.join(broadcast(hyperplanes(spark)), "d")
       .groupBy("vec_id", "h")
@@ -78,7 +77,7 @@ object Similarity {
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).join(buckets(spark, dir), "vec_id")
     val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
     val scored = e.join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", r6(cosine_sim(col("qv"), col("v"))))
