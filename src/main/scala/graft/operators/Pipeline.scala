@@ -30,10 +30,17 @@ object Pipeline {
       beta_schedule: String = "linear",
       loss_type: String = "mse")
 
-  /** G12: JSON config file → case class via the Spark JSON source. */
+  /** G12: JSON config file → case class via the Spark JSON source.
+    * multiLine: config files are pretty-printed objects (config.json:1-23),
+    * not line-delimited JSON.
+    */
   def loadConfig(spark: SparkSession, path: String): GraftConfig = {
     import spark.implicits._
-    spark.read.json(path).as[GraftConfig].collect()(0)
+    val enc = implicitly[org.apache.spark.sql.Encoder[GraftConfig]]
+    // explicit schema: JSON inference types every number BIGINT, which won't
+    // down-cast into the case class's Int fields
+    spark.read.option("multiLine", true).schema(enc.schema).json(path)
+      .as[GraftConfig].collect()(0)
   }
 
   /** U3: pluggable loss registry — a named (pred, target) => aggregate Column. */
