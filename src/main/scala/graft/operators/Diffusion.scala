@@ -126,6 +126,38 @@ object Diffusion {
         r6((col("p_total") * col("x_init") + col("zsum")) / col("sqrt_ac0")).as("value"))
   }
 
+  /** I2: intermediate states of the reverse diffusion at strided capture steps
+    * (visualize_diffusion_process semantics, utils/visualisation.py:74-76 +
+    * W10 stride), via the same closed-form collapse: the state after applying
+    * step τ is A(τ) = (P_{T-1}·x_init + Σ_{t≥τ} P_{t-1}·sv_t·z_t) / P_{τ-1},
+    * so one cumulative window over the (cell × step) noise table yields every
+    * capture at once — no sequential re-execution per snapshot. Noise keys
+    * match [[sampleClosedForm]], so trajectories are consistent with the final
+    * sample.
+    */
+  def sampleTrajectory(spark: SparkSession, n: Long = 20, seqLen: Int = L,
+                       timesteps: Int = T,
+                       captures: Seq[Int] = Seq(1, 100, 200, 300, 400)): DataFrame = {
+    val coefs = stepCoefs(spark, timesteps)
+    val lastP = coefs.orderBy(desc("step")).limit(1).select(col("p_cum").as("p_total"))
+    val cells = Generators.grid(spark, n, seqLen)
+      .withColumn("x_init", R.gauss(col("series_id").cast("double") * seqLen + col("t"), 0))
+    val zKey = (col("series_id").cast("double") * seqLen + col("t")) * timesteps + col("step")
+    val wCum = Window.partitionBy("series_id", "t").orderBy("step")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("series_id", "t")
+    cells
+      .crossJoin(broadcast(coefs.select("step", "p_prev", "sv")))
+      .withColumn("zc", col("p_prev") * col("sv") * R.gauss(zKey, 14))
+      .withColumn("cum", sum(col("zc")).over(wCum))
+      .withColumn("total", sum(col("zc")).over(wAll))
+      .filter(col("step").isin(captures: _*))
+      .crossJoin(broadcast(lastP))
+      .select(col("series_id"), col("t"), col("step"),
+        r6((col("p_total") * col("x_init") + col("total") - (col("cum") - col("zc"))) / col("p_prev"))
+          .as("value"))
+  }
+
   /** I1 literal: sequential reverse loop with driver-collected scalar schedule,
     * `localCheckpoint` every 25 steps to cut lineage (SURVEY §7.6.3). Same noise
     * keying as the closed form, so both agree to fp tolerance — the closed-form
@@ -300,6 +332,43 @@ object Diffusion {
        |ORDER BY series_id, t""".stripMargin
   }
 
+  /** Trajectory SQL twin: same cumulative-window collapse. */
+  def sampleTrajectorySql(n: Long, seqLen: Int, timesteps: Int, captures: Seq[Int]): String = {
+    val zKey = s"(($sd * $seqLen + t) * $timesteps + step)"
+    s"""WITH ${schedSql(timesteps, "linear")},
+       |coefs AS (
+       |  SELECT step,
+       |         (sqrt(alpha) * (1.0e0 - ac_prev) + sqrt(ac_prev) * (1.0e0 - alpha) / sqrt(ac)) / (1.0e0 - ac) AS g,
+       |         sqrt(posterior_var) AS sv
+       |  FROM sched WHERE step >= 1
+       |), coefs2 AS (
+       |  SELECT step, sv,
+       |         exp(coalesce(sum(ln(g)) OVER (ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0e0)) AS p_prev,
+       |         exp(sum(ln(g)) OVER (ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_cum
+       |  FROM coefs
+       |), ptotal AS (
+       |  SELECT p_cum AS p_total FROM coefs2 ORDER BY step DESC LIMIT 1
+       |), cells AS (
+       |  SELECT CAST(s.i AS BIGINT) AS series_id, CAST(g.j AS INT) AS t,
+       |         ${R.sqlGauss(s"(CAST(s.i AS DOUBLE) * $seqLen + g.j)", 0)} AS x_init
+       |  FROM range(0, $n) s(i) CROSS JOIN range(0, $seqLen) g(j)
+       |), zc_t AS (
+       |  SELECT c.series_id, c.t, c.x_init, k.step, k.p_prev,
+       |         k.p_prev * k.sv * (${R.sqlGauss(zKey, 14)}) AS zc
+       |  FROM cells c CROSS JOIN coefs2 k
+       |), cum_t AS (
+       |  SELECT *,
+       |         sum(zc) OVER (PARTITION BY series_id, t ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |         sum(zc) OVER (PARTITION BY series_id, t) AS total
+       |  FROM zc_t
+       |)
+       |SELECT c.series_id, c.t, c.step,
+       |       ${sqlR6("(p.p_total * c.x_init + c.total - (c.cum - c.zc)) / c.p_prev")} AS value
+       |FROM cum_t c CROSS JOIN ptotal p
+       |WHERE c.step IN (${captures.mkString(", ")})
+       |ORDER BY series_id, t, step""".stripMargin
+  }
+
   private def maskBaseSql: String =
     s"""WITH ds AS (${Generators.datasetSqlCore("sine", 20, L)}),
        |m AS (
@@ -366,6 +435,7 @@ object Diffusion {
       .select(col("series_id"), col("t"), col("step"), r6(col("x_prev")).as("x_prev"))
       .orderBy("series_id", "t")),
     "diff_sample_closedform" -> ((s, _) => sampleClosedForm(s).orderBy("series_id", "t")),
+    "diff_sample_trajectory" -> ((s, _) => sampleTrajectory(s).orderBy("series_id", "t", "step")),
     "diff_sample_iterative" -> ((s, _) => sampleIterative(s).orderBy("series_id", "t")),
     "mask_impute_locf" -> ((s, _) => maskImputeLocf(s).orderBy("series_id", "t")),
     "mask_patch_any" -> ((s, _) => maskPatchAny(s).orderBy("series_id", "patch_id")),
@@ -380,6 +450,7 @@ object Diffusion {
     "diff_predict_start" -> predictStartOracle,
     "diff_psample_step" -> pSampleStepOracle,
     "diff_sample_closedform" -> sampleClosedFormSql(20, L, T),
+    "diff_sample_trajectory" -> sampleTrajectorySql(20, L, T, Seq(1, 100, 200, 300, 400)),
     "diff_sample_iterative" -> sampleClosedFormSql(20, L, 100),
     "mask_impute_locf" -> maskImputeLocfOracle,
     "mask_patch_any" -> maskPatchAnyOracle,
