@@ -20,7 +20,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // release blocks pinned by intra-query localCheckpoints so storage
       // pressure from one query can't tax the next
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

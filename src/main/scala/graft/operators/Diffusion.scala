@@ -164,7 +164,7 @@ object Diffusion {
     * SQL is its oracle.
     */
   def sampleIterative(spark: SparkSession, n: Long = 20, seqLen: Int = L,
-                      timesteps: Int = 100): DataFrame = {
+                      timesteps: Int = 50): DataFrame = {
     val sc = stepCoefs(spark, timesteps)
       .select("step", "g", "sv").collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
@@ -451,7 +451,7 @@ object Diffusion {
     "diff_psample_step" -> pSampleStepOracle,
     "diff_sample_closedform" -> sampleClosedFormSql(20, L, T),
     "diff_sample_trajectory" -> sampleTrajectorySql(20, L, T, Seq(1, 100, 200, 300, 400)),
-    "diff_sample_iterative" -> sampleClosedFormSql(20, L, 100),
+    "diff_sample_iterative" -> sampleClosedFormSql(20, L, 50),
     "mask_impute_locf" -> maskImputeLocfOracle,
     "mask_patch_any" -> maskPatchAnyOracle,
     "class_embed_lookup" -> classEmbedOracle,
