@@ -29,21 +29,25 @@ object EventsOps {
   val HalfWin = 8   // centered moving-average half-window (W8-lite trend)
   val MaxFreq = 64  // cap on scanned DFT bins — bounds the explode fan-out (§7.6.1)
 
-  /** Per-series long view: (event_type, t, value, n). */
-  def series(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+  /** Per-series long view: (<key>, t, value, n). The series key defaults to
+    * event_type (5 coarse series at test scale); `key = "user_id"` yields
+    * sf-scaling cardinality (15 → 1500 series across sf0.001 → sf0.1), which is
+    * the partition-parallel shape this operator has at production scale.
+    */
+  def series(spark: SparkSession, dir: String, key: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy("ts", "event_id")
     Tables.events(spark, dir)
-      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .select(col(key), col("ts"), col("event_id"), col("value"))
       .withColumn("t", (row_number().over(w) - 1).cast("int"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(key)))
       .drop("ts", "event_id")
   }
 
   /** value + centered-moving-average trend + detrended remainder. */
-  def trended(spark: SparkSession, dir: String): DataFrame = {
-    val wt = Window.partitionBy("event_type").orderBy("t")
+  def trended(spark: SparkSession, dir: String, key: String = "event_type"): DataFrame = {
+    val wt = Window.partitionBy(key).orderBy("t")
       .rowsBetween(-HalfWin, HalfWin)
-    series(spark, dir)
+    series(spark, dir, key)
       .withColumn("trend", avg("value").over(wt))
       .withColumn("detr", col("value") - col("trend"))
   }
@@ -52,15 +56,15 @@ object EventsOps {
     * re/im rounded to 6dp before anything ranks or reconstructs from them, so the
     * DuckDB oracle sees identical inputs (SURVEY.md §7.6.2).
     */
-  def spectrum(spark: SparkSession, dir: String): DataFrame = {
-    val tr = trended(spark, dir)
-    val freqs = tr.select("event_type", "n").distinct()
+  def spectrum(spark: SparkSession, dir: String, key: String = "event_type"): DataFrame = {
+    val tr = trended(spark, dir, key)
+    val freqs = tr.select(key, "n").distinct()
       .withColumn("k", explode(sequence(lit(1),
         least(lit(MaxFreq), (ceil(col("n") / 2) - 1).cast("int")))))
-      .select("event_type", "k")
+      .select(key, "k")
     val theta = lit(2.0 * math.Pi) * col("k") * col("t") / col("n")
-    tr.join(freqs, "event_type")
-      .groupBy(col("event_type"), col("k"))
+    tr.join(freqs, key)
+      .groupBy(col(key), col("k"))
       .agg(
         r6(sum(col("detr") * cos(theta))).as("re"),
         r6(-sum(col("detr") * sin(theta))).as("im"),
@@ -69,30 +73,31 @@ object EventsOps {
   }
 
   /** Top-K strongest bins per series (W3); deterministic tiebreak on k. */
-  def topBins(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy(desc("amplitude"), asc("k"))
-    spectrum(spark, dir)
+  def topBins(spark: SparkSession, dir: String, k: Int = TopK,
+              key: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(desc("amplitude"), asc("k"))
+    spectrum(spark, dir, key)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")
   }
 
-  /** Flagship decompose: (event_type, t, value, trend, seasonality, residual). */
-  def decompose(spark: SparkSession, dir: String): DataFrame = {
-    val tr = trended(spark, dir)
-    val top = topBins(spark, dir).select("event_type", "k", "re", "im")
+  /** Flagship decompose: (<key>, t, value, trend, seasonality, residual). */
+  def decompose(spark: SparkSession, dir: String, key: String = "event_type"): DataFrame = {
+    val tr = trended(spark, dir, key)
+    val top = topBins(spark, dir, TopK, key).select(key, "k", "re", "im")
     val theta = lit(2.0 * math.Pi) * col("k") * col("t") / col("n")
     // inverse rDFT over the kept bins only: each (series,t) row joins K=4 bins
-    val seas = tr.select("event_type", "t", "n").join(broadcast(top), "event_type")
-      .groupBy(col("event_type"), col("t"))
+    val seas = tr.select(key, "t", "n").join(broadcast(top), key)
+      .groupBy(col(key), col("t"))
       .agg(r6(sum((lit(2.0) / col("n")) * (col("re") * cos(theta) - col("im") * sin(theta)))).as("seasonality"))
-    tr.join(seas, Seq("event_type", "t"))
-      .select(col("event_type"), col("t"),
+    tr.join(seas, Seq(key, "t"))
+      .select(col(key), col("t"),
         r6(col("value")).as("value"),
         r6(col("trend")).as("trend"),
         col("seasonality"),
         r6(col("value") - col("trend") - col("seasonality")).as("residual"))
-      .orderBy("event_type", "t")
+      .orderBy(key, "t")
   }
 
   /** Per-series reconstruction MSE of value vs trend+seasonality (A3 over W9). */
@@ -120,34 +125,37 @@ object EventsOps {
 
   // ---- DuckDB oracle twins ----
 
-  private def seriesSql: String =
-    """WITH series AS (
-      |  SELECT event_type, value,
-      |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS INT) AS t,
-      |         count(*) OVER (PARTITION BY event_type) AS n
+  private def seriesSql: String = seriesSqlK("event_type")
+  private def seriesSqlK(key: String): String =
+    s"""WITH series AS (
+      |  SELECT $key, value,
+      |         CAST(row_number() OVER (PARTITION BY $key ORDER BY ts, event_id) - 1 AS INT) AS t,
+      |         count(*) OVER (PARTITION BY $key) AS n
       |  FROM events
       |)""".stripMargin
 
-  private def trendedSql: String = seriesSql +
-    """, trended AS (
-      |  SELECT *, avg(value) OVER (PARTITION BY event_type ORDER BY t ROWS BETWEEN 8 PRECEDING AND 8 FOLLOWING) AS trend
+  private def trendedSql: String = trendedSqlK("event_type")
+  private def trendedSqlK(key: String): String = seriesSqlK(key) +
+    s""", trended AS (
+      |  SELECT *, avg(value) OVER (PARTITION BY $key ORDER BY t ROWS BETWEEN 8 PRECEDING AND 8 FOLLOWING) AS trend
       |  FROM series
       |), detr_t AS (
       |  SELECT *, value - trend AS detr FROM trended
       |)""".stripMargin
 
-  private def spectrumSql: String = trendedSql +
+  private def spectrumSql: String = spectrumSqlK("event_type")
+  private def spectrumSqlK(key: String): String = trendedSqlK(key) +
     s""", freqs AS (
-       |  SELECT event_type, CAST(g.k AS INT) AS k
-       |  FROM (SELECT DISTINCT event_type, n FROM series) s,
+       |  SELECT $key, CAST(g.k AS INT) AS k
+       |  FROM (SELECT DISTINCT $key, n FROM series) s,
        |       LATERAL (SELECT unnest(generate_series(1, CAST(least($MaxFreq, CAST(ceil(n/2.0e0) AS BIGINT) - 1) AS BIGINT))) AS k) g
        |), spectrum AS (
-       |  SELECT d.event_type, f.k,
+       |  SELECT d.$key, f.k,
        |         ${sqlR6(s"sum(d.detr * cos(${sqlD(2.0 * math.Pi)} * f.k * d.t / d.n))")} AS re,
        |         ${sqlR6(s"-sum(d.detr * sin(${sqlD(2.0 * math.Pi)} * f.k * d.t / d.n))")} AS im,
        |         max(d.n) AS n
-       |  FROM detr_t d JOIN freqs f USING (event_type)
-       |  GROUP BY d.event_type, f.k
+       |  FROM detr_t d JOIN freqs f USING ($key)
+       |  GROUP BY d.$key, f.k
        |), spectrum_a AS (
        |  SELECT *, ${sqlR6("sqrt(re*re + im*im)")} AS amplitude FROM spectrum
        |)""".stripMargin
@@ -160,20 +168,21 @@ object EventsOps {
        | FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY amplitude DESC, k ASC) AS rn FROM spectrum_a)
        | WHERE rn <= $TopK ORDER BY event_type, k""".stripMargin
 
-  def decomposeOracle: String = spectrumSql +
+  def decomposeOracle: String = decomposeOracleK("event_type")
+  def decomposeOracleK(key: String): String = spectrumSqlK(key) +
     s""", top AS (
-       |  SELECT event_type, k, re, im
-       |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY amplitude DESC, k ASC) AS rn FROM spectrum_a)
+       |  SELECT $key, k, re, im
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY $key ORDER BY amplitude DESC, k ASC) AS rn FROM spectrum_a)
        |  WHERE rn <= $TopK
        |), seas AS (
-       |  SELECT d.event_type, d.t,
+       |  SELECT d.$key, d.t,
        |         ${sqlR6(s"sum((2.0e0/d.n) * (b.re * cos(${sqlD(2.0 * math.Pi)} * b.k * d.t / d.n) - b.im * sin(${sqlD(2.0 * math.Pi)} * b.k * d.t / d.n)))")} AS seasonality
-       |  FROM (SELECT event_type, t, n FROM detr_t) d JOIN top b USING (event_type)
-       |  GROUP BY d.event_type, d.t
+       |  FROM (SELECT $key, t, n FROM detr_t) d JOIN top b USING ($key)
+       |  GROUP BY d.$key, d.t
        |)
-       | SELECT d.event_type, d.t, ${sqlR6("d.value")} AS value, ${sqlR6("d.trend")} AS trend,
+       | SELECT d.$key, d.t, ${sqlR6("d.value")} AS value, ${sqlR6("d.trend")} AS trend,
        |        s.seasonality, ${sqlR6("d.value - d.trend - s.seasonality")} AS residual
-       | FROM detr_t d JOIN seas s ON d.event_type = s.event_type AND d.t = s.t
+       | FROM detr_t d JOIN seas s ON d.$key = s.$key AND d.t = s.t
        | ORDER BY 1, 2""".stripMargin
 
   def decomposeMseOracle: String =
@@ -195,6 +204,7 @@ object EventsOps {
     "ts_topk_bins" -> ((s, d) => topBins(s, d).orderBy("event_type", "k")
       .select("event_type", "k", "re", "im", "amplitude")),
     "ts_decompose" -> ((s, d) => decompose(s, d)),
+    "ts_decompose_by_user" -> ((s, d) => decompose(s, d, "user_id")),
     "ts_decompose_mse" -> ((s, d) => decomposeMse(s, d)),
     "ts_stride" -> ((s, d) => stride(s, d)),
     "ts_tumbling_agg" -> ((s, d) => tumbling(s, d))
@@ -204,6 +214,7 @@ object EventsOps {
     "ts_spectrum" -> spectrumOracle,
     "ts_topk_bins" -> topBinsOracle,
     "ts_decompose" -> decomposeOracle,
+    "ts_decompose_by_user" -> decomposeOracleK("user_id"),
     "ts_decompose_mse" -> decomposeMseOracle,
     "ts_stride" -> strideOracle,
     "ts_tumbling_agg" -> tumblingOracle
