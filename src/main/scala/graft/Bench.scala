@@ -1,9 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import java.nio.file.{Files, Paths}
+import java.util.Locale
+
+/** Benchmark main: runs every registered query against SPARK_GRAFT_SF_DIR and
+  * emits ONE ms-rounded JSON line as the LAST stdout line, additionally
+  * persisted to SPARK_GRAFT_BENCH_OUT (default BENCH_local.json) so a
+  * truncated stdout tail can never lose the round's perf signal.
+  *
+  * Each query is forced through a full-column checksum aggregate rather than
+  * count(): under count() Catalyst prunes every computed column that doesn't
+  * affect cardinality (signals, noise, window math), so count()-timing
+  * understates real cost. xxhash64 over all output columns makes every cell
+  * get computed while still reducing to a single row — and the final
+  * per-query orderBy (needed only for the correctness dump) is eliminated
+  * under the aggregate, so bench measures compute, not presentation sorts.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,17 +34,23 @@ object Bench {
     Tables.lineitem(spark, sfDir).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        val df = fn(spark, sfDir)
+        df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(sum("h")).collect()
+      } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // release blocks pinned by intra-query localCheckpoints so storage
       // pressure from one query can't tax the next
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       name -> dt
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
+    def ms(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"$k\":${ms(v)}" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try Files.writeString(Paths.get(outPath), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    println(line)
   }
 }

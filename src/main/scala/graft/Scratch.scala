@@ -2,24 +2,20 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only scratchpad for driving entry points interactively via sbt. */
+/** Dev scratchpad + the documented smoke surface: runs the flagship
+  * `SparkEntry.entry` on sf0.001 and prints the row count (see
+  * .claude/skills/verify/SKILL.md §2 — driver t1 expects `ENTRY ROWS: <n>`).
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = java.nio.file.Files.createTempDirectory("graft_cfg")
-    val f = dir.resolve("config.json")
-    java.nio.file.Files.writeString(f,
-      """{"function_type": "sine", "n_train": 123, "n_val": 7, "seq_len": 32,
-        | "epochs": 2, "timesteps": 50, "beta_schedule": "cosine", "loss_type": "mse"}""".stripMargin)
-    println("FILE CONTENT:")
-    println(java.nio.file.Files.readString(f))
-    val df = spark.read.option("multiLine", true).json(f.toString)
-    df.printSchema()
-    df.show(false)
+    val n = SparkEntry.entry(spark).count()
+    println(s"ENTRY ROWS: $n")
     spark.stop()
   }
 }

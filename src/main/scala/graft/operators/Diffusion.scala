@@ -33,7 +33,8 @@ object Diffusion {
     */
   def schedule(spark: SparkSession, timesteps: Int = T, kind: String = "linear"): DataFrame = {
     val stepD = col("step").cast("double")
-    val base = spark.range(timesteps).select(col("id").cast("int").as("step"))
+    // single partition: ≤500 rows, and every window below is a global orderBy
+    val base = spark.range(0, timesteps, 1, 1).select(col("id").cast("int").as("step"))
     val withBeta = kind match {
       case "linear" =>
         base.withColumn("beta",
@@ -205,10 +206,10 @@ object Diffusion {
     * broadcast-joined to the labeled series (diffusion_ts_model.py:152-198).
     */
   def classEmbedLookup(spark: SparkSession): DataFrame = {
-    val labels = spark.range(200).select(col("id").as("series_id"))
+    val labels = spark.range(0, 200, 1, 1).select(col("id").as("series_id"))
       .withColumn("label", floor(R.u01(col("series_id").cast("double"), 12) * 4.0).cast("int"))
-    val dim = spark.range(5).select(col("id").cast("int").as("label"))
-      .crossJoin(broadcast(spark.range(8).select(col("id").cast("int").as("j"))))
+    val dim = spark.range(0, 5, 1, 1).select(col("id").cast("int").as("label"))
+      .crossJoin(broadcast(spark.range(0, 8, 1, 1).select(col("id").cast("int").as("j"))))
       .withColumn("emb", r6(R.u01(col("label").cast("double") * 8 + col("j"), 16) * 2.0 - 1.0))
     labels.join(broadcast(dim), "label")
       .select("series_id", "label", "j", "emb")
@@ -219,7 +220,7 @@ object Diffusion {
     import spark.implicits._
     val names = Seq((0, "sine"), (1, "cosine"), (2, "mixed"), (3, "exponential_decay"))
       .toDF("label", "family")
-    spark.range(200).select(col("id").as("series_id"))
+    spark.range(0, 200, 1, 1).select(col("id").as("series_id"))
       .withColumn("label", floor(R.u01(col("series_id").cast("double"), 12) * 4.0).cast("int"))
       .groupBy("label").agg(count(lit(1)).as("n_series"))
       .join(broadcast(names), "label")

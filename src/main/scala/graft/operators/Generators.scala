@@ -36,10 +36,21 @@ object Generators {
   private def sid = col("series_id")
   private def sidD = col("series_id").cast("double")
 
+  /** Partition count sized to the generated cell count. Tiny fixtures must not
+    * inherit cluster-width parallelism: a 3,200-row frame spread over 32 range
+    * partitions costs far more in scheduling + per-query sort-sampling than in
+    * compute. Large generations (gen_parity: 5.12M cells) still fan out to the
+    * full default parallelism.
+    */
+  private[graft] def rangeParts(spark: SparkSession, cells: Long): Int =
+    math.max(1, math.min((cells / 65536L + 1).toInt,
+      spark.sparkContext.defaultParallelism))
+
   /** G1: grid of (series_id, t, time) with time = t * (4π/(L-1)). */
   def grid(spark: SparkSession, n: Long, seqLen: Int): DataFrame = {
     val step = FourPi / (seqLen - 1)
-    spark.range(n).withColumnRenamed("id", "series_id")
+    spark.range(0, n, 1, rangeParts(spark, n * seqLen))
+      .withColumnRenamed("id", "series_id")
       .crossJoin(broadcast(spark.range(seqLen).select(col("id").cast("int").as("t"))))
       .withColumn("time", col("t").cast("double") * lit(step))
   }
@@ -146,7 +157,8 @@ object Generators {
   /** P6: sinusoidal positional-encoding features (diffusion_ts_model.py:106-121). */
   def posEncoding(spark: SparkSession, maxLen: Int = DefaultL, dModel: Int = 256): DataFrame = {
     val c = -math.log(10000.0) / dModel
-    spark.range(maxLen).select(col("id").cast("int").as("pos"))
+    spark.range(0, maxLen, 1, rangeParts(spark, maxLen.toLong * dModel / 2))
+      .select(col("id").cast("int").as("pos"))
       .crossJoin(broadcast(spark.range(dModel / 2).select(col("id").cast("int").as("i"))))
       .withColumn("div_term", exp(col("i") * lit(2.0) * lit(c)))
       .select(col("pos"), col("i"),
@@ -158,7 +170,8 @@ object Generators {
   def timestepEmbedding(spark: SparkSession, timesteps: Int = 500, dim: Int = 256): DataFrame = {
     val half = dim / 2
     val c = -math.log(10000.0) / (half - 1)
-    spark.range(timesteps).select(col("id").cast("int").as("step"))
+    spark.range(0, timesteps, 1, rangeParts(spark, timesteps.toLong * half))
+      .select(col("id").cast("int").as("step"))
       .crossJoin(broadcast(spark.range(half).select(col("id").cast("int").as("i"))))
       .withColumn("emb", exp(col("i") * lit(c)))
       .select(col("step"), col("i"),

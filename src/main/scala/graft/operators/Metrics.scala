@@ -41,7 +41,7 @@ object Metrics {
     */
   private def spectra(spark: SparkSession): DataFrame = {
     val pt = predTarget(spark)
-    val bins = spark.range(L / 2 + 1).select(col("id").cast("int").as("k"))
+    val bins = spark.range(0, L / 2 + 1, 1, 1).select(col("id").cast("int").as("k"))
     val theta = lit(2.0 * math.Pi) * col("k") * col("t") / lit(L.toDouble)
     pt.crossJoin(broadcast(bins))
       .groupBy("series_id", "k")
@@ -90,7 +90,7 @@ object Metrics {
     */
   def layerComponentSum(spark: SparkSession): DataFrame = {
     import graft.functions.{DetRand => R}
-    val layers = spark.range(3).select(col("id").cast("int").as("layer"))
+    val layers = spark.range(0, 3, 1, 1).select(col("id").cast("int").as("layer"))
     Generators.grid(spark, 10, 32)
       .crossJoin(broadcast(layers))
       .withColumn("trend_l", R.u01((col("series_id").cast("double") * 32 + col("t")) * 3 + col("layer"), 17))

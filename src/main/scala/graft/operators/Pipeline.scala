@@ -87,7 +87,7 @@ object Pipeline {
 
   private def noised(spark: SparkSession, epochs: Int): DataFrame = {
     val sched = Diffusion.schedule(spark, cfg.timesteps, cfg.beta_schedule)
-    val epochsDf = spark.range(epochs).select(col("id").cast("int").as("epoch"))
+    val epochsDf = spark.range(0, epochs, 1, 1).select(col("id").cast("int").as("epoch"))
     split(spark)
       .crossJoin(broadcast(epochsDf))
       .withColumn("step",

@@ -20,14 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** Exact order-independent sum of a money-like double: Σ as integer micros. */
+  /** Exact order-independent sum of a money-like double: Σ as integer micros.
+    * The micros are cast to BIGINT BEFORE aggregating (matching the SQL twin):
+    * summing them as DOUBLE would lose exactness — and become association-order
+    * dependent — once a group's total passes 2^53 (~sf0.3 for q1 base price).
+    */
   private def exactSum(c: Column): Column =
-    (sum(floor(c * 1e6 + 0.5)) / 1e6).as("x")
+    (sum(floor(c * 1e6 + 0.5).cast("long")).cast("double") / 1e6).as("x")
   private def sqlExactSum(x: String): String =
     s"(CAST(sum(CAST(floor(($x)*1e6 + 0.5) AS BIGINT)) AS DOUBLE)/1e6)"
 
   private def exactAvg(c: Column): Column =
-    sum(floor(c * 1e6 + 0.5)) / count(lit(1)) / 1e6
+    sum(floor(c * 1e6 + 0.5).cast("long")).cast("double") / count(lit(1)) / 1e6
   private def sqlExactAvg(x: String): String =
     s"(CAST(sum(CAST(floor(($x)*1e6 + 0.5) AS BIGINT)) AS DOUBLE)/count(*)/1e6)"
 
