@@ -90,27 +90,34 @@ object Diffusion {
           .otherwise(col("x0_hat")))
 
   /** Per-step affine coefficients for the zero-noise-predictor sampler:
-    * x_{t-1} = g_t·x_t + sv_t·z_t for t ≥ 1, final division by √ᾱ₀ at t = 0.
+    * x_{t-1} = g_t·x_t + h_t·c + sv_t·z_t for t ≥ 1 (c = an optional constant
+    * drift added to the predicted x̂₀ — zero for unconditional sampling, the
+    * class-embedding drift under guidance), final division by √ᾱ₀ at t = 0.
     */
-  private def stepCoefs(spark: SparkSession, timesteps: Int): DataFrame = {
-    val sched = schedule(spark, timesteps)
+  private def stepCoefs(spark: SparkSession, timesteps: Int,
+                        kind: String = "linear"): DataFrame = {
+    val sched = schedule(spark, timesteps, kind)
     val g = (sqrt(col("alpha")) * (lit(1.0) - col("ac_prev")) +
       sqrt(col("ac_prev")) * (lit(1.0) - col("alpha")) / sqrt(col("ac"))) / (lit(1.0) - col("ac"))
     val wPrev = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, -1)
     sched.filter(col("step") >= 1)
       .withColumn("g", g)
+      .withColumn("h", sqrt(col("ac_prev")) * (lit(1.0) - col("alpha")) / (lit(1.0) - col("ac")))
       .withColumn("sv", sqrt(col("posterior_var")))
       .withColumn("p_prev", exp(coalesce(sum(log(col("g"))).over(wPrev), lit(0.0))))
       .withColumn("p_cum", exp(sum(log(col("g"))).over(
         Window.orderBy("step").rowsBetween(Window.unboundedPreceding, Window.currentRow))))
   }
 
-  /** I1 collapsed: full reverse diffusion in one scan (see class doc). */
-  def sampleClosedForm(spark: SparkSession, n: Long = 20, seqLen: Int = L,
-                       timesteps: Int = T): DataFrame = {
-    val coefs = stepCoefs(spark, timesteps)
+  /** Closed-form reverse diffusion, unrounded: (series_id, t, raw). Wrappers
+    * round at the edge ([[sampleClosedForm]]) or transform first
+    * ([[sampleCond]], [[sampleInpaint]]).
+    */
+  private def closedFormRaw(spark: SparkSession, n: Long, seqLen: Int,
+                            timesteps: Int, kind: String): DataFrame = {
+    val coefs = stepCoefs(spark, timesteps, kind)
     val lastP = coefs.orderBy(desc("step")).limit(1).select(col("p_cum").as("p_total"))
-    val alpha0 = schedule(spark, timesteps).filter(col("step") === 0)
+    val alpha0 = schedule(spark, timesteps, kind).filter(col("step") === 0)
       .select(sqrt(col("ac")).as("sqrt_ac0"))
     val cells = Generators.grid(spark, n, seqLen)
       .withColumn("x_init", R.gauss(col("series_id").cast("double") * seqLen + col("t"), 0))
@@ -124,7 +131,65 @@ object Diffusion {
       .crossJoin(broadcast(lastP))
       .crossJoin(broadcast(alpha0))
       .select(col("series_id"), col("t"),
-        r6((col("p_total") * col("x_init") + col("zsum")) / col("sqrt_ac0")).as("value"))
+        ((col("p_total") * col("x_init") + col("zsum")) / col("sqrt_ac0")).as("raw"))
+  }
+
+  /** I1 collapsed: full reverse diffusion in one scan (see class doc). The
+    * schedule kind is a parameter — the reference samples under whichever
+    * schedule was trained (config.json:17; README.md:330-333 recommends
+    * cosine), so the engine exposes both, each with its own oracle.
+    */
+  def sampleClosedForm(spark: SparkSession, n: Long = 20, seqLen: Int = L,
+                       timesteps: Int = T, kind: String = "linear"): DataFrame =
+    closedFormRaw(spark, n, seqLen, timesteps, kind)
+      .select(col("series_id"), col("t"), r6(col("raw")).as("value"))
+
+  /** Mask-conditioned (forecast/imputation) sampling — the reference's
+    * inpainting use case (diffusion_ts_model.py:482,493-500; README.md:247-279):
+    * observed cells are pinned to the conditioning series at every reverse
+    * step, unobserved cells are filled by the reverse process. Because the
+    * zero-noise-predictor step is cell-local affine, pinning observed cells
+    * never perturbs unobserved ones, so the collapse algebra holds per cell:
+    * observed → y, unobserved → closed-form sample.
+    */
+  def sampleInpaint(spark: SparkSession, n: Long = 20, seqLen: Int = L,
+                    timesteps: Int = T, kind: String = "linear"): DataFrame = {
+    val c = col("series_id").cast("double") * seqLen + col("t")
+    val y = Generators.dataset(spark, "sine", n, seqLen)
+      .withColumn("observed", R.u01(c, 18) > 0.5)
+    val cf = closedFormRaw(spark, n, seqLen, timesteps, kind)
+    y.join(cf, Seq("series_id", "t"))
+      .select(col("series_id"), col("t"), col("observed"),
+        when(col("observed"), col("value")).otherwise(r6(col("raw"))).as("value"))
+  }
+
+  /** Classifier-free-guided conditional sampling
+    * (diffusion_ts_model.py:872-915, null-class init :185-187): the per-class
+    * drift c (mean of the J2 class embedding) shifts the predicted x̂₀ each
+    * step; under the affine collapse a constant x̂₀-drift contributes
+    * c·Σₜ(P_{t-1}·h_t)/√ᾱ₀, so guided = uncond + w·(cond − uncond)
+    * = raw + w·c·H in ONE scan — no second sampling pass per branch. w = 0
+    * reproduces force_uncond; the null class (label 4) has its own drift row.
+    */
+  def sampleCond(spark: SparkSession, n: Long = 20, seqLen: Int = L,
+                 timesteps: Int = T, guidanceW: Double = 2.0): DataFrame = {
+    val coefs = stepCoefs(spark, timesteps)
+    val hTotal = coefs.agg(sum(col("p_prev") * col("h")).as("hsum"))
+    val alpha0 = schedule(spark, timesteps).filter(col("step") === 0)
+      .select(sqrt(col("ac")).as("sqrt_ac0"))
+    val labels = spark.range(0, n, 1, 1).select(col("id").as("series_id"))
+      .withColumn("label", floor(R.u01(col("series_id").cast("double"), 12) * 4.0).cast("int"))
+    val drift = spark.range(0, 5, 1, 1).select(col("id").cast("int").as("label"))
+      .crossJoin(broadcast(spark.range(0, 8, 1, 1).select(col("id").cast("int").as("j"))))
+      .withColumn("emb", r6(R.u01(col("label").cast("double") * 8 + col("j"), 16) * 2.0 - 1.0))
+      .groupBy("label").agg(r6(avg(col("emb"))).as("drift"))
+    closedFormRaw(spark, n, seqLen, timesteps, "linear")
+      .join(broadcast(labels), "series_id")
+      .join(broadcast(drift), "label")
+      .crossJoin(broadcast(hTotal))
+      .crossJoin(broadcast(alpha0))
+      .select(col("series_id"), col("t"), col("label"),
+        r6(col("raw") + lit(guidanceW) * col("drift") * col("hsum") / col("sqrt_ac0")).as("value"))
   }
 
   /** I2: intermediate states of the reverse diffusion at strided capture steps
@@ -165,12 +230,13 @@ object Diffusion {
     * SQL is its oracle.
     */
   def sampleIterative(spark: SparkSession, n: Long = 20, seqLen: Int = L,
-                      timesteps: Int = 50): DataFrame = {
-    val sc = stepCoefs(spark, timesteps)
+                      timesteps: Int = 50, kind: String = "linear"): DataFrame = {
+    val sc = stepCoefs(spark, timesteps, kind)
       .select("step", "g", "sv").collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(-_._1)
-    val sqrtAc0 = math.sqrt(1.0 - (BetaStart + (BetaEnd - BetaStart) * 0.0 / (timesteps - 1)))
+    val sqrtAc0 = schedule(spark, timesteps, kind).filter(col("step") === 0)
+      .select(sqrt(col("ac"))).head.getDouble(0)
     var x = Generators.grid(spark, n, seqLen)
       .withColumn("x", R.gauss(col("series_id").cast("double") * seqLen + col("t"), 0))
     val zKeyBase = col("series_id").cast("double") * seqLen + col("t")
@@ -300,17 +366,21 @@ object Diffusion {
        |       ${sqlR6("CASE WHEN step > 0 THEN mean + sqrt(posterior_var) * z ELSE x0_hat END")} AS x_prev
        |FROM pm ORDER BY series_id, t""".stripMargin
 
-  /** Closed-form sampler SQL, parameterized so it also oracles the iterative query. */
-  def sampleClosedFormSql(n: Long, seqLen: Int, timesteps: Int): String = {
+  /** The closed-form collapse as CTEs ending in `cf(series_id, t, raw)` —
+    * shared by the closed-form, iterative, cosine, inpaint, and guided
+    * oracles.
+    */
+  private def closedFormCtes(n: Long, seqLen: Int, timesteps: Int, kind: String): String = {
     val zKey = s"(($sd * $seqLen + t) * $timesteps + step)"
-    s"""WITH ${schedSql(timesteps, "linear")},
+    s"""${schedSql(timesteps, kind)},
        |coefs AS (
        |  SELECT step,
        |         (sqrt(alpha) * (1.0e0 - ac_prev) + sqrt(ac_prev) * (1.0e0 - alpha) / sqrt(ac)) / (1.0e0 - ac) AS g,
+       |         sqrt(ac_prev) * (1.0e0 - alpha) / (1.0e0 - ac) AS h,
        |         sqrt(posterior_var) AS sv
        |  FROM sched WHERE step >= 1
        |), coefs2 AS (
-       |  SELECT step, sv,
+       |  SELECT step, sv, h,
        |         exp(coalesce(sum(ln(g)) OVER (ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0e0)) AS p_prev,
        |         exp(sum(ln(g)) OVER (ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_cum
        |  FROM coefs
@@ -326,12 +396,54 @@ object Diffusion {
        |  SELECT series_id, t, sum(p_prev * sv * (${R.sqlGauss(zKey, 14)})) AS zsum
        |  FROM cells CROSS JOIN coefs2
        |  GROUP BY series_id, t
-       |)
-       |SELECT c.series_id, c.t,
-       |       ${sqlR6("(p.p_total * c.x_init + z.zsum) / a.sqrt_ac0")} AS value
-       |FROM cells c JOIN zsum_t z USING (series_id, t) CROSS JOIN ptotal p CROSS JOIN ac0 a
-       |ORDER BY series_id, t""".stripMargin
+       |), cf AS (
+       |  SELECT c.series_id, c.t, (p.p_total * c.x_init + z.zsum) / a.sqrt_ac0 AS raw
+       |  FROM cells c JOIN zsum_t z USING (series_id, t) CROSS JOIN ptotal p CROSS JOIN ac0 a
+       |)""".stripMargin
   }
+
+  /** Closed-form sampler SQL, parameterized so it also oracles the iterative
+    * and cosine-schedule queries.
+    */
+  def sampleClosedFormSql(n: Long, seqLen: Int, timesteps: Int,
+                          kind: String = "linear"): String =
+    s"""WITH ${closedFormCtes(n, seqLen, timesteps, kind)}
+       |SELECT series_id, t, ${sqlR6("raw")} AS value
+       |FROM cf ORDER BY series_id, t""".stripMargin
+
+  private def sampleInpaintSql(n: Long, seqLen: Int, timesteps: Int): String =
+    s"""WITH ${closedFormCtes(n, seqLen, timesteps, "linear")},
+       |ds AS (${Generators.datasetSqlCore("sine", n, seqLen)}),
+       |m AS (
+       |  SELECT series_id, t, value, (${R.sqlU01(s"($sd * $seqLen + t)", 18)}) > 0.5e0 AS observed
+       |  FROM ds
+       |)
+       |SELECT m.series_id, m.t, m.observed,
+       |       CASE WHEN m.observed THEN m.value ELSE ${sqlR6("cf.raw")} END AS value
+       |FROM m JOIN cf USING (series_id, t)
+       |ORDER BY series_id, t""".stripMargin
+
+  private def sampleCondSql(n: Long, seqLen: Int, timesteps: Int, w: Double): String =
+    s"""WITH ${closedFormCtes(n, seqLen, timesteps, "linear")},
+       |htotal AS (
+       |  SELECT sum(p_prev * h) AS hsum FROM coefs2
+       |), labels AS (
+       |  SELECT CAST(i AS BIGINT) AS series_id,
+       |         CAST(floor((${R.sqlU01("CAST(i AS DOUBLE)", 12)}) * 4.0e0) AS INT) AS label
+       |  FROM range(0, $n) r(i)
+       |), drift AS (
+       |  SELECT CAST(l.i AS INT) AS label,
+       |         ${sqlR6(s"avg(${sqlR6(s"(${R.sqlU01("(CAST(l.i AS DOUBLE) * 8 + d.j)", 16)}) * 2.0e0 - 1.0e0")})")} AS drift
+       |  FROM range(0, 5) l(i) CROSS JOIN range(0, 8) d(j)
+       |  GROUP BY 1
+       |)
+       |SELECT cf.series_id, cf.t, lb.label,
+       |       ${sqlR6(s"cf.raw + ${sqlD(w)} * dr.drift * h.hsum / a.sqrt_ac0")} AS value
+       |FROM cf
+       |JOIN labels lb USING (series_id)
+       |JOIN drift dr ON dr.label = lb.label
+       |CROSS JOIN htotal h CROSS JOIN ac0 a
+       |ORDER BY series_id, t""".stripMargin
 
   /** Trajectory SQL twin: same cumulative-window collapse. */
   def sampleTrajectorySql(n: Long, seqLen: Int, timesteps: Int, captures: Seq[Int]): String = {
@@ -436,6 +548,10 @@ object Diffusion {
       .select(col("series_id"), col("t"), col("step"), r6(col("x_prev")).as("x_prev"))
       .orderBy("series_id", "t")),
     "diff_sample_closedform" -> ((s, _) => sampleClosedForm(s).orderBy("series_id", "t")),
+    "diff_sample_closedform_cosine" -> ((s, _) =>
+      sampleClosedForm(s, kind = "cosine").orderBy("series_id", "t")),
+    "diff_sample_inpaint" -> ((s, _) => sampleInpaint(s).orderBy("series_id", "t")),
+    "diff_sample_cond" -> ((s, _) => sampleCond(s).orderBy("series_id", "t")),
     "diff_sample_trajectory" -> ((s, _) => sampleTrajectory(s).orderBy("series_id", "t", "step")),
     "diff_sample_iterative" -> ((s, _) => sampleIterative(s).orderBy("series_id", "t")),
     "mask_impute_locf" -> ((s, _) => maskImputeLocf(s).orderBy("series_id", "t")),
@@ -451,6 +567,9 @@ object Diffusion {
     "diff_predict_start" -> predictStartOracle,
     "diff_psample_step" -> pSampleStepOracle,
     "diff_sample_closedform" -> sampleClosedFormSql(20, L, T),
+    "diff_sample_closedform_cosine" -> sampleClosedFormSql(20, L, T, "cosine"),
+    "diff_sample_inpaint" -> sampleInpaintSql(20, L, T),
+    "diff_sample_cond" -> sampleCondSql(20, L, T, 2.0),
     "diff_sample_trajectory" -> sampleTrajectorySql(20, L, T, Seq(1, 100, 200, 300, 400)),
     "diff_sample_iterative" -> sampleClosedFormSql(20, L, 50),
     "mask_impute_locf" -> maskImputeLocfOracle,

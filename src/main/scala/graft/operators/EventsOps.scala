@@ -29,7 +29,7 @@ object EventsOps {
   val HalfWin = 8   // centered moving-average half-window (W8-lite trend)
   val MaxFreq = 64  // cap on scanned DFT bins — bounds the explode fan-out (§7.6.1)
 
-  /** Per-series long view: (<key>, t, value, n). The series key defaults to
+  /** Per-series long view: (<key>, t, value). The series key defaults to
     * event_type (5 coarse series at test scale); `key = "user_id"` yields
     * sf-scaling cardinality (15 → 1500 series across sf0.001 → sf0.1), which is
     * the partition-parallel shape this operator has at production scale.
@@ -39,18 +39,23 @@ object EventsOps {
     Tables.events(spark, dir)
       .select(col(key), col("ts"), col("event_id"), col("value"))
       .withColumn("t", (row_number().over(w) - 1).cast("int"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(key)))
       .drop("ts", "event_id")
   }
 
-  /** value + centered-moving-average trend + detrended remainder. */
-  def trended(spark: SparkSession, dir: String, key: String = "event_type"): DataFrame = {
+  /** value + series length + centered-moving-average trend + detrended
+    * remainder, over ANY long frame (key, t, value) — the events path and the
+    * multivariate dim path share this.
+    */
+  private def trendedOf(df: DataFrame, key: String): DataFrame = {
     val wt = Window.partitionBy(key).orderBy("t")
       .rowsBetween(-HalfWin, HalfWin)
-    series(spark, dir, key)
+    df.withColumn("n", count(lit(1)).over(Window.partitionBy(key)))
       .withColumn("trend", avg("value").over(wt))
       .withColumn("detr", col("value") - col("trend"))
   }
+
+  def trended(spark: SparkSession, dir: String, key: String = "event_type"): DataFrame =
+    trendedOf(series(spark, dir, key), key)
 
   /** O(N·K) explicit rDFT of the detrended signal: bins k = 1..min(MaxFreq, ceil(n/2)-1).
     * re/im rounded to 6dp before anything ranks or reconstructs from them, so the
@@ -92,16 +97,17 @@ object EventsOps {
               key: String = "event_type"): DataFrame =
     topBinsOf(spectrum(spark, dir, key), k, key)
 
-  /** Flagship decompose: (<key>, t, value, trend, seasonality, residual).
+  /** Flagship decompose over ANY long frame (key, t, value):
+    * (<key>, t, value, trend, seasonality, residual), unordered.
     *
     * `trended` feeds three consumers (spectrum, the seasonality time grid, and
     * the final join), so it is localCheckpoint'd ONCE per call — without it the
-    * events scan, the per-series row_number window, and the DFT fan-out all run
+    * input scan, the per-series row_number window, and the DFT fan-out all run
     * twice per query (VERDICT r1 "what's wrong #1"). Callers that wrap this
     * (decomposeMse) inherit the same single materialization.
     */
-  def decompose(spark: SparkSession, dir: String, key: String = "event_type"): DataFrame = {
-    val tr = trended(spark, dir, key).localCheckpoint(eager = true)
+  def decomposeOf(df: DataFrame, key: String): DataFrame = {
+    val tr = trendedOf(df, key).localCheckpoint(eager = true)
     val top = topBinsOf(spectrumOf(tr, key), TopK, key).select(key, "k", "re", "im")
     val theta = lit(2.0 * math.Pi) * col("k") * col("t") / col("n")
     // inverse rDFT over the kept bins only: each (series,t) row joins K=4 bins
@@ -114,7 +120,25 @@ object EventsOps {
         r6(col("trend")).as("trend"),
         col("seasonality"),
         r6(col("value") - col("trend") - col("seasonality")).as("residual"))
-      .orderBy(key, "t")
+  }
+
+  def decompose(spark: SparkSession, dir: String, key: String = "event_type"): DataFrame =
+    decomposeOf(series(spark, dir, key), key).orderBy(key, "t")
+
+  /** W9 over the multivariate generated dataset (SURVEY §1.3; reference
+    * (batch, seq_len, input_dim) contract, diffusion_ts_model.py:480): each
+    * (series_id, dim_id) decomposes independently — the pair packs into one
+    * integer key through the shared single-key machinery, then unpacks.
+    */
+  val DimD = 3
+  def decomposeDim(spark: SparkSession): DataFrame = {
+    val mv = Generators.multivariate(spark, "mixed", 50, 64, DimD)
+      .select((col("series_id") * DimD + col("dim_id")).as("skey"), col("t"), col("value"))
+    decomposeOf(mv, "skey")
+      .select(floor(col("skey") / DimD).cast("long").as("series_id"),
+        (col("skey") % DimD).cast("int").as("dim_id"), col("t"),
+        col("value"), col("trend"), col("seasonality"), col("residual"))
+      .orderBy("series_id", "dim_id", "t")
   }
 
   /** Per-series reconstruction MSE of value vs trend+seasonality (A3 over W9). */
@@ -152,8 +176,10 @@ object EventsOps {
       |  FROM events
       |)""".stripMargin
 
-  private def trendedSql: String = trendedSqlK("event_type")
-  private def trendedSqlK(key: String): String = seriesSqlK(key) +
+  /** CTE tails over an existing `series(<key>, t, value, n)` CTE, so the same
+    * chain runs against the events table or the multivariate generated frame.
+    */
+  private def trendedTail(key: String): String =
     s""", trended AS (
       |  SELECT *, avg(value) OVER (PARTITION BY $key ORDER BY t ROWS BETWEEN 8 PRECEDING AND 8 FOLLOWING) AS trend
       |  FROM series
@@ -161,8 +187,7 @@ object EventsOps {
       |  SELECT *, value - trend AS detr FROM trended
       |)""".stripMargin
 
-  private def spectrumSql: String = spectrumSqlK("event_type")
-  private def spectrumSqlK(key: String): String = trendedSqlK(key) +
+  private def spectrumTail(key: String): String = trendedTail(key) +
     s""", freqs AS (
        |  SELECT $key, CAST(g.k AS INT) AS k
        |  FROM (SELECT DISTINCT $key, n FROM series) s,
@@ -178,18 +203,10 @@ object EventsOps {
        |  SELECT *, ${sqlR6("sqrt(re*re + im*im)")} AS amplitude FROM spectrum
        |)""".stripMargin
 
-  def spectrumOracle: String = spectrumOracleK("event_type")
-  def spectrumOracleK(key: String): String = spectrumSqlK(key) +
-    s" SELECT $key, k, re, im, amplitude FROM spectrum_a ORDER BY $key, k"
-
-  def topBinsOracle: String = topBinsOracleK("event_type")
-  def topBinsOracleK(key: String): String = spectrumSqlK(key) +
-    s""" SELECT $key, k, re, im, amplitude
-       | FROM (SELECT *, row_number() OVER (PARTITION BY $key ORDER BY amplitude DESC, k ASC) AS rn FROM spectrum_a)
-       | WHERE rn <= $TopK ORDER BY $key, k""".stripMargin
-
-  def decomposeOracle: String = decomposeOracleK("event_type")
-  def decomposeOracleK(key: String): String = spectrumSqlK(key) +
+  /** spectrum tails + top-K + seasonality + full decomposition, ending in CTE
+    * `dec(<key>, t, value, trend, seasonality, residual)`.
+    */
+  private def decomposeCtes(key: String): String = spectrumTail(key) +
     s""", top AS (
        |  SELECT $key, k, re, im
        |  FROM (SELECT *, row_number() OVER (PARTITION BY $key ORDER BY amplitude DESC, k ASC) AS rn FROM spectrum_a)
@@ -199,16 +216,43 @@ object EventsOps {
        |         ${sqlR6(s"sum((2.0e0/d.n) * (b.re * cos(${sqlD(2.0 * math.Pi)} * b.k * d.t / d.n) - b.im * sin(${sqlD(2.0 * math.Pi)} * b.k * d.t / d.n)))")} AS seasonality
        |  FROM (SELECT $key, t, n FROM detr_t) d JOIN top b USING ($key)
        |  GROUP BY d.$key, d.t
-       |)
-       | SELECT d.$key, d.t, ${sqlR6("d.value")} AS value, ${sqlR6("d.trend")} AS trend,
-       |        s.seasonality, ${sqlR6("d.value - d.trend - s.seasonality")} AS residual
-       | FROM detr_t d JOIN seas s ON d.$key = s.$key AND d.t = s.t
-       | ORDER BY 1, 2""".stripMargin
+       |), dec AS (
+       |  SELECT d.$key, d.t, ${sqlR6("d.value")} AS value, ${sqlR6("d.trend")} AS trend,
+       |         s.seasonality, ${sqlR6("d.value - d.trend - s.seasonality")} AS residual
+       |  FROM detr_t d JOIN seas s ON d.$key = s.$key AND d.t = s.t
+       |)""".stripMargin
 
-  def decomposeMseOracle: String =
-    s"""WITH dec AS (${decomposeOracle.replace(" ORDER BY event_type, t", "")})
-       | SELECT event_type, ${sqlR6("avg(pow(value - trend - seasonality, 2))")} AS mse, count(*) AS n
+  def spectrumOracle: String = spectrumOracleK("event_type")
+  def spectrumOracleK(key: String): String = seriesSqlK(key) + spectrumTail(key) +
+    s" SELECT $key, k, re, im, amplitude FROM spectrum_a ORDER BY $key, k"
+
+  def topBinsOracle: String = topBinsOracleK("event_type")
+  def topBinsOracleK(key: String): String = seriesSqlK(key) + spectrumTail(key) +
+    s""" SELECT $key, k, re, im, amplitude
+       | FROM (SELECT *, row_number() OVER (PARTITION BY $key ORDER BY amplitude DESC, k ASC) AS rn FROM spectrum_a)
+       | WHERE rn <= $TopK ORDER BY $key, k""".stripMargin
+
+  def decomposeOracle: String = decomposeOracleK("event_type")
+  def decomposeOracleK(key: String): String = seriesSqlK(key) + decomposeCtes(key) +
+    s" SELECT * FROM dec ORDER BY 1, 2"
+
+  def decomposeMseOracle: String = seriesSqlK("event_type") + decomposeCtes("event_type") +
+    s""" SELECT event_type, ${sqlR6("avg(pow(value - trend - seasonality, 2))")} AS mse, count(*) AS n
        | FROM dec GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Multivariate decompose oracle: same tails over a generated (series_id,
+    * dim_id)-packed series base instead of the events table.
+    */
+  def decomposeDimOracle: String =
+    s"""WITH mv AS (${Generators.multivariateSqlCore("mixed", 50, 64, DimD)}),
+       |series AS (
+       |  SELECT series_id * $DimD + dim_id AS skey, t, value,
+       |         count(*) OVER (PARTITION BY series_id, dim_id) AS n
+       |  FROM mv
+       |)${decomposeCtes("skey")}
+       | SELECT CAST(floor(skey / $DimD) AS BIGINT) AS series_id,
+       |        CAST(skey % $DimD AS INT) AS dim_id, t, value, trend, seasonality, residual
+       | FROM dec ORDER BY 1, 2, 3""".stripMargin
 
   def strideOracle: String = strideOracleK("event_type")
   def strideOracleK(key: String): String = seriesSqlK(key) +
@@ -233,6 +277,7 @@ object EventsOps {
       .select("user_id", "k", "re", "im", "amplitude")),
     "ts_decompose" -> ((s, d) => decompose(s, d)),
     "ts_decompose_by_user" -> ((s, d) => decompose(s, d, "user_id")),
+    "ts_decompose_dim" -> ((s, _) => decomposeDim(s)),
     "ts_decompose_mse" -> ((s, d) => decomposeMse(s, d)),
     "ts_stride" -> ((s, d) => stride(s, d, 5, "user_id")),
     "ts_tumbling_agg" -> ((s, d) => tumbling(s, d))
@@ -243,6 +288,7 @@ object EventsOps {
     "ts_topk_bins" -> topBinsOracleK("user_id"),
     "ts_decompose" -> decomposeOracle,
     "ts_decompose_by_user" -> decomposeOracleK("user_id"),
+    "ts_decompose_dim" -> decomposeDimOracle,
     "ts_decompose_mse" -> decomposeMseOracle,
     "ts_stride" -> strideOracleK("user_id"),
     "ts_tumbling_agg" -> tumblingOracle

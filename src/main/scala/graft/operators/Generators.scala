@@ -149,6 +149,25 @@ object Generators {
     }.reduce(_ union _)
   }
 
+  /** Multivariate dataset — the reference contract is (batch, seq_len,
+    * input_dim) with dim > 1 supported (diffusion_ts_model.py:480,757); SURVEY
+    * §1.3 reserves the `dim_id` column. Dims are independent parameter/noise
+    * streams: generated as n·d flat series in ONE set-oriented job, then the
+    * flat id unpacks to (series_id, dim_id) — no per-dim loop, no extra scan.
+    */
+  def multivariate(spark: SparkSession, family: String = "mixed", n: Long = 50,
+                   seqLen: Int = 64, d: Int = 3): DataFrame =
+    dataset(spark, family, n * d, seqLen)
+      .select(floor(col("series_id") / d).cast("long").as("series_id"),
+        (col("series_id") % d).cast("int").as("dim_id"), col("t"), col("value"))
+
+  /** DuckDB twin of [[multivariate]] (no ORDER BY, embeddable as a CTE). */
+  def multivariateSqlCore(family: String, n: Long, seqLen: Int, d: Int): String =
+    s"""WITH flat AS (${datasetSqlCore(family, n * d, seqLen)})
+       |SELECT CAST(floor(series_id / $d) AS BIGINT) AS series_id,
+       |       CAST(series_id % $d AS INT) AS dim_id, t, value
+       |FROM flat""".stripMargin
+
   /** G11: white-noise diffusion start x ~ N(0,1) (diffusion_ts_model.py:760). */
   def whiteNoise(spark: SparkSession, n: Long = DefaultN, seqLen: Int = DefaultL): DataFrame =
     grid(spark, n, seqLen)
@@ -290,6 +309,8 @@ object Generators {
       "gen_timegrid" -> ((s: SparkSession, _: String) =>
         grid(s, 1, DefaultL).select(col("t"), r6(col("time")).as("time")).orderBy("t")),
       "gen_labeled" -> ((s: SparkSession, _: String) => labeled(s).orderBy("series_id", "t")),
+      "gen_multivariate" -> ((s: SparkSession, _: String) =>
+        multivariate(s).orderBy("series_id", "dim_id", "t")),
       "gen_demo" -> ((s: SparkSession, _: String) => demo(s).orderBy("family", "series_id", "t")),
       "gen_whitenoise" -> ((s: SparkSession, _: String) => whiteNoise(s).orderBy("series_id", "t")),
       "gen_parity" -> ((s: SparkSession, _: String) =>
@@ -309,6 +330,8 @@ object Generators {
         s"""SELECT CAST(j AS INT) AS t, ${sqlR6(s"CAST(j AS DOUBLE) * ${sqlD(FourPi / (DefaultL - 1))}")} AS time
            |FROM range(0, $DefaultL) g(j) ORDER BY t""".stripMargin,
       "gen_labeled" -> labeledSql(200, DefaultL),
+      "gen_multivariate" ->
+        (multivariateSqlCore("mixed", 50, 64, 3) + " ORDER BY series_id, dim_id, t"),
       "gen_demo" -> demoSql(32, DefaultL),
       "gen_whitenoise" ->
         s"""WITH ${gridSql(DefaultN, DefaultL)}

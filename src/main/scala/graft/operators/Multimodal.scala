@@ -55,13 +55,14 @@ object Multimodal {
   private def fakeDecode(row: MediaRow): MediaFeatures = {
     var sum = 0L
     var mx = 0
-    var ck = 1125899906842597L
+    var ck = 0L // position-weighted checksum Σ (i+1)·bᵢ: order-sensitive like a
+    // polynomial hash, but exactly expressible in the DuckDB oracle (no 2^64 wrap)
     var i = 0
     while (i < row.payload.length) {
       val b = row.payload(i) & 0xff
       sum += b
       if (b > mx) mx = b
-      ck = ck * 31 + b
+      ck += (i + 1).toLong * b
       i += 1
     }
     MediaFeatures(row.media_id, row.kind, row.payload.length,
@@ -100,15 +101,93 @@ object Multimodal {
         r6(avg(col("mean_byte"))).as("avg_mean_byte"),
         max(col("max_byte")).as("max_byte"))
 
-  /** Rows-only driver checks (binary + JVM-closure transforms aren't
-    * SQL-expressible; correctness is covered by MultimodalSpec's determinism
-    * and shape assertions).
-    */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> ((s, _) => extractFeatures(s).orderBy("media_id")),
     "media_frame_sample" -> ((s, _) => frameSample(s).orderBy("media_id", "frame_id")),
     "media_kind_stats" -> ((s, _) => kindStats(s).orderBy("kind"))
   )
 
-  def oracles: Map[String, String] = Map.empty
+  // ---------------- DuckDB oracle twins ----------------
+  //
+  // The payload LCG x_{e} = (69069·x_{e-1} + 12345) mod 2^31 has the closed
+  // form x_e = (a^e·x0 + c·S_e) mod m with S_e = Σ_{j<e} a^j, so the oracle
+  // reproduces every payload byte WITHOUT recursion: a^e and S_e are folded
+  // from 13 bit-ladder stages whose per-bit constants a^(2^k) mod m and
+  // S_(2^k) mod m are Scala-precomputed (all intermediates < 2^62, exact in
+  // BIGINT). The JVM closures stay the "codec"; the byte stream they see is
+  // thereby fully SQL-checkable.
+
+  private val M31 = 2147483648L
+
+  /** (a^(2^k) mod m, S_(2^k) mod m) for k = 0..12; S_1 = 1,
+    * S_(2^(k+1)) = S_(2^k)·(1 + a^(2^k)).
+    */
+  private def ladder: Seq[(Long, Long)] = {
+    var a = 69069L
+    var s = 1L
+    (0 until 13).map { _ =>
+      val pair = (a, s)
+      s = s * (1 + a) % M31
+      a = a * a % M31
+      pair
+    }
+  }
+
+  /** CTEs ending in `bytes(media_id, i, b)` — byte i of media_id's payload. */
+  private def bytesSql(n: Long, bytesPer: Int): String = {
+    val stages = ladder.zipWithIndex.map { case ((ak, sk), k) =>
+      s"""lcg${k + 1} AS (
+         |  SELECT media_id, i, e, x0,
+         |         CASE WHEN (e >> $k) & 1 = 1 THEN (s + p * $sk) % $M31 ELSE s END AS s,
+         |         CASE WHEN (e >> $k) & 1 = 1 THEN (p * $ak) % $M31 ELSE p END AS p
+         |  FROM lcg$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""idx AS (
+       |  SELECT CAST(m.a AS BIGINT) AS media_id, CAST(b.c AS BIGINT) AS i,
+       |         CAST(b.c AS BIGINT) + 1 AS e,
+       |         (CAST(m.a AS BIGINT) * 40503 + 12345) % $M31 AS x0
+       |  FROM range(0, $n) m(a) CROSS JOIN range(0, $bytesPer) b(c)
+       |), lcg0 AS (
+       |  SELECT media_id, i, e, x0, CAST(0 AS BIGINT) AS s, CAST(1 AS BIGINT) AS p FROM idx
+       |),
+       |$stages,
+       |bytes AS (
+       |  SELECT media_id, i, (((p * x0 + 12345 * s) % $M31) >> 8) & 255 AS b
+       |  FROM lcg13
+       |)""".stripMargin
+  }
+
+  private val kindSql =
+    "CASE WHEN media_id % 3 = 0 THEN 'image' WHEN media_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+
+  private def featuresSql(n: Long, bytesPer: Int): String =
+    s"""WITH ${bytesSql(n, bytesPer)},
+       |features AS (
+       |  SELECT media_id, $kindSql AS kind, CAST($bytesPer AS INT) AS n_bytes,
+       |         CAST(sum(b) AS DOUBLE) / ${bytesPer}.0e0 AS mean_byte,
+       |         CAST(max(b) AS INT) AS max_byte,
+       |         CAST(sum((i + 1) * b) AS BIGINT) AS checksum
+       |  FROM bytes GROUP BY 1, 2
+       |)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "media_features" -> (featuresSql(64, 4096) +
+      " SELECT * FROM features ORDER BY media_id"),
+    "media_kind_stats" -> (featuresSql(64, 4096) +
+      s""" SELECT kind, count(*) AS n_media, ${sqlR6("avg(mean_byte)")} AS avg_mean_byte,
+         |        CAST(max(max_byte) AS INT) AS max_byte
+         | FROM features GROUP BY kind ORDER BY kind""".stripMargin),
+    "media_frame_sample" ->
+      s"""WITH ${bytesSql(64, 4096)},
+         |frames AS (
+         |  SELECT media_id, CAST(floor(i / 1024) AS INT) AS frame_id,
+         |         CAST(1024 AS INT) AS frame_bytes,
+         |         CAST(sum(b) AS DOUBLE) / 1024.0e0 AS frame_mean
+         |  FROM bytes
+         |  WHERE media_id % 3 = 2
+         |  GROUP BY 1, 2
+         |)
+         |SELECT * FROM frames WHERE frame_id % 4 = 0 ORDER BY media_id, frame_id""".stripMargin
+  )
 }

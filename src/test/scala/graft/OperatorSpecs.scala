@@ -110,6 +110,69 @@ class DiffusionSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("inpaint: observed cells pinned to the conditioning series, unobserved = closed form") {
+    val inp = Diffusion.sampleInpaint(spark).withColumnRenamed("value", "vi")
+    val y = Generators.dataset(spark, "sine", 20, 64).withColumnRenamed("value", "vy")
+    val cf = Diffusion.sampleClosedForm(spark).withColumnRenamed("value", "vc")
+    val joined = inp.join(y, Seq("series_id", "t")).join(cf, Seq("series_id", "t")).cache()
+    assert(joined.filter(col("observed") && col("vi") =!= col("vy")).count() == 0)
+    assert(joined.filter(!col("observed") && col("vi") =!= col("vc")).count() == 0)
+    val nObs = joined.filter(col("observed")).count()
+    assert(nObs > 0 && nObs < joined.count()) // mask is non-trivial both ways
+    joined.unpersist()
+  }
+
+  test("guided sampling: w=0 reproduces the unconditional sample (force_uncond)") {
+    val uncond = Diffusion.sampleCond(spark, guidanceW = 0.0).withColumnRenamed("value", "v0")
+    val cf = Diffusion.sampleClosedForm(spark).withColumnRenamed("value", "vc")
+    val worst = uncond.join(cf, Seq("series_id", "t"))
+      .agg(max(abs(col("v0") - col("vc")))).collect()(0).getDouble(0)
+    assert(worst <= 1e-6, s"force_uncond drift $worst")
+  }
+
+  test("guided sampling: guidance shifts every cell of a series by the same class drift") {
+    val byLabel = Diffusion.sampleCond(spark, guidanceW = 2.0).withColumnRenamed("value", "vg")
+      .join(Diffusion.sampleCond(spark, guidanceW = 0.0).withColumnRenamed("value", "v0")
+          .drop("label"),
+        Seq("series_id", "t"))
+      .groupBy("label")
+      .agg((max(col("vg") - col("v0")) - min(col("vg") - col("v0"))).as("spread"))
+      .collect()
+    assert(byLabel.nonEmpty)
+    byLabel.foreach(r => assert(math.abs(r.getDouble(1)) < 3e-6))
+  }
+
+  test("cosine-schedule closed form differs from linear but shares the noise keying") {
+    val cos = Diffusion.sampleClosedForm(spark, kind = "cosine").withColumnRenamed("value", "vc")
+    val lin = Diffusion.sampleClosedForm(spark).withColumnRenamed("value", "vl")
+    val j = cos.join(lin, Seq("series_id", "t")).cache()
+    assert(j.count() == 20 * 64)
+    assert(j.filter(col("vc") =!= col("vl")).count() > 0)
+    j.unpersist()
+  }
+}
+
+class MultivariateSpec extends SparkSpec {
+  test("multivariate generator: d dims per series, dims are distinct streams") {
+    val mv = Generators.multivariate(spark).cache()
+    val dims = mv.select("dim_id").distinct().collect().map(_.getInt(0)).sorted
+    assert(dims.sameElements(Array(0, 1, 2)))
+    // distinct param streams: dim 0 and dim 1 of the same series differ
+    val same = mv.filter(col("dim_id") === 0).withColumnRenamed("value", "v0")
+      .join(mv.filter(col("dim_id") === 1).withColumnRenamed("value", "v1"),
+        Seq("series_id", "t"))
+      .filter(col("v0") === col("v1")).count()
+    assert(same == 0)
+    mv.unpersist()
+  }
+
+  test("dim decompose: identity holds per (series, dim)") {
+    val bad = EventsOps.decomposeDim(spark)
+      .filter(abs(col("value") - col("trend") - col("seasonality") - col("residual")) > 2e-6)
+      .count()
+    assert(bad == 0)
+  }
 }
 
 class ReshapeSpec extends SparkSpec {
