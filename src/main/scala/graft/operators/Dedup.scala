@@ -30,6 +30,14 @@ object Dedup {
   val MaxShingleDf = 50
   val MinSharedRare = 2 // candidate prefilter: ≥2 shared rare shingles
   val JaccardThreshold = 0.1
+  /** Band-bucket guard: a degenerate bucket (boilerplate-heavy corpus — e.g.
+    * hundreds of near-identical pages landing in one band key) would make the
+    * band self-join quadratic in that bucket. Buckets above the cap are
+    * dropped from candidate generation: mass-duplicated text is exact-dedup's
+    * job (one hash-agg), not pairwise LSH's. Test-corpus max bucket: 7 at
+    * sf0.1, so the guard changes nothing at oracle scales.
+    */
+  val MaxBandBucket = 200
 
   /** Word 3-gram shingles of a tokenized text, as an array column.
     * try_element_at: documents with < 3 words index past the array end, which
@@ -56,11 +64,14 @@ object Dedup {
     * the explode+md5 pass (single-consumer queries skip the checkpoint — the
     * blocks aren't free, they occupy executor storage until released).
     */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(shingles3(words)).as("shingle"))
       .distinct()
       .withColumn("base", conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long"))
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(spark, dir))
 
   private val docShinglesSql: String =
     s"""shingles0 AS (
@@ -123,10 +134,23 @@ object Dedup {
        |)""".stripMargin
   }
 
-  /** LSH candidate pairs (same band key) verified with exact shingle Jaccard. */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir).localCheckpoint(true)
-    val bands = bandsOf(spark, sh).localCheckpoint(true)
+  /** LSH candidate pairs (same band key) verified with exact shingle Jaccard.
+    * Buckets above [[MaxBandBucket]] are excluded before the self-join (the
+    * window count shuffles on the same (band, band_key) the join needs, so the
+    * guard adds no extra shuffle of the bands table).
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(docShingles(spark, dir))
+
+  private[graft] def minhashPairsOf(shRaw: DataFrame): DataFrame = {
+    val sh = shRaw.localCheckpoint(true)
+    val spark = sh.sparkSession
+    val wBucket = Window.partitionBy("band", "band_key")
+    val bands = bandsOf(spark, sh)
+      .withColumn("bsz", count(lit(1)).over(wBucket))
+      .filter(col("bsz") <= MaxBandBucket)
+      .drop("bsz")
+      .localCheckpoint(true)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -250,9 +274,13 @@ object Dedup {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_minhash_sig" -> (minhashBandsSql + " SELECT doc_id, band, band_key FROM bands ORDER BY doc_id, band"),
     "dedup_minhash_pairs" -> (minhashBandsSql +
-      s""", cand AS (
+      s""", bands_ok AS (
+         |  SELECT doc_id, band, band_key FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz FROM bands
+         |  ) WHERE bsz <= $MaxBandBucket
+         |), cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
+         |  FROM bands_ok a JOIN bands_ok b
          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |)${jaccardSql("cand")}
          | SELECT doc_a, doc_b, jaccard FROM jac ORDER BY doc_a, doc_b""".stripMargin),

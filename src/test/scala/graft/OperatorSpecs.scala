@@ -220,6 +220,21 @@ class DedupSpec extends SparkSpec {
     val mm = Dedup.simhash(spark, sf).agg(min("simhash"), max("simhash")).collect()(0)
     assert(mm.getLong(0) >= 0 && mm.getLong(1) < 65536)
   }
+
+  test("band-bucket guard: a degenerate boilerplate bucket cannot go quadratic") {
+    import spark.implicits._
+    // 300 copies of the same boilerplate land every band in one 300-doc bucket
+    // (C(300,2) = 44,850 candidate pairs without the guard); two genuine
+    // near-dups live in small buckets and must still be found.
+    val boiler = (0L until 300L).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val nearDup = Seq(
+      (1000L, "one two three four five six seven eight nine ten"),
+      (1001L, "one two three four five six seven eight nine eleven"))
+    val docs = (boiler ++ nearDup).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsOf(Dedup.shinglesOf(docs)).collect()
+    assert(pairs.length == 1) // only the near-dup pair; boilerplate suppressed
+    assert(pairs(0).getLong(0) == 1000L && pairs(0).getLong(1) == 1001L)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
