@@ -55,10 +55,19 @@ object Dedup {
 
   private def words = split(col("text"), "\\s+")
 
-  /** Distinct (doc_id, shingle) long table, with a 28-bit integer digest per
+  /** Distinct (doc_id, base) long table — base is a 28-bit integer digest per
     * shingle (one md5 per shingle; the k minhash functions are derived from it
     * arithmetically — 12 integer LCGs instead of 12 md5 calls per shingle,
     * which cut the minhash stage ~10× at sf0.1).
+    *
+    * The shingle STRING is dropped before the distinct: every downstream
+    * shuffle, self-join, and intersection then moves 8-byte longs instead of
+    * ~30-byte n-gram strings — at corpus scale the set-similarity keys are the
+    * dominant shuffle volume. Jaccard over digest sets approximates string-set
+    * Jaccard to within 28-bit birthday collisions (~0.2% of a 1k-shingle doc),
+    * and the DuckDB twin computes the identical digest sets, so oracle parity
+    * is exact.
+    *
     * Pair queries localCheckpoint this once so the band self-join and the
     * Jaccard verification reuse materialized partitions instead of re-deriving
     * the explode+md5 pass (single-consumer queries skip the checkpoint — the
@@ -67,18 +76,19 @@ object Dedup {
   private[graft] def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(shingles3(words)).as("shingle"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long").as("base"))
       .distinct()
-      .withColumn("base", conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long"))
 
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(Tables.documents(spark, dir))
 
   private val docShinglesSql: String =
     s"""shingles0 AS (
-       |  SELECT DISTINCT doc_id, unnest(${shingles3Sql("regexp_split_to_array(text, '\\s+')")}) AS shingle
+       |  SELECT doc_id, unnest(${shingles3Sql("regexp_split_to_array(text, '\\s+')")}) AS shingle
        |  FROM documents
        |), shingles AS (
-       |  SELECT doc_id, shingle, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS base
+       |  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS base
        |  FROM shingles0
        |)""".stripMargin
 
@@ -159,14 +169,14 @@ object Dedup {
     withJaccard(sh, cand)
   }
 
-  /** Attach exact shingle Jaccard to a (doc_a, doc_b) pair set. */
+  /** Attach exact digest-set Jaccard to a (doc_a, doc_b) pair set. */
   private def withJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("base"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("base"))
     pairs
       .join(shA, "doc_a")
-      .join(shB, Seq("doc_b", "shingle")) // equi-join on (doc_b, shingle) = set intersection
+      .join(shB, Seq("doc_b", "base")) // equi-join on (doc_b, base) = set intersection
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
@@ -183,12 +193,12 @@ object Dedup {
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(spark, dir).localCheckpoint(true)
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val rare = sh.groupBy("base").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf && col("df") >= 2)
-    val blocked = sh.join(rare.select("shingle"), "shingle")
-      .select("doc_id", "shingle").localCheckpoint(true)
+    val blocked = sh.join(rare.select("base"), "base")
+      .select("doc_id", "base").localCheckpoint(true)
     val cand = blocked.as("a").join(blocked.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.base") === col("b.base") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_rare_shared"))
       .filter(col("n_rare_shared") >= MinSharedRare)
@@ -246,7 +256,7 @@ object Dedup {
        |  SELECT c.doc_a, c.doc_b, count(*) AS n_shared
        |  FROM $candCte c
        |  JOIN shingles sa ON sa.doc_id = c.doc_a
-       |  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.base = sa.base
        |  GROUP BY c.doc_a, c.doc_b
        |), jac AS (
        |  SELECT s.doc_a, s.doc_b,
@@ -287,13 +297,13 @@ object Dedup {
     "dedup_ngram_jaccard" ->
       s"""WITH $docShinglesSql,
          |rare AS (
-         |  SELECT shingle FROM shingles GROUP BY shingle
+         |  SELECT base FROM shingles GROUP BY base
          |  HAVING count(*) <= $MaxShingleDf AND count(*) >= 2
          |), blocked AS (
-         |  SELECT s.doc_id, s.shingle FROM shingles s JOIN rare r ON s.shingle = r.shingle
+         |  SELECT s.doc_id, s.base FROM shingles s JOIN rare r ON s.base = r.base
          |), cand AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM blocked a JOIN blocked b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM blocked a JOIN blocked b ON a.base = b.base AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2 HAVING count(*) >= $MinSharedRare
          |)${jaccardSql("cand")}
          | SELECT doc_a, doc_b, jaccard FROM jac

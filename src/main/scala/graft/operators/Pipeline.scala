@@ -108,7 +108,10 @@ object Pipeline {
         .groupBy("epoch", "split")
         .agg(r6(epochLoss(all, cfg.loss_type)).as("loss"))
     }
+    // log-scale curve column, mirroring the reference's loss plot
+    // (test_training.py:181-182 plots log10(loss))
     frames.reduce(_ union _)
+      .withColumn("log10_loss", r6(log10(col("loss"))))
   }
 
   /** A7 + G13: pick the best epoch by val loss, sink it as a checkpoint parquet
@@ -158,8 +161,12 @@ object Pipeline {
   }
 
   private def epochMetricsSql: String = noisedSql +
-    s""" SELECT epoch, split, ${sqlR6("avg(pow(xt - value, 2))")} AS loss
-       | FROM noised_t GROUP BY epoch, split ORDER BY epoch, split""".stripMargin
+    s""", em AS (
+       |  SELECT epoch, split, ${sqlR6("avg(pow(xt - value, 2))")} AS loss
+       |  FROM noised_t GROUP BY epoch, split
+       |)
+       | SELECT epoch, split, loss, ${sqlR6("log10(loss)")} AS log10_loss
+       | FROM em ORDER BY epoch, split""".stripMargin
 
   private def bestCheckpointSql: String = noisedSql +
     s""", em AS (
