@@ -83,6 +83,18 @@ object Dedup {
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(Tables.documents(spark, dir))
 
+  /** Non-distinct digest stream for the signature-only path: MIN-aggregation
+    * is insensitive to duplicate shingles, so computing signatures from the
+    * raw explode skips the distinct's full shuffle — the groupBy(doc_id)
+    * min-aggs partial-aggregate map-side to one row per doc before any data
+    * moves. (Pair queries keep the distinct table: Jaccard needs set counts.)
+    */
+  private def docShinglesAll(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles3(words)).as("shingle"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long").as("base"))
+
   private val docShinglesSql: String =
     s"""shingles0 AS (
        |  SELECT doc_id, unnest(${shingles3Sql("regexp_split_to_array(text, '\\s+')")}) AS shingle
@@ -109,7 +121,7 @@ object Dedup {
     * band keys = the concatenated in-band minhashes.
     */
   def minhashBands(spark: SparkSession, dir: String): DataFrame =
-    bandsOf(spark, docShingles(spark, dir))
+    bandsOf(spark, docShinglesAll(spark, dir))
 
   private def bandsOf(spark: SparkSession, sh: DataFrame): DataFrame = {
     // all k minhashes as parallel min-aggregates in ONE pass (no k-fold explode:

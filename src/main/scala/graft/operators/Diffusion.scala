@@ -242,7 +242,9 @@ object Diffusion {
     val zKeyBase = col("series_id").cast("double") * seqLen + col("t")
     for (((step, g, sv), i) <- sc.zipWithIndex) {
       x = x.withColumn("x", lit(g) * col("x") + lit(sv) * R.gauss(zKeyBase * timesteps + step, 14))
-      if ((i + 1) % 25 == 0) x = x.localCheckpoint(eager = true)
+      // every 10 steps: bounds lineage AND keeps each codegen unit small — 25
+      // nested Box-Muller steps in one projection overflow the JIT's happy path
+      if ((i + 1) % 10 == 0) x = x.localCheckpoint(eager = true)
     }
     x.select(col("series_id"), col("t"), r6(col("x") / lit(sqrtAc0)).as("value"))
   }

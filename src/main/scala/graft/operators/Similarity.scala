@@ -96,13 +96,15 @@ object Similarity {
   /** Nearest-centroid assignment; distances rounded before the argmin with a
     * deterministic (dist, c) tiebreak so both engines pick identical clusters.
     */
-  private def assign(e: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy("dist", "c")
+  private def assign(e: DataFrame, cent: DataFrame): DataFrame =
+    // argmin as min(struct(dist, c)): lexicographic struct ordering equals the
+    // (dist asc, c asc) tiebreak, and the hash-agg partial-aggregates map-side
+    // — no shuffle-and-sort window over the (vector × centroid) fan-out
     e.crossJoin(broadcast(cent))
       .withColumn("dist", r6(l2_sq(col("v"), col("w"))))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("vec_id", "c")
-  }
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("c"))).as("m"))
+      .select(col("vec_id"), col("m").getField("c").as("c"))
 
   private def toArrayForm(flatCent: DataFrame): DataFrame =
     flatCent.groupBy("c")
