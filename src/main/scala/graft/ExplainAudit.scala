@@ -1,0 +1,21 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "tpch_q1", "tpch_q5", "diff_sample_cond", "diff_sample_inpaint",
+      "ts_decompose_dim", "media_features", "dedup_minhash_sig", "gen_parity")
+    names.foreach { n =>
+      println(s"========== $n ==========")
+      println(SparkEntry.queries(n)(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

@@ -39,46 +39,44 @@ object Dedup {
     */
   val MaxBandBucket = 200
 
-  /** Word 3-gram shingles of a tokenized text, as an array column.
-    * try_element_at: documents with < 3 words index past the array end, which
-    * under Spark 4 ANSI mode would throw instead of yielding null; DuckDB's
-    * list indexing yields NULL there, and concat_ws skips NULLs in both engines.
-    */
-  def shingles3(ws: Column): Column =
-    transform(sequence(lit(0), greatest(size(ws) - 3, lit(0))),
-      i => concat_ws(" ", try_element_at(ws, i + 1), try_element_at(ws, i + 2), try_element_at(ws, i + 3)))
-
-  /** DuckDB twin of [[shingles3]] (1-based list indexing there too). */
-  def shingles3Sql(ws: String): String =
-    s"list_transform(generate_series(0, greatest(len($ws) - 3, 0)), " +
-      s"i -> concat_ws(' ', $ws[i + 1], $ws[i + 2], $ws[i + 3]))"
-
   private def words = split(col("text"), "\\s+")
+  private val M31 = 2147483648L
 
-  /** Distinct (doc_id, base) long table — base is a 28-bit integer digest per
-    * shingle (one md5 per shingle; the k minhash functions are derived from it
-    * arithmetically — 12 integer LCGs instead of 12 md5 calls per shingle,
-    * which cut the minhash stage ~10× at sf0.1).
+  /** Word 3-gram shingle digest stream: one md5 per WORD (28-bit integer
+    * digest), then shingle base = the LCG-style combine of 3 consecutive word
+    * digests — ((h₁·69069 + h₂) mod 2³¹)·69069 + h₃ mod 2³¹, all intermediates
+    * < 2⁶² so exact BIGINT in both engines. Building the 3-word shingle
+    * STRINGS and hashing those measured 8× slower at sf0.1 (6.7 s → 0.8 s for
+    * the explode+digest stage): per-shingle string assembly dominates, not the
+    * hash. try_element_at + coalesce(0): documents with < 3 words index past
+    * the array end, which under Spark 4 ANSI mode would throw; DuckDB's list
+    * indexing yields NULL there — both engines coalesce to 0.
+    */
+  private def shingleDigests(docs: DataFrame): DataFrame = {
+    val hw = transform(words, w => conv(substring(md5(w), 1, 7), 16, 10).cast("long"))
+    def at(c: Column, i: Column): Column = coalesce(try_element_at(c, i), lit(0L))
+    docs.select(col("doc_id"), hw.as("hw"), size(words).as("nw"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), greatest(col("nw") - 3, lit(0))),
+          i => (((at(col("hw"), i + 1) * 69069L + at(col("hw"), i + 2)) % M31) * 69069L
+            + at(col("hw"), i + 3)) % M31)).as("base"))
+  }
+
+  /** Distinct (doc_id, base) long table — the canonical shingle-set view.
     *
-    * The shingle STRING is dropped before the distinct: every downstream
-    * shuffle, self-join, and intersection then moves 8-byte longs instead of
-    * ~30-byte n-gram strings — at corpus scale the set-similarity keys are the
+    * Only longs flow downstream: every shuffle, self-join, and intersection
+    * moves 8-byte keys — at corpus scale the set-similarity keys are the
     * dominant shuffle volume. Jaccard over digest sets approximates string-set
-    * Jaccard to within 28-bit birthday collisions (~0.2% of a 1k-shingle doc),
-    * and the DuckDB twin computes the identical digest sets, so oracle parity
-    * is exact.
+    * Jaccard to within 31-bit birthday collisions, and the DuckDB twin
+    * computes the identical digest sets, so oracle parity is exact.
     *
     * Pair queries localCheckpoint this once so the band self-join and the
     * Jaccard verification reuse materialized partitions instead of re-deriving
-    * the explode+md5 pass (single-consumer queries skip the checkpoint — the
-    * blocks aren't free, they occupy executor storage until released).
+    * the explode+digest pass (single-consumer queries skip the checkpoint —
+    * the blocks aren't free, they occupy executor storage until released).
     */
   private[graft] def shinglesOf(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(shingles3(words)).as("shingle"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long").as("base"))
-      .distinct()
+    shingleDigests(docs).distinct()
 
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(Tables.documents(spark, dir))
@@ -90,18 +88,20 @@ object Dedup {
     * moves. (Pair queries keep the distinct table: Jaccard needs set counts.)
     */
   private def docShinglesAll(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles3(words)).as("shingle"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long").as("base"))
+    shingleDigests(Tables.documents(spark, dir))
 
   private val docShinglesSql: String =
     s"""shingles0 AS (
-       |  SELECT doc_id, unnest(${shingles3Sql("regexp_split_to_array(text, '\\s+')")}) AS shingle
+       |  SELECT doc_id,
+       |         list_transform(regexp_split_to_array(text, '\\s+'),
+       |                        w -> ('0x' || substr(md5(w), 1, 7))::BIGINT) AS hw
        |  FROM documents
        |), shingles AS (
-       |  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS base
-       |  FROM shingles0
+       |  SELECT DISTINCT s.doc_id,
+       |         ((((coalesce(s.hw[g.i + 1], 0) * 69069 + coalesce(s.hw[g.i + 2], 0)) % $M31) * 69069
+       |           + coalesce(s.hw[g.i + 3], 0)) % $M31) AS base
+       |  FROM shingles0 s,
+       |       LATERAL (SELECT unnest(generate_series(0, greatest(len(s.hw) - 3, 0))) AS i) g
        |)""".stripMargin
 
   /** Exact dedup: canonical = min doc_id per identical text; grouped on the

@@ -73,12 +73,26 @@ object TextOps {
       .withColumn("matches_tag", col("pred_lang") === col("lang"))
   }
 
+  /** Word 3-gram shingle STRINGS (fingerprinting wants human-auditable
+    * shingles; the dedup family hashes word digests arithmetically instead —
+    * see Dedup.shingleDigests). try_element_at: <3-word docs index past the
+    * array end, which under ANSI mode would throw; concat_ws skips the nulls
+    * in both engines.
+    */
+  private def shingles3(ws: Column): Column =
+    transform(sequence(lit(0), greatest(size(ws) - 3, lit(0))),
+      i => concat_ws(" ", try_element_at(ws, i + 1), try_element_at(ws, i + 2), try_element_at(ws, i + 3)))
+
+  private def shingles3Sql(ws: String): String =
+    s"list_transform(generate_series(0, greatest(len($ws) - 3, 0)), " +
+      s"i -> concat_ws(' ', $ws[i + 1], $ws[i + 2], $ws[i + 3]))"
+
   /** Document fingerprinting: md5 of the normalized text plus the minimum
     * word-3-shingle hash (a 1-permutation minhash / rolling-hash stand-in).
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
-    val shingles = Dedup.shingles3(words)
+    val shingles = shingles3(words)
     docs(spark, dir).select(
       col("doc_id"),
       md5(norm).as("fingerprint"),
@@ -155,7 +169,7 @@ object TextOps {
     "text_fingerprint" ->
       s"""SELECT doc_id,
          |       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
-         |       list_min(list_transform(${Dedup.shingles3Sql(wordsSql)}, s -> md5(s))) AS min_shingle_hash
+         |       list_min(list_transform(${shingles3Sql(wordsSql)}, s -> md5(s))) AS min_shingle_hash
          |FROM documents ORDER BY doc_id""".stripMargin,
     "text_corpus_stats" ->
       s"""SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
