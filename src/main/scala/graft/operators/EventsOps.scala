@@ -156,6 +156,36 @@ object EventsOps {
       .select(col(key), col("t"), r6(col("value")).as("value"))
       .orderBy(key, "t")
 
+  /** Skew-safe two-phase aggregation: events concentrate on 5 event_types, so
+    * a direct groupBy lands ~20% of ALL rows on single reducers at any scale.
+    * Salting splits each hot key into `buckets` sub-keys for the first
+    * (partial) aggregation, then a second, tiny aggregation over ≤ 5×buckets
+    * partial rows recombines exact results — counts/sums/min/max compose, the
+    * mean derives from recombined micros. The identity result is the oracle:
+    * DuckDB computes the direct one-phase aggregate.
+    */
+  def saltedAgg(spark: SparkSession, dir: String, buckets: Int = 16): DataFrame = {
+    val partial = Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(buckets)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("sv"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+    partial.groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"),
+        r6(sum(col("sv")).cast("double") / 1e6).as("sum_value"),
+        r6(sum(col("sv")).cast("double") / 1e6 / sum(col("n"))).as("avg_value"),
+        r6(min(col("mn"))).as("min_value"),
+        r6(max(col("mx"))).as("max_value"))
+  }
+
+  def saltedAggOracle: String =
+    s"""SELECT event_type, count(*) AS n_events,
+       |       ${sqlR6("CAST(sum(CAST(floor(value*1e6 + 0.5) AS BIGINT)) AS DOUBLE)/1e6")} AS sum_value,
+       |       ${sqlR6("CAST(sum(CAST(floor(value*1e6 + 0.5) AS BIGINT)) AS DOUBLE)/1e6/count(*)")} AS avg_value,
+       |       ${sqlR6("min(value)")} AS min_value, ${sqlR6("max(value)")} AS max_value
+       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** Tumbling-window aggregate over event time (§7.5 streaming-shaped, batch form). */
   def tumbling(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -280,6 +310,7 @@ object EventsOps {
     "ts_decompose_dim" -> ((s, _) => decomposeDim(s)),
     "ts_decompose_mse" -> ((s, d) => decomposeMse(s, d)),
     "ts_stride" -> ((s, d) => stride(s, d, 5, "user_id")),
+    "ts_skew_salted_agg" -> ((s, d) => saltedAgg(s, d).orderBy("event_type")),
     "ts_tumbling_agg" -> ((s, d) => tumbling(s, d))
   )
 
@@ -291,6 +322,7 @@ object EventsOps {
     "ts_decompose_dim" -> decomposeDimOracle,
     "ts_decompose_mse" -> decomposeMseOracle,
     "ts_stride" -> strideOracleK("user_id"),
+    "ts_skew_salted_agg" -> saltedAggOracle,
     "ts_tumbling_agg" -> tumblingOracle
   )
 }

@@ -96,41 +96,50 @@ object Similarity {
   /** Nearest-centroid assignment; distances rounded before the argmin with a
     * deterministic (dist, c) tiebreak so both engines pick identical clusters.
     */
-  private def assign(e: DataFrame, cent: DataFrame): DataFrame =
-    // argmin as min(struct(dist, c)): lexicographic struct ordering equals the
-    // (dist asc, c asc) tiebreak, and the hash-agg partial-aggregates map-side
-    // — no shuffle-and-sort window over the (vector × centroid) fan-out
-    e.crossJoin(broadcast(cent))
-      .withColumn("dist", r6(l2_sq(col("v"), col("w"))))
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("c"))).as("m"))
-      .select(col("vec_id"), col("m").getField("c").as("c"))
-
-  private def toArrayForm(flatCent: DataFrame): DataFrame =
-    flatCent.groupBy("c")
-      .agg(transform(sort_array(collect_list(struct(col("d"), col("w")))),
-        x => x.getField("w")).as("w"))
-
-  /** 3 unrolled Lloyd iterations, k=16, initialized from the first k vectors.
-    * Updated centroid coordinates are r6-rounded each iteration — the same
-    * round-before-reuse rule as the DFT bins — so the oracle's arbitrary-order
-    * averages agree with Spark's and every assignment matches.
+  /** Nearest-centroid id for a vector column, with the centroids folded into
+    * the plan as LITERALS (k×Dim = 1,024 doubles — the same driver-side
+    * constant-folding as the diffusion schedule scalars): argmin =
+    * array_min over (dist, c) structs, entirely inside one codegen'd
+    * projection — no centroid join, no shuffle, no per-assignment aggregation.
+    * Distances are r6-rounded with the (dist, c) lexicographic tiebreak, so
+    * assignments match the oracle's windowed argmin exactly.
     */
-  def kmeansCentroidsFlat(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).select("vec_id", "v").localCheckpoint(true)
-    val flat = e.select(col("vec_id"), posexplode(col("v")))
-      .withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
-      .localCheckpoint(true)
-    var centFlat = e.filter(col("vec_id") < KMeansK)
-      .select(col("vec_id").cast("int").as("c"), posexplode(col("v")))
-      .withColumnRenamed("pos", "d").withColumnRenamed("col", "w")
-    for (_ <- 1 to KMeansIters) {
-      val asg = assign(e, toArrayForm(centFlat))
-      centFlat = asg.join(flat, "vec_id")
-        .groupBy("c", "d").agg(r6(avg(col("x"))).as("w"))
-        .localCheckpoint(true)
+  private def assignLit(cent: Seq[(Int, Seq[Double])]): Column = {
+    // (dist, c) pairs as 2-element arrays: array_min is lexicographic, so the
+    // minimum is (min dist, lowest c) — the deterministic tiebreak; c ≤ 16 is
+    // exact in double
+    val pairs = cent.map { case (c, w) =>
+      array(r6(l2_sq(col("v"), typedLit(w))), lit(c.toDouble))
     }
-    centFlat
+    array_min(array(pairs: _*)).getItem(1).cast("int")
+  }
+
+  /** Lloyd iterations with driver-folded centroids: each iteration is ONE
+    * distributed aggregation (assign inline + per-(c, d) mean) plus a
+    * 1,024-value collect. Updated coordinates are r6-rounded each iteration —
+    * the same round-before-reuse rule as the DFT bins — so the oracle's
+    * arbitrary-order averages agree with Spark's and every assignment matches.
+    */
+  private def lloydCentroids(e: DataFrame): Seq[(Int, Seq[Double])] = {
+    var cent: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < KMeansK)
+      .select(col("vec_id").cast("int").as("c"), col("v")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq.sortBy(_._1)
+    for (_ <- 1 to KMeansIters) {
+      cent = e.select(assignLit(cent).as("c"), posexplode(col("v")))
+        .groupBy(col("c"), col("pos").as("d"))
+        .agg(r6(avg(col("col"))).as("w"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3).toSeq }
+        .toSeq.sortBy(_._1)
+    }
+    cent
+  }
+
+  def kmeansCentroidsFlat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cent = lloydCentroids(emb(spark, dir).select("vec_id", "v").localCheckpoint(true))
+    cent.flatMap { case (c, ws) => ws.zipWithIndex.map { case (w, d) => (c, d, w) } }
+      .toDF("c", "d", "w")
   }
 
   /** IVF search: probe the query's own bucket (nprobe = 1) and rank by fused
@@ -138,7 +147,7 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select("vec_id", "v").localCheckpoint(true)
-    val buckets = assign(e, toArrayForm(kmeansCentroidsFlat(spark, dir)))
+    val buckets = e.select(col("vec_id"), assignLit(lloydCentroids(e)).as("c"))
     val eb = e.join(buckets, "vec_id")
     val q = eb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("c"))
