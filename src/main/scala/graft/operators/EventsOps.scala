@@ -186,6 +186,32 @@ object EventsOps {
        |       ${sqlR6("min(value)")} AS min_value, ${sqlR6("max(value)")} AS max_value
        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Exact per-key value quantiles (distribution profiling — absent from the
+    * reference, free from Spark). Exact `percentile` uses the same linear
+    * interpolation as DuckDB's quantile_cont, so it is oracle-checkable;
+    * it buffers each group's values, which is fine for bounded per-key groups
+    * — at at 100 TB with unbounded groups swap in `approx_percentile`
+    * (t-digest, mergeable, no buffering), trading the exact oracle for a
+    * tolerance check.
+    */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).groupBy("event_type")
+      .agg(
+        r6(percentile(col("value"), lit(0.25))).as("q25"),
+        r6(percentile(col("value"), lit(0.5))).as("q50"),
+        r6(percentile(col("value"), lit(0.75))).as("q75"),
+        r6(percentile(col("value"), lit(0.99))).as("q99"),
+        count(lit(1)).as("n"))
+
+  def valueQuantilesOracle: String =
+    s"""SELECT event_type,
+       |       ${sqlR6("quantile_cont(value, 0.25e0)")} AS q25,
+       |       ${sqlR6("quantile_cont(value, 0.5e0)")} AS q50,
+       |       ${sqlR6("quantile_cont(value, 0.75e0)")} AS q75,
+       |       ${sqlR6("quantile_cont(value, 0.99e0)")} AS q99,
+       |       count(*) AS n
+       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** Tumbling-window aggregate over event time (§7.5 streaming-shaped, batch form). */
   def tumbling(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -311,6 +337,7 @@ object EventsOps {
     "ts_decompose_mse" -> ((s, d) => decomposeMse(s, d)),
     "ts_stride" -> ((s, d) => stride(s, d, 5, "user_id")),
     "ts_skew_salted_agg" -> ((s, d) => saltedAgg(s, d).orderBy("event_type")),
+    "ts_value_quantiles" -> ((s, d) => valueQuantiles(s, d).orderBy("event_type")),
     "ts_tumbling_agg" -> ((s, d) => tumbling(s, d))
   )
 
@@ -323,6 +350,7 @@ object EventsOps {
     "ts_decompose_mse" -> decomposeMseOracle,
     "ts_stride" -> strideOracleK("user_id"),
     "ts_skew_salted_agg" -> saltedAggOracle,
+    "ts_value_quantiles" -> valueQuantilesOracle,
     "ts_tumbling_agg" -> tumblingOracle
   )
 }
