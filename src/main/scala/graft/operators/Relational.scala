@@ -90,6 +90,29 @@ object Relational {
       .agg(exactSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** Hierarchical rollup: revenue at (region, nation), per-region subtotal,
+    * and grand total in ONE pass — Catalyst's Expand operator computes all
+    * grouping sets from a single scan (SURVEY §2.3: grouping sets are a free
+    * Spark capability the reference lacks). NULL grouping slots are labeled
+    * 'ALL' so the oracle hash never sees NULLs.
+    */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      // Column overload: the String-name rollup overload tags grouping refs
+      // with dataset-ids that trip DetectAmbiguousSelfJoin under multi-joins
+      .rollup(col("r_name"), col("n_name"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .na.fill("ALL", Seq("r_name", "n_name"))
+  }
+
   /** Window ranking: top-3 customers by account balance per nation. */
   def topCustomersPerNation(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("n_name").orderBy(desc("c_acctbal"), asc("c_custkey"))
@@ -134,6 +157,7 @@ object Relational {
     "tpch_q3" -> ((s, d) => q3(s, d)),
     "tpch_q5" -> ((s, d) => q5(s, d).orderBy("r_name", "n_name")),
     "tpch_q6" -> ((s, d) => q6(s, d)),
+    "revenue_rollup" -> ((s, d) => revenueRollup(s, d).orderBy("r_name", "n_name")),
     "top_customers_per_nation" -> ((s, d) => topCustomersPerNation(s, d).orderBy("n_name", "rank")),
     "customer_running_total" -> ((s, d) => customerRunningTotal(s, d).orderBy("o_custkey", "o_orderdate", "o_orderkey")),
     "events_sessionize" -> ((s, d) => sessionize(s, d).orderBy("user_id", "session_seq"))
@@ -177,6 +201,17 @@ object Relational {
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
          |  AND l_discount >= 0.05e0 AND l_discount <= 0.07e0 AND l_quantity < 24.0e0""".stripMargin,
+    "revenue_rollup" ->
+      s"""SELECT coalesce(r.r_name, 'ALL') AS r_name, coalesce(n.n_name, 'ALL') AS n_name,
+         |       ${sqlExactSum("l.l_extendedprice * (1.0e0 - l.l_discount)")} AS revenue,
+         |       count(*) AS n_items
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY ROLLUP (r.r_name, n.n_name) ORDER BY 1, 2""".stripMargin,
     "top_customers_per_nation" ->
       s"""SELECT n_name, CAST(rank AS INT) AS rank, c_custkey, ${sqlR6("c_acctbal")} AS c_acctbal
          |FROM (

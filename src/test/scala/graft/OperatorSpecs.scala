@@ -261,6 +261,34 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class AggregateSpec extends SparkSpec {
+  test("rollup: grand total equals the sum of region subtotals") {
+    val rows = Relational.revenueRollup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    val grand = rows.filter(r => r._1 == "ALL" && r._2 == "ALL")
+    val regionSub = rows.filter(r => r._1 != "ALL" && r._2 == "ALL")
+    assert(grand.size == 1)
+    assert(math.abs(grand.head._3 - regionSub.map(_._3).sum) < 1e-4)
+  }
+
+  test("salted two-phase aggregation equals the direct one-phase aggregate") {
+    import org.apache.spark.sql.functions._
+    val direct = graft.Tables.events(spark, sf).groupBy("event_type")
+      .agg(count(lit(1)).as("n_direct"))
+    val bad = EventsOps.saltedAgg(spark, sf).join(direct, "event_type")
+      .filter(col("n_events") =!= col("n_direct")).count()
+    assert(bad == 0)
+  }
+
+  test("per-key quantiles are monotone") {
+    import org.apache.spark.sql.functions._
+    val bad = EventsOps.valueQuantiles(spark, sf)
+      .filter(col("q25") > col("q50") || col("q50") > col("q75") || col("q75") > col("q99"))
+      .count()
+    assert(bad == 0)
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   test("media feature extraction is deterministic and shuffle-free on payloads") {
     val a = Multimodal.extractFeatures(spark).collect().sortBy(_.getLong(0))
