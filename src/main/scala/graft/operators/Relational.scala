@@ -132,6 +132,51 @@ object Relational {
         r6(sum(col("o_totalprice")).over(w)).as("running_total"))
   }
 
+  /** As-of join — an operator Spark lacks natively: for each purchase event,
+    * the most recent click of the same user at or before the purchase time.
+    *
+    * The scale-correct Spark form is NOT a range join (quadratic blowup per
+    * user) but union + LOCF window: tag both sides, sort within the user key
+    * by (ts, side) so a click at the same instant precedes the purchase, and
+    * carry the last click forward — ONE shuffle on the join key, linear work,
+    * the same shape at 100 TB. The right side is deduplicated to one click
+    * per (user, ts) (argmax event_id) so the pick is deterministic. The
+    * oracle is DuckDB's native ASOF JOIN.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("m").getField("event_id").as("event_id"), col("m").getField("value").as("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "side", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("click_ts", last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("click_value", last(when(col("side") === 0, col("value")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("click_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        r6(col("value")).as("purchase_value"),
+        col("click_ts"), r6(col("click_value")).as("click_value"))
+  }
+
+  def asofJoinOracle: String =
+    s"""WITH cl AS (
+       |  SELECT user_id, ts, event_id, value FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+       |    FROM events WHERE event_type = 'click')
+       |  WHERE rn = 1
+       |), pu AS (
+       |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+       |)
+       |SELECT p.event_id, p.user_id, p.ts, ${sqlR6("p.value")} AS purchase_value,
+       |       c.ts AS click_ts, ${sqlR6("c.value")} AS click_value
+       |FROM pu p ASOF JOIN cl c ON p.user_id = c.user_id AND p.ts >= c.ts
+       |ORDER BY p.event_id""".stripMargin
+
   /** Gap-based sessionization of events: new session when > 30 min idle. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -160,6 +205,7 @@ object Relational {
     "revenue_rollup" -> ((s, d) => revenueRollup(s, d).orderBy("r_name", "n_name")),
     "top_customers_per_nation" -> ((s, d) => topCustomersPerNation(s, d).orderBy("n_name", "rank")),
     "customer_running_total" -> ((s, d) => customerRunningTotal(s, d).orderBy("o_custkey", "o_orderdate", "o_orderkey")),
+    "events_asof_join" -> ((s, d) => asofJoin(s, d).orderBy("event_id")),
     "events_sessionize" -> ((s, d) => sessionize(s, d).orderBy("user_id", "session_seq"))
   )
 
@@ -224,6 +270,7 @@ object Relational {
       s"""SELECT o_custkey, o_orderkey, o_orderdate,
          |       ${sqlR6("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_total
          |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "events_asof_join" -> asofJoinOracle,
     "events_sessionize" ->
       s"""WITH g AS (
          |  SELECT user_id, event_id, ts, value,
