@@ -36,7 +36,9 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
-        df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(sum("h")).collect()
+        // sum as DOUBLE: a BIGINT sum of xxhash64 values overflows 2^63 under
+        // ANSI mode and aborts the query mid-scan, truncating the measurement
+        df.select(xxhash64(df.columns.map(col): _*).cast("double").as("h")).agg(sum("h")).collect()
       } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // release blocks pinned by intra-query localCheckpoints so storage

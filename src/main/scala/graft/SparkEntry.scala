@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +26,8 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (Pipeline.queries, Pipeline.oracles),
       (Multimodal.queries, Multimodal.oracles),
-      (TrendFit.queries, TrendFit.oracles)
+      (TrendFit.queries, TrendFit.oracles),
+      (StreamingOps.queries, StreamingOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -18,14 +18,25 @@ object Tables {
     * SparkSession needs no special flags), then truncate to micros with exact
     * integer division — matching DuckDB's own nanos→micros truncation.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val sch = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.read.schema(sch).parquet(s"$dir/events.parquet")
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+
+  /** Streaming twin of [[events]]: same explicit schema and nanos→micros
+    * truncation, planned as an incremental file source. The file stream
+    * source requires a directory base path, so it watches the sf dir with a
+    * glob filter selecting only the events file.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")

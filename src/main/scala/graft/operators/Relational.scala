@@ -132,6 +132,47 @@ object Relational {
         r6(sum(col("o_totalprice")).over(w)).as("running_total"))
   }
 
+  /** Semi-join (TPC-H Q4 shape, adapted to fixture columns): count 1997
+    * orders by priority that have at least one returned lineitem. EXISTS
+    * compiles to LEFT SEMI HASH JOIN — the probe side streams, the build side
+    * carries only the join key, and a row matches at most once (no fan-out,
+    * unlike an inner join + distinct).
+    */
+  def ordersWithReturns(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  def ordersWithReturnsOracle: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  /** Anti-join: customers that placed no orders (TPC-H Q22 shape). NOT EXISTS
+    * compiles to LEFT ANTI HASH JOIN — same single-shuffle, no-fan-out
+    * properties as the semi join, keeping only non-matching probe rows.
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        r6(col("c_acctbal")).as("c_acctbal"))
+
+  def customersWithoutOrdersOracle: String =
+    s"""SELECT c_custkey, c_name, c_mktsegment, ${sqlR6("c_acctbal")} AS c_acctbal
+       |FROM customer c
+       |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       |ORDER BY c_custkey""".stripMargin
+
   /** As-of join — an operator Spark lacks natively: for each purchase event,
     * the most recent click of the same user at or before the purchase time.
     *
@@ -205,6 +246,8 @@ object Relational {
     "revenue_rollup" -> ((s, d) => revenueRollup(s, d).orderBy("r_name", "n_name")),
     "top_customers_per_nation" -> ((s, d) => topCustomersPerNation(s, d).orderBy("n_name", "rank")),
     "customer_running_total" -> ((s, d) => customerRunningTotal(s, d).orderBy("o_custkey", "o_orderdate", "o_orderkey")),
+    "orders_with_returns" -> ((s, d) => ordersWithReturns(s, d).orderBy("o_orderpriority")),
+    "customers_without_orders" -> ((s, d) => customersWithoutOrders(s, d).orderBy("c_custkey")),
     "events_asof_join" -> ((s, d) => asofJoin(s, d).orderBy("event_id")),
     "events_sessionize" -> ((s, d) => sessionize(s, d).orderBy("user_id", "session_seq"))
   )
@@ -270,6 +313,8 @@ object Relational {
       s"""SELECT o_custkey, o_orderkey, o_orderdate,
          |       ${sqlR6("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_total
          |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "orders_with_returns" -> ordersWithReturnsOracle,
+    "customers_without_orders" -> customersWithoutOrdersOracle,
     "events_asof_join" -> asofJoinOracle,
     "events_sessionize" ->
       s"""WITH g AS (

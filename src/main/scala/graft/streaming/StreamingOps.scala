@@ -2,6 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
+import graft.functions.Num.{r6, sqlR6}
 
 /** Structured Streaming wrappers over the batch aggregation operators
   * (SURVEY.md §7.5 — streaming is an extension, not reference parity: all
@@ -42,4 +45,44 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"))
+
+  /** Driver-visible streaming run (I5 as a query, not just a spec): the events
+    * parquet is consumed INCREMENTALLY — `readStream` file source, stateful
+    * tumbling aggregation, `Trigger.AvailableNow` draining the backlog in
+    * bounded micro-batches — and the final state lands in a memory sink that
+    * this function returns as a batch frame. The oracle is the same SQL as the
+    * batch tumbling aggregate: streaming and batch must agree on finite input.
+    *
+    * The memory sink (complete mode) is the verification surface only — it
+    * materializes on the driver. The production shape at scale is the same
+    * plan in append mode + watermark against a durable sink (kafka/parquet),
+    * where state is bounded by (#keys × #open windows) and nothing collects.
+    */
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val sink = "stream_tumbling_sink"
+    spark.catalog.dropTempView(sink)
+    val agg = tumblingCounts(Tables.eventsStream(spark, dir))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(col("ws"), col("event_type"), col("n_events"),
+        r6(col("sum_value")).as("sum_value"),
+        r6(col("sum_value") / col("n_events")).as("avg_value"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_agg" -> ((s, d) => streamTumbling(s, d).orderBy("ws", "event_type"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "stream_tumbling_agg" ->
+      s"""SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n_events,
+         |       ${sqlR6("sum(value)")} AS sum_value, ${sqlR6("sum(value) / count(*)")} AS avg_value
+         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+  )
 }
