@@ -28,26 +28,21 @@ object Diffusion {
   val BetaEnd = 0.02 // diffusion_ts_model.py:77
   val CosS = 0.008   // diffusion_ts_model.py:82
 
-  /** Schedule table: step, beta, alpha, ac (= ᾱ), ac_prev, posterior_var,
+  /** Schedule table from an ARBITRARY beta expression over the (double) step —
+    * U2 at full generality, the engine twin of the reference's documented
+    * subclassable schedule extension point
+    * (/root/reference/README.md:300-312). A `Column => Column` parameter (the
+    * same shape as the U1 custom-decay callable) keeps user schedules inside
+    * Catalyst — pure column arithmetic, no UDF, constant-folded like the
+    * built-ins. Columns: step, beta, alpha, ac (= ᾱ), ac_prev, posterior_var,
     * sqrt_ac, sqrt_omac. Unrounded — query wrappers round at the edge.
     */
-  def schedule(spark: SparkSession, timesteps: Int = T, kind: String = "linear"): DataFrame = {
-    val stepD = col("step").cast("double")
+  def scheduleFrom(spark: SparkSession, timesteps: Int, beta: Column => Column): DataFrame = {
     // single partition: ≤500 rows, and every window below is a global orderBy
     val base = spark.range(0, timesteps, 1, 1).select(col("id").cast("int").as("step"))
-    val withBeta = kind match {
-      case "linear" =>
-        base.withColumn("beta",
-          lit(BetaStart) + lit(BetaEnd - BetaStart) * (stepD / lit((timesteps - 1).toDouble)))
-      case "cosine" =>
-        def f(x: Column): Column =
-          pow(cos(((x / lit(timesteps.toDouble) + lit(CosS)) / lit(1.0 + CosS)) * lit(math.Pi * 0.5)), 2.0)
-        base.withColumn("beta",
-          greatest(least(lit(1.0) - f(stepD + 1.0) / f(stepD), lit(0.9999)), lit(1e-4)))
-      case other => throw new IllegalArgumentException(s"unknown schedule: $other")
-    }
     val wCum = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withBeta
+    base
+      .withColumn("beta", beta(col("step").cast("double")))
       .withColumn("alpha", lit(1.0) - col("beta"))
       .withColumn("ac", exp(sum(log(col("alpha"))).over(wCum)))
       .withColumn("ac_prev", lag(col("ac"), 1, 1.0).over(Window.orderBy("step")))
@@ -55,6 +50,29 @@ object Diffusion {
       .withColumn("sqrt_ac", sqrt(col("ac")))
       .withColumn("sqrt_omac", sqrt(lit(1.0) - col("ac")))
   }
+
+  /** The built-in schedule kinds (config.json:17), routed through
+    * [[scheduleFrom]] so built-ins and user schedules share one code path.
+    */
+  def schedule(spark: SparkSession, timesteps: Int = T, kind: String = "linear"): DataFrame =
+    scheduleFrom(spark, timesteps, betaFor(timesteps, kind))
+
+  private def betaFor(timesteps: Int, kind: String): Column => Column = kind match {
+    case "linear" => stepD =>
+      lit(BetaStart) + lit(BetaEnd - BetaStart) * (stepD / lit((timesteps - 1).toDouble))
+    case "cosine" => stepD =>
+      def f(x: Column): Column =
+        pow(cos(((x / lit(timesteps.toDouble) + lit(CosS)) / lit(1.0 + CosS)) * lit(math.Pi * 0.5)), 2.0)
+      greatest(least(lit(1.0) - f(stepD + 1.0) / f(stepD), lit(0.9999)), lit(1e-4))
+    case other => throw new IllegalArgumentException(s"unknown schedule: $other")
+  }
+
+  /** Demo non-builtin schedule for the registered U2 query: quadratic warmup
+    * beta(s) = BetaStart + (BetaEnd − BetaStart)·(s/(T−1))² — not one of the
+    * reference's kinds, exercising the arbitrary-expression path end to end.
+    */
+  def quadraticBeta(timesteps: Int): Column => Column = stepD =>
+    lit(BetaStart) + lit(BetaEnd - BetaStart) * pow(stepD / lit((timesteps - 1).toDouble), 2.0)
 
   /** x0 fixture: a generated dataset with a per-series random timestep (I4). */
   private[operators] val N = 50L
@@ -297,7 +315,9 @@ object Diffusion {
 
   // ---------------- DuckDB oracle twins ----------------
 
-  /** Schedule chain as CTEs ending in `sched`. */
+  /** Schedule chain as CTEs ending in `sched`. "quadratic" is the demo
+    * non-builtin schedule of [[quadraticBeta]].
+    */
   def schedSql(timesteps: Int, kind: String): String = {
     val betaExpr = kind match {
       case "linear" =>
@@ -306,6 +326,8 @@ object Diffusion {
         def f(x: String) =
           s"pow(cos((((($x) / ${sqlD(timesteps.toDouble)}) + ${sqlD(CosS)}) / ${sqlD(1.0 + CosS)}) * ${sqlD(math.Pi * 0.5)}), 2.0e0)"
         s"greatest(least(1.0e0 - ${f("CAST(step AS DOUBLE) + 1.0e0")} / ${f("CAST(step AS DOUBLE)")}, 0.9999e0), 1.0e-4)"
+      case "quadratic" =>
+        s"(1.0e-4 + ${sqlD(BetaEnd - BetaStart)} * pow(CAST(step AS DOUBLE) / ${sqlD((timesteps - 1).toDouble)}, 2.0e0))"
     }
     s"""sched0 AS (
        |  SELECT CAST(i AS INT) AS step, $betaExpr AS beta
@@ -527,19 +549,17 @@ object Diffusion {
        |       count(*) AS n_series
        |FROM labels GROUP BY 1, 2 ORDER BY label""".stripMargin
 
+  private def schedRounded(df: DataFrame): DataFrame =
+    df.select(col("step"), r6(col("beta")).as("beta"), r6(col("alpha")).as("alpha"),
+        r6(col("ac")).as("ac"), r6(col("ac_prev")).as("ac_prev"),
+        r6(col("posterior_var")).as("posterior_var"),
+        r6(col("sqrt_ac")).as("sqrt_ac"), r6(col("sqrt_omac")).as("sqrt_omac"))
+      .orderBy("step")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "diff_schedule_linear" -> ((s, _) => schedule(s, T, "linear")
-      .select(col("step"), r6(col("beta")).as("beta"), r6(col("alpha")).as("alpha"),
-        r6(col("ac")).as("ac"), r6(col("ac_prev")).as("ac_prev"),
-        r6(col("posterior_var")).as("posterior_var"),
-        r6(col("sqrt_ac")).as("sqrt_ac"), r6(col("sqrt_omac")).as("sqrt_omac"))
-      .orderBy("step")),
-    "diff_schedule_cosine" -> ((s, _) => schedule(s, T, "cosine")
-      .select(col("step"), r6(col("beta")).as("beta"), r6(col("alpha")).as("alpha"),
-        r6(col("ac")).as("ac"), r6(col("ac_prev")).as("ac_prev"),
-        r6(col("posterior_var")).as("posterior_var"),
-        r6(col("sqrt_ac")).as("sqrt_ac"), r6(col("sqrt_omac")).as("sqrt_omac"))
-      .orderBy("step")),
+    "diff_schedule_linear" -> ((s, _) => schedRounded(schedule(s, T, "linear"))),
+    "diff_schedule_cosine" -> ((s, _) => schedRounded(schedule(s, T, "cosine"))),
+    "diff_schedule_custom" -> ((s, _) => schedRounded(scheduleFrom(s, T, quadraticBeta(T)))),
     "diff_qsample" -> ((s, _) => qSample(s)
       .select(col("series_id"), col("t"), col("step"), r6(col("xt")).as("xt"))
       .orderBy("series_id", "t")),
@@ -565,6 +585,7 @@ object Diffusion {
   def oracles: Map[String, String] = Map(
     "diff_schedule_linear" -> scheduleOracle("linear"),
     "diff_schedule_cosine" -> scheduleOracle("cosine"),
+    "diff_schedule_custom" -> scheduleOracle("quadratic"),
     "diff_qsample" -> qSampleOracle,
     "diff_predict_start" -> predictStartOracle,
     "diff_psample_step" -> pSampleStepOracle,

@@ -37,10 +37,12 @@ object Metrics {
 
   /** Full-spectrum rDFT amplitudes of pred and target per series (bins 0..L/2).
     * re/im rounded before the amplitude so both engines rank/aggregate identical
-    * inputs.
+    * inputs. Takes the (possibly checkpointed) pred/target frame so the
+    * two-branch losses read one materialization instead of re-deriving the
+    * generator + schedule-join scan per branch.
     */
-  private def spectra(spark: SparkSession): DataFrame = {
-    val pt = predTarget(spark)
+  private def spectraOf(pt: DataFrame): DataFrame = {
+    val spark = pt.sparkSession
     val bins = spark.range(0, L / 2 + 1, 1, 1).select(col("id").cast("int").as("k"))
     val theta = lit(2.0 * math.Pi) * col("k") * col("t") / lit(L.toDouble)
     pt.crossJoin(broadcast(bins))
@@ -55,18 +57,26 @@ object Metrics {
         sqrt(col("re_t") * col("re_t") + col("im_t") * col("im_t")).as("amp_t"))
   }
 
-  /** A4: time-domain MSE + MSE of rFFT amplitude spectra. */
+  /** A4: time-domain MSE + MSE of rFFT amplitude spectra. The shared
+    * pred/target input feeds BOTH aggregate branches, so it is
+    * localCheckpoint'd once — without it the generator + schedule-join scan
+    * runs twice per query (time loss and spectra).
+    */
   def lossFourier(spark: SparkSession): DataFrame = {
-    val timeLoss = predTarget(spark).agg(avg(pow(col("pred") - col("target"), 2)).as("tl"))
-    val freqLoss = spectra(spark).agg(avg(pow(col("amp_p") - col("amp_t"), 2)).as("fl"))
+    val pt = predTarget(spark).localCheckpoint(eager = true)
+    val timeLoss = pt.agg(avg(pow(col("pred") - col("target"), 2)).as("tl"))
+    val freqLoss = spectraOf(pt).agg(avg(pow(col("amp_p") - col("amp_t"), 2)).as("fl"))
     timeLoss.crossJoin(freqLoss)
       .select(lit("fourier").as("loss_type"), r6(col("tl") + col("fl")).as("loss"))
   }
 
-  /** A5: combined = mse + 0.5·fourier (diffusion_ts_model.py:681-684). */
+  /** A5: combined = mse + 0.5·fourier (diffusion_ts_model.py:681-684); same
+    * single-materialization shape as [[lossFourier]].
+    */
   def lossCombined(spark: SparkSession): DataFrame = {
-    val timeLoss = predTarget(spark).agg(avg(pow(col("pred") - col("target"), 2)).as("tl"))
-    val freqLoss = spectra(spark).agg(avg(pow(col("amp_p") - col("amp_t"), 2)).as("fl"))
+    val pt = predTarget(spark).localCheckpoint(eager = true)
+    val timeLoss = pt.agg(avg(pow(col("pred") - col("target"), 2)).as("tl"))
+    val freqLoss = spectraOf(pt).agg(avg(pow(col("amp_p") - col("amp_t"), 2)).as("fl"))
     timeLoss.crossJoin(freqLoss)
       .select(lit("combined").as("loss_type"),
         r6(col("tl") + lit(0.5) * (col("tl") + col("fl"))).as("loss"))

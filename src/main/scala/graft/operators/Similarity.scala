@@ -160,6 +160,48 @@ object Similarity {
         col("rank"), col("cos"))
   }
 
+  /** Recall@k of a bucketed top-k against the brute-force ground truth — the
+    * measurement VERDICT r2 called out as the missing signal for tuning
+    * NumPlanes / KMeansK / nprobe: without it "the ANN still returns good
+    * neighbors at scale" is asserted, not quantified.
+    *
+    * Per-query hit flags roll up to one row per qid plus a grand-total row
+    * (qid = −1): recall = avg(hit), since brute force always emits exactly
+    * TopK rows per query. Left join keeps queries whose bucket returned fewer
+    * than TopK candidates honest (their misses count).
+    */
+  def recallOf(bf: DataFrame, approx: DataFrame): DataFrame = {
+    // set-intersection as UNION + groupBy rather than a join: both inputs
+    // derive from the same embeddings scan, and composing them trips Spark's
+    // ambiguous-self-join check — the union form has no join to disambiguate
+    // AND shuffles once on (qid, neighbor_id) instead of building a join hash
+    // table. Each leg is localCheckpoint'd (≤ TopK×NumQueries = 1,000 rows —
+    // trivial): that materializes the already-computed top-k lists and leaves
+    // no Join node in the composed tree for DetectAmbiguousSelfJoin to flag.
+    // Each side emits distinct pairs, so "pair present on side s" is a
+    // max-flag per group.
+    val tagged = bf.select(col("qid"), col("neighbor_id"), lit(1).as("src"))
+      .localCheckpoint(true)
+      .unionByName(approx.select(col("qid"), col("neighbor_id"), lit(2).as("src"))
+        .localCheckpoint(true))
+    val hits = tagged.groupBy("qid", "neighbor_id")
+      .agg(max(when(col("src") === 1, 1).otherwise(0)).as("in_bf"),
+        max(when(col("src") === 2, 1).otherwise(0)).as("hit"))
+      .filter(col("in_bf") === 1)
+    hits.rollup("qid")
+      .agg(r6(avg(col("hit"))).as("recall"),
+        sum(col("hit")).cast("long").as("n_matched"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("qid").cast("long"), lit(-1L)).as("qid"),
+        col("recall"), col("n_matched"), col("n"))
+  }
+
+  def lshRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(bruteForceTopK(spark, dir), lshTopK(spark, dir))
+
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(bruteForceTopK(spark, dir), ivfTopK(spark, dir))
+
   /** Per-label centroid + per-vector distance-to-centroid — the IVF building
     * block (label stands in for a coarse cluster id at test scale).
     */
@@ -184,9 +226,9 @@ object Similarity {
       |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id
       |)""".stripMargin
 
-  private def cosTopKSql(bucketJoin: Boolean): String = {
-    val bucketCtes = if (bucketJoin) s""",
-       |planes AS (
+  /** planes → projs → bkt(vec_id, bucket) — the LSH bucket chain as CTEs. */
+  private val lshBucketCtes: String =
+    s"""planes AS (
        |  SELECT CAST(h.i AS INT) AS h, CAST(d.j AS INT) AS d,
        |         (${R.sqlU01(s"(CAST(h.i AS DOUBLE) * $Dim + d.j)", 18)}) - 0.5e0 AS w
        |  FROM range(0, $NumPlanes) h(i) CROSS JOIN range(0, $Dim) d(j)
@@ -197,7 +239,10 @@ object Similarity {
        |), bkt AS (
        |  SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM projs GROUP BY vec_id
-       |)""".stripMargin else ""
+       |)""".stripMargin
+
+  private def cosTopKSql(bucketJoin: Boolean): String = {
+    val bucketCtes = if (bucketJoin) ",\n" + lshBucketCtes else ""
     val pairCond =
       if (bucketJoin) "JOIN bkt ba ON ba.vec_id = a.vec_id JOIN bkt bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket"
       else ""
@@ -216,6 +261,50 @@ object Similarity {
        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn FROM cosv)
        |WHERE rn <= $TopK ORDER BY qid, rank""".stripMargin
   }
+
+  /** `{p}_dots` → `{p}_topk(qid, vid)` CTEs with a parameterized FROM clause,
+    * so the brute-force and bucketed candidate generations share one body.
+    */
+  private def topkPairCtes(p: String, from: String): String =
+    s"""${p}_dots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.x * b.x) AS dot
+       |  $from
+       |  WHERE a.vec_id < $NumQueries AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2
+       |), ${p}_topk AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn
+       |    FROM (SELECT qid, vid, ${sqlR6("dot / (na.nrm * nb.nrm)")} AS cos
+       |          FROM ${p}_dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = vid))
+       |  WHERE rn <= $TopK
+       |)""".stripMargin
+
+  /** Full recall@k oracle: bf_topk vs ap_topk, per-qid + rollup total row. */
+  private def recallSql(bucketCtes: String, apFrom: String): String =
+    s"""WITH $flatSql,
+       |$bucketCtes,
+       |${topkPairCtes("bf", "FROM flat a JOIN flat b ON a.d = b.d")},
+       |${topkPairCtes("ap", apFrom)},
+       |hits AS (
+       |  SELECT b.qid, CASE WHEN l.vid IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM bf_topk b LEFT JOIN ap_topk l ON l.qid = b.qid AND l.vid = b.vid
+       |)
+       |SELECT coalesce(CAST(qid AS BIGINT), -1) AS qid,
+       |       ${sqlR6("avg(hit)")} AS recall,
+       |       CAST(sum(hit) AS BIGINT) AS n_matched, count(*) AS n
+       |FROM hits GROUP BY ROLLUP (qid) ORDER BY 1""".stripMargin
+
+  /** kmeans chain → bdist → bkt(vec_id, c) — the IVF bucket chain as CTEs. */
+  private def ivfBucketCtes: String =
+    s"""${kmeansSql(KMeansIters)},
+       |bdist AS (
+       |  SELECT f.vec_id, c.c, ${sqlR6("sum(pow(f.x - c.w, 2))")} AS dist
+       |  FROM flat f JOIN cent$KMeansIters c ON f.d = c.d GROUP BY f.vec_id, c.c
+       |), bkt AS (
+       |  SELECT vec_id, c FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM bdist)
+       |  WHERE rn = 1
+       |)""".stripMargin
 
   /** k-means iteration chain as CTEs: cent0 … cent$iters, asg(i) per step. */
   private def kmeansSql(iters: Int): String = {
@@ -244,7 +333,9 @@ object Similarity {
     "ann_lsh_buckets" -> ((s, d) => buckets(s, d).orderBy("vec_id")),
     "ann_centroid_dist" -> ((s, d) => centroidDistance(s, d).orderBy("vec_id")),
     "ann_ivf_centroids" -> ((s, d) => kmeansCentroidsFlat(s, d).orderBy("c", "d")),
-    "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d).orderBy("qid", "rank"))
+    "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d).orderBy("qid", "rank")),
+    "ann_lsh_recall" -> ((s, d) => lshRecall(s, d).orderBy("qid")),
+    "ann_ivf_recall" -> ((s, d) => ivfRecall(s, d).orderBy("qid"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -299,6 +390,12 @@ object Similarity {
          |)
          |SELECT qid, vid AS neighbor_id, bucket, CAST(rn AS INT) AS rank, cos
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn FROM cosv)
-         |WHERE rn <= $TopK ORDER BY qid, rank""".stripMargin
+         |WHERE rn <= $TopK ORDER BY qid, rank""".stripMargin,
+    "ann_lsh_recall" -> recallSql(lshBucketCtes,
+      "FROM flat a JOIN flat b ON a.d = b.d " +
+        "JOIN bkt ba ON ba.vec_id = a.vec_id JOIN bkt bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket"),
+    "ann_ivf_recall" -> recallSql(ivfBucketCtes,
+      "FROM flat a JOIN bkt ba ON ba.vec_id = a.vec_id JOIN bkt bb ON bb.c = ba.c " +
+        "JOIN flat b ON b.vec_id = bb.vec_id AND b.d = a.d")
   )
 }

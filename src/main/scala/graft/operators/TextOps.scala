@@ -73,30 +73,29 @@ object TextOps {
       .withColumn("matches_tag", col("pred_lang") === col("lang"))
   }
 
-  /** Word 3-gram shingle STRINGS (fingerprinting wants human-auditable
-    * shingles; the dedup family hashes word digests arithmetically instead —
-    * see Dedup.shingleDigests). try_element_at: <3-word docs index past the
-    * array end, which under ANSI mode would throw; concat_ws skips the nulls
-    * in both engines.
-    */
-  private def shingles3(ws: Column): Column =
-    transform(sequence(lit(0), greatest(size(ws) - 3, lit(0))),
-      i => concat_ws(" ", try_element_at(ws, i + 1), try_element_at(ws, i + 2), try_element_at(ws, i + 3)))
-
-  private def shingles3Sql(ws: String): String =
-    s"list_transform(generate_series(0, greatest(len($ws) - 3, 0)), " +
-      s"i -> concat_ws(' ', $ws[i + 1], $ws[i + 2], $ws[i + 3]))"
-
   /** Document fingerprinting: md5 of the normalized text plus the minimum
-    * word-3-shingle hash (a 1-permutation minhash / rolling-hash stand-in).
+    * word-3-shingle digest (a 1-permutation minhash / rolling-hash stand-in).
+    *
+    * The shingle digest is the same arithmetic combine as Dedup.shingleDigests
+    * — one md5 per WORD (28-bit integer digest), then an LCG-style fold of 3
+    * consecutive word digests, all intermediates < 2⁶² so exact BIGINT in both
+    * engines. Assembling 3-word shingle STRINGS and md5-hashing each measured
+    * ~8× slower (it was the most expensive query in the whole r2 bench at
+    * ~13 s): per-shingle string assembly + the per-shingle hash dominate, not
+    * the combine. No explode either — array_min over a transform keeps the
+    * whole query one narrow projection, zero shuffle.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
-    val shingles = shingles3(words)
-    docs(spark, dir).select(
-      col("doc_id"),
-      md5(norm).as("fingerprint"),
-      array_min(transform(shingles, s => md5(s))).as("min_shingle_hash"))
+    val hw = transform(words, w => conv(substring(md5(w), 1, 7), 16, 10).cast("long"))
+    def at(c: Column, i: Column): Column = coalesce(try_element_at(c, i), lit(0L))
+    val M31 = 2147483648L
+    docs(spark, dir)
+      .select(col("doc_id"), md5(norm).as("fingerprint"), hw.as("hw"), size(words).as("nw"))
+      .select(col("doc_id"), col("fingerprint"),
+        array_min(transform(sequence(lit(0), greatest(col("nw") - 3, lit(0))),
+          i => (((at(col("hw"), i + 1) * 69069L + at(col("hw"), i + 2)) % M31) * 69069L
+            + at(col("hw"), i + 3)) % M31)).as("min_shingle_hash"))
   }
 
   /** Per-(lang, source) corpus aggregates. */
@@ -167,10 +166,17 @@ object TextOps {
          |            WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END) = lang AS matches_tag
          |FROM c ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
-      s"""SELECT doc_id,
-         |       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
-         |       list_min(list_transform(${shingles3Sql(wordsSql)}, s -> md5(s))) AS min_shingle_hash
-         |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         |         list_transform($wordsSql, w -> ('0x' || substr(md5(w), 1, 7))::BIGINT) AS hw
+         |  FROM documents
+         |)
+         |SELECT doc_id, fingerprint,
+         |       list_min(list_transform(generate_series(0, greatest(len(hw) - 3, 0)),
+         |         i -> ((((coalesce(hw[i + 1], 0) * 69069 + coalesce(hw[i + 2], 0)) % 2147483648) * 69069
+         |               + coalesce(hw[i + 3], 0)) % 2147483648))) AS min_shingle_hash
+         |FROM h ORDER BY doc_id""".stripMargin,
     "text_corpus_stats" ->
       s"""SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |       ${sqlR6(s"avg(CAST(len($wordsSql) AS DOUBLE))")} AS avg_words

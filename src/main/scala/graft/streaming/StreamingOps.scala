@@ -76,13 +76,28 @@ object StreamingOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_tumbling_agg" -> ((s, d) => streamTumbling(s, d).orderBy("ws", "event_type"))
+    "stream_tumbling_agg" -> ((s, d) => streamTumbling(s, d).orderBy("ws", "event_type")),
+    // the sliding-window transform run in BATCH mode over the same events
+    // parquet (withWatermark is a no-op under a batch plan, so this is
+    // literally the streaming code path, driver-oracle-checked; the
+    // incremental run of the same transform is covered by StreamingSpec)
+    "events_sliding_agg" -> ((s, d) =>
+      slidingCounts(Tables.events(s, d)).orderBy("ws", "event_type"))
   )
 
   def oracles: Map[String, String] = Map(
     "stream_tumbling_agg" ->
       s"""SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n_events,
          |       ${sqlR6("sum(value)")} AS sum_value, ${sqlR6("sum(value) / count(*)")} AS avg_value
-         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    // each event lands in exactly windowDuration/slideDuration = 4 windows,
+    // whose starts are the last 15-min boundary at or before ts minus
+    // 0..3 slides — Spark's window() alignment is epoch-based, as is the
+    // floor(epoch/900) arithmetic here (epoch·1e6 < 2^53, exact in double)
+    "events_sliding_agg" ->
+      """SELECT make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - i.i * 900) * 1000000 AS BIGINT)) AS ws,
+        |       event_type, count(*) AS n_events
+        |FROM events CROSS JOIN range(0, 4) i(i)
+        |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
   )
 }
