@@ -151,6 +151,20 @@ class DiffusionSpec extends SparkSpec {
     assert(j.filter(col("vc") =!= col("vl")).count() > 0)
     j.unpersist()
   }
+
+  test("U2: arbitrary beta expression — quadratic warmup hits the linear endpoints, differs between") {
+    val T = Diffusion.T
+    val rows = Diffusion.scheduleFrom(spark, T, Diffusion.quadraticBeta(T))
+      .select("step", "beta").collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    assert(rows.length == T)
+    assert(math.abs(rows.head - Diffusion.BetaStart) < 1e-12)
+    assert(math.abs(rows.last - Diffusion.BetaEnd) < 1e-12)
+    // strictly increasing, and strictly below the linear ramp away from endpoints
+    assert(rows.sliding(2).forall { case Array(a, b) => b > a })
+    val mid = rows(T / 2)
+    val linMid = Diffusion.BetaStart + (Diffusion.BetaEnd - Diffusion.BetaStart) * ((T / 2).toDouble / (T - 1))
+    assert(mid < linMid)
+  }
 }
 
 class MultivariateSpec extends SparkSpec {
@@ -259,6 +273,20 @@ class SimilaritySpec extends SparkSpec {
       .withColumnRenamed("bucket", "nb"), "neighbor_id")
     assert(joined.filter(col("bucket") =!= col("nb")).count() == 0)
   }
+
+  test("recall@k: per-qid rows denominate by TopK and the grand row is their pooled average") {
+    val r = Similarity.lshRecall(spark, sf).cache()
+    val perQ = r.filter(col("qid") >= 0)
+    assert(perQ.filter(col("n") =!= Similarity.TopK).count() == 0)
+    assert(r.filter(col("recall") < 0.0 || col("recall") > 1.0).count() == 0)
+    assert(r.filter(col("n_matched") > col("n")).count() == 0)
+    val Array(totMatched, totN) = perQ.agg(sum("n_matched"), sum("n")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val grand = r.filter(col("qid") === -1).collect()
+    assert(grand.length == 1)
+    assert(math.abs(grand.head.getAs[Double]("recall") - totMatched.toDouble / totN) < 1e-6)
+    r.unpersist()
+  }
 }
 
 class AggregateSpec extends SparkSpec {
@@ -287,6 +315,23 @@ class AggregateSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("scalable rank-based quantiles equal the exact percentile form") {
+    import org.apache.spark.sql.functions._
+    val exact = EventsOps.valueQuantiles(spark, sf)
+    val scalable = EventsOps.valueQuantilesScalable(spark, sf)
+      .withColumnRenamed("q25", "s25").withColumnRenamed("q50", "s50")
+      .withColumnRenamed("q75", "s75").withColumnRenamed("q99", "s99")
+      .withColumnRenamed("n", "sn")
+    val j = exact.join(scalable, "event_type").cache()
+    assert(j.count() == exact.count())
+    val bad = j.filter(
+      abs(col("q25") - col("s25")) > 1e-9 || abs(col("q50") - col("s50")) > 1e-9 ||
+      abs(col("q75") - col("s75")) > 1e-9 || abs(col("q99") - col("s99")) > 1e-9 ||
+      col("n") =!= col("sn")).count()
+    assert(bad == 0)
+    j.unpersist()
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -302,5 +347,19 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.nonEmpty)
     assert(frames.forall(_.getLong(0) % 3 == 2)) // only video ids
     assert(frames.forall(_.getInt(1) % 4 == 0))  // stride 4
+  }
+}
+
+class TextSpec extends SparkSpec {
+  test("fingerprint digests stay in the 31-bit combine range and are deterministic") {
+    val a = TextOps.fingerprint(spark, sf).collect().sortBy(_.getLong(0))
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val h = r.getAs[Long]("min_shingle_hash")
+      assert(h >= 0L && h < 2147483648L)
+      assert(r.getAs[String]("fingerprint").length == 32)
+    }
+    val b = TextOps.fingerprint(spark, sf).collect().sortBy(_.getLong(0))
+    assert(a.zip(b).forall { case (x, y) => x == y })
   }
 }

@@ -71,4 +71,12 @@ class StreamingSpec extends SparkSpec {
     assert(perUser.filter(col("n_sessions") =!= 1).count() == 0)
     assert(perUser.agg(sum("total")).collect()(0).getLong(0) == 500)
   }
+
+  test("sliding windows place every event in exactly window/slide = 4 windows") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val total = ev.count()
+    val windowed = StreamingOps.slidingCounts(ev)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(windowed == 4 * total)
+  }
 }
