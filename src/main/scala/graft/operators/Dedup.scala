@@ -239,6 +239,59 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Jaccard floor for an edge to join the duplicate-cluster graph. */
+  val ClusterJaccard = 0.5
+  /** Propagation-round cap: min-label propagation converges in ≤ graph-diameter
+    * rounds, and duplicate components are dense and small (boilerplate chains);
+    * the cap is a runaway guard, not an accuracy bound — the loop exits on the
+    * first round with zero label changes.
+    */
+  val MaxClusterIters = 50
+
+  /** Duplicate CLUSTERS: connected components over the LSH near-dup pair graph
+    * (pairs with Jaccard ≥ [[ClusterJaccard]]), labeling each member doc with
+    * the minimum doc_id of its component — the canonical-representative form a
+    * dedup pipeline actually consumes (keep cluster_id, drop the rest).
+    *
+    * Distributed shape: iterative min-label propagation — each round is one
+    * equi-join of the edge list against the current labels plus a min-agg,
+    * repeated until a round changes nothing. Rounds are all-Spark (shuffle on
+    * doc_id, partial min-agg map-side); the driver only checks the converged
+    * flag (a 1-row count per round, the I3 epoch-loop pattern). At 100 TB the
+    * same loop holds — candidate pairs are already bucket-bounded upstream —
+    * with large-star/small-star the drop-in replacement if components with
+    * huge diameters ever appear (near-dup components don't: they are cliques
+    * up to hash noise).
+    */
+  def duplicateClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select("doc_a", "doc_b").localCheckpoint(true)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < MaxClusterIters) {
+      val nbrMin = edges.join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr"))
+        .withColumnRenamed("dst", "doc_id")
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          (coalesce(col("nbr"), col("label")) < col("label")).as("chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("chg")).count()
+      labels = next.select("doc_id", "label")
+      iter += 1
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
   /** Embedding-cosine near-dup: nearest neighbour within the same label block
     * for a query subset; near_dup flag at cosine ≥ 0.9.
     */
@@ -284,6 +337,7 @@ object Dedup {
     "dedup_minhash_pairs" -> ((s, d) => minhashPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, d) => simhash(s, d).orderBy("doc_id")),
+    "dedup_clusters" -> ((s, d) => duplicateClusters(s, d).orderBy("doc_id")),
     "dedup_embedding_nn" -> ((s, d) => embeddingNearDup(s, d).orderBy("qid"))
   )
 
@@ -321,6 +375,38 @@ object Dedup {
          | SELECT doc_a, doc_b, jaccard FROM jac
          | WHERE jaccard >= ${sqlD(JaccardThreshold)}
          | ORDER BY doc_a, doc_b""".stripMargin,
+    // transitive closure via a recursive CTE: reach(id, r) holds every
+    // (member, reachable-node) pair of the undirected edge graph; min(r) per
+    // member is the component's canonical id — the same fixpoint the Spark
+    // label propagation converges to
+    "dedup_clusters" -> (minhashBandsSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", bands_ok AS (
+         |  SELECT doc_id, band, band_key FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz FROM bands
+         |  ) WHERE bsz <= $MaxBandBucket
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands_ok a JOIN bands_ok b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |)${jaccardSql("cand")},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= ${sqlD(ClusterJaccard)}
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM jac WHERE jaccard >= ${sqlD(ClusterJaccard)}
+         |), nodes AS (
+         |  SELECT DISTINCT src AS id FROM edges
+         |), reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON reach.id = e.src
+         |), clusters AS (
+         |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+         |)
+         |SELECT c.doc_id, c.cluster_id, cnt.cluster_size
+         |FROM clusters c
+         |JOIN (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1) cnt
+         |  USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin),
     "dedup_simhash" ->
       s"""WITH toks AS (
          |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok

@@ -186,6 +186,57 @@ object EventsOps {
        |       ${sqlR6("min(value)")} AS min_value, ${sqlR6("max(value)")} AS max_value
        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Per-stratum sampling rates for [[stratifiedSample]] — downsample the
+    * high-volume strata hard, keep the rare/valuable ones (the usual shape of
+    * a training-data curation pass).
+    */
+  val SampleRates: Seq[(String, Double)] = Seq(
+    "click" -> 0.5, "view" -> 0.1, "error" -> 1.0, "signup" -> 0.9, "purchase" -> 0.25)
+  private val SampleStream = 7
+
+  private def sampleRate = SampleRates.tail.foldLeft(
+    when(col("event_type") === SampleRates.head._1, lit(SampleRates.head._2))) {
+    case (acc, (k, r)) => acc.when(col("event_type") === k, lit(r))
+  }.otherwise(lit(0.0))
+
+  /** Deterministic stratified sampling: keep a row iff u01(event_id) < its
+    * stratum's rate. The draw is the engine's cross-engine LCG keyed on
+    * event_id, so the sample is reproducible run-to-run and engine-to-engine —
+    * no `rand()`, no seed plumbing, and re-running a 100-TB curation pass
+    * selects the identical rows. Pure map-side filter: no shuffle at all until
+    * the (tiny) per-stratum audit aggregate.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(graft.functions.DetRand.u01(col("event_id"), SampleStream) < sampleRate)
+
+  /** Registered audit form: per-stratum kept/total counts and achieved rate —
+    * the full sampled row set is what a pipeline would write out, the audit is
+    * what it would verify (hash-checking the counts checks the exact member
+    * selection too: any membership drift shifts a count).
+    */
+  def stratifiedSampleAudit(spark: SparkSession, dir: String): DataFrame = {
+    val kept = (graft.functions.DetRand.u01(col("event_id"), SampleStream) < sampleRate).cast("long")
+    Tables.events(spark, dir)
+      .select(col("event_type"), kept.as("kept"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_sampled"))
+      .withColumn("target_rate", sampleRate)
+      .withColumn("achieved_rate", r6(col("n_sampled").cast("double") / col("n_total")))
+  }
+
+  def stratifiedSampleOracle: String = {
+    val rateSql = "CASE " + SampleRates.map { case (k, r) =>
+      s"WHEN event_type = '$k' THEN ${sqlD(r)}"
+    }.mkString(" ") + " ELSE 0.0e0 END"
+    val u = graft.functions.DetRand.sqlU01("event_id", SampleStream)
+    s"""SELECT event_type, count(*) AS n_total,
+       |       CAST(sum(CASE WHEN ($u) < ($rateSql) THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |       $rateSql AS target_rate,
+       |       ${sqlR6(s"CAST(sum(CASE WHEN ($u) < ($rateSql) THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS achieved_rate
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   /** Exact per-key value quantiles via the built-in `percentile` aggregate —
     * the SMALL-SCALE twin: it buffers each group's values in the aggregation
     * buffer, so memory grows with group size. Kept registered as the
@@ -401,6 +452,7 @@ object EventsOps {
     "ts_skew_salted_agg" -> ((s, d) => saltedAgg(s, d).orderBy("event_type")),
     "ts_value_quantiles" -> ((s, d) => valueQuantiles(s, d).orderBy("event_type")),
     "ts_value_quantiles_scalable" -> ((s, d) => valueQuantilesScalable(s, d).orderBy("event_type")),
+    "events_stratified_sample" -> ((s, d) => stratifiedSampleAudit(s, d).orderBy("event_type")),
     "ts_tumbling_agg" -> ((s, d) => tumbling(s, d))
   )
 
@@ -415,6 +467,7 @@ object EventsOps {
     "ts_skew_salted_agg" -> saltedAggOracle,
     "ts_value_quantiles" -> valueQuantilesOracle,
     "ts_value_quantiles_scalable" -> valueQuantilesScalableOracle,
+    "events_stratified_sample" -> stratifiedSampleOracle,
     "ts_tumbling_agg" -> tumblingOracle
   )
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Num._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §7.5; north-star
@@ -105,6 +106,34 @@ object TextOps {
         sum(col("n_chars")).as("total_chars"),
         r6(avg(size(words).cast("double"))).as("avg_words"))
 
+  val TfIdfTopK = 3
+
+  /** Top-[[TfIdfTopK]] terms per document by tf·idf (idf = ln(N/df)) — the
+    * keyword-extraction pass of a corpus-analysis pipeline.
+    *
+    * Shape at scale: explode(words) collapses through a map-side partial
+    * count into (doc_id, word, tf); df is one more hash-agg of that table
+    * keyed on word (vocabulary-sized, not corpus-sized); the join back is a
+    * shuffle on word; the final top-k is a per-doc window. N (corpus size) is
+    * a plan-time literal from a 1-value count — the same constant-folding
+    * stance as the k-means centroids. Ranking uses the r6-ROUNDED score (with
+    * a word tiebreak) so both engines rank identical values — raw tf·idf
+    * differs in the last ulp across libm implementations.
+    */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = docs(spark, dir).count()
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(words).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "word")
+      .withColumn("tfidf", r6(col("tf") * log(lit(nDocs.toDouble) / col("df"))))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("word"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfIdfTopK)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+
   // ---------------- DuckDB oracle twins ----------------
 
   private val wordsSql = """regexp_split_to_array(text, '\s+')"""
@@ -117,6 +146,7 @@ object TextOps {
     "text_quality" -> ((s, d) => quality(s, d).orderBy("doc_id")),
     "text_langid" -> ((s, d) => langId(s, d).orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) => fingerprint(s, d).orderBy("doc_id")),
+    "text_tfidf" -> ((s, d) => tfidfTop(s, d).orderBy("doc_id", "rank")),
     "text_corpus_stats" -> ((s, d) => corpusStats(s, d).orderBy("lang", "source"))
   )
 
@@ -180,6 +210,24 @@ object TextOps {
     "text_corpus_stats" ->
       s"""SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |       ${sqlR6(s"avg(CAST(len($wordsSql) AS DOUBLE))")} AS avg_words
-         |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($wordsSql) AS word FROM documents
+         |), tfc AS (
+         |  SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2
+         |), dfc AS (
+         |  SELECT word, count(*) AS df FROM tfc GROUP BY 1
+         |), nd AS (
+         |  SELECT count(*) AS n FROM documents
+         |), scored AS (
+         |  SELECT t.doc_id, t.word, t.tf, d.df,
+         |         ${sqlR6("CAST(t.tf AS DOUBLE) * ln(CAST(nd.n AS DOUBLE) / d.df)")} AS tfidf
+         |  FROM tfc t JOIN dfc d USING (word) CROSS JOIN nd
+         |)
+         |SELECT doc_id, word, tf, df, tfidf, CAST(rn AS INT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rn
+         |      FROM scored)
+         |WHERE rn <= $TfIdfTopK ORDER BY doc_id, rank""".stripMargin
   )
 }

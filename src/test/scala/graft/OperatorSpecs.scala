@@ -235,6 +235,26 @@ class DedupSpec extends SparkSpec {
     assert(mm.getLong(0) >= 0 && mm.getLong(1) < 65536)
   }
 
+  test("duplicate clusters: edge endpoints share a cluster, cluster_id is the component min") {
+    val clusters = Dedup.duplicateClusters(spark, sf).cache()
+    val pairs = Dedup.minhashPairs(spark, sf)
+      .filter(col("jaccard") >= Dedup.ClusterJaccard)
+      .select("doc_a", "doc_b")
+    // every edge is intra-cluster
+    val ca = clusters.select(col("doc_id").as("doc_a"), col("cluster_id").as("cl_a"))
+    val cb = clusters.select(col("doc_id").as("doc_b"), col("cluster_id").as("cl_b"))
+    assert(pairs.join(ca, "doc_a").join(cb, "doc_b")
+      .filter(col("cl_a") =!= col("cl_b")).count() == 0)
+    // canonical id is a member, and the minimum member, of its own cluster
+    val byCluster = clusters.groupBy("cluster_id")
+      .agg(min("doc_id").as("mn"), count(lit(1)).as("n"))
+    assert(byCluster.filter(col("cluster_id") =!= col("mn")).count() == 0)
+    // cluster_size column agrees with the actual member count
+    assert(clusters.join(byCluster, "cluster_id")
+      .filter(col("cluster_size") =!= col("n")).count() == 0)
+    clusters.unpersist()
+  }
+
   test("band-bucket guard: a degenerate boilerplate bucket cannot go quadratic") {
     import spark.implicits._
     // 300 copies of the same boilerplate land every band in one 300-doc bucket
@@ -316,6 +336,17 @@ class AggregateSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("stratified sample: audit counts equal the sampled row set, rates land near target") {
+    import org.apache.spark.sql.functions._
+    val audit = EventsOps.stratifiedSampleAudit(spark, sf).cache()
+    val actual = EventsOps.stratifiedSample(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n_actual"))
+    assert(audit.join(actual, "event_type")
+      .filter(col("n_sampled") =!= col("n_actual")).count() == 0)
+    assert(audit.filter(abs(col("achieved_rate") - col("target_rate")) > 0.15).count() == 0)
+    audit.unpersist()
+  }
+
   test("scalable rank-based quantiles equal the exact percentile form") {
     import org.apache.spark.sql.functions._
     val exact = EventsOps.valueQuantiles(spark, sf)
@@ -361,5 +392,18 @@ class TextSpec extends SparkSpec {
     }
     val b = TextOps.fingerprint(spark, sf).collect().sortBy(_.getLong(0))
     assert(a.zip(b).forall { case (x, y) => x == y })
+  }
+
+  test("tf-idf: at most top-k rows per doc, ranked by non-increasing score") {
+    val t = TextOps.tfidfTop(spark, sf).cache()
+    val perDoc = t.groupBy("doc_id").count()
+    assert(perDoc.filter(col("count") > TextOps.TfIdfTopK).count() == 0)
+    assert(t.filter(col("tfidf") < 0.0).count() == 0)
+    // within a doc, rank order matches score order
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("rank")
+    val bad = t.withColumn("prev", lag(col("tfidf"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") < col("tfidf")).count()
+    assert(bad == 0)
+    t.unpersist()
   }
 }
