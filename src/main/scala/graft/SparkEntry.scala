@@ -27,7 +27,8 @@ object SparkEntry {
       (Pipeline.queries, Pipeline.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (TrendFit.queries, TrendFit.oracles),
-      (StreamingOps.queries, StreamingOps.oracles)
+      (StreamingOps.queries, StreamingOps.oracles),
+      (Curation.queries, Curation.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

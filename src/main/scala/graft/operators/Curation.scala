@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.functions.Num._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the flagship composition of the LLM-pipeline
+  * operators: quality filter ∘ language-tag agreement ∘ exact-dedup canonical ∘
+  * near-duplicate demotion. A user of the individual operators chains exactly
+  * these four; registering the composition oracle-checks that they compose
+  * (join keys, column names, filter semantics) and not just that each works
+  * in isolation.
+  *
+  * Near-dup demotion uses the pairwise-greedy rule — drop every doc that is
+  * the LARGER id of a qualifying LSH pair (Jaccard ≥ [[Dedup.ClusterJaccard]]).
+  * A component's minimum id is never the larger side of an intra-component
+  * edge, so at least one representative always survives; unlike the full
+  * connected-components canonicalization ([[Dedup.duplicateClusters]]) this
+  * needs no iteration — one anti-join — at the cost of occasionally keeping
+  * two docs whose duplicate link is only transitive. That is the standard
+  * production trade-off and it is documented here deliberately.
+  *
+  * Scale shape: quality and langid are independent narrow projections of the
+  * documents scan joined back on doc_id (each prunes to the columns it needs);
+  * exact-dedup is a window over the md5 digest; the demotion list is the
+  * (tiny) pair table anti-joined in. At 100 TB one would fuse quality+langid
+  * into a single projection — they are kept as the registered operators here
+  * precisely to exercise composition.
+  */
+object Curation {
+  val QualityMin = 0.8
+
+  def curated(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.quality(spark, dir)
+      .select("doc_id", "lang", "source", "n_words", "quality_score")
+    val l = TextOps.langId(spark, dir).select("doc_id", "matches_tag")
+    val ex = Dedup.exact(spark, dir).select("doc_id", "is_dup")
+    val demote = Dedup.minhashPairs(spark, dir)
+      .filter(col("jaccard") >= Dedup.ClusterJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    q.join(l, "doc_id").join(ex, "doc_id")
+      .join(demote, Seq("doc_id"), "left_anti")
+      .filter(col("quality_score") >= QualityMin && col("matches_tag") && !col("is_dup"))
+      .select("doc_id", "lang", "source", "n_words", "quality_score")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_curated" -> ((s, d) => curated(s, d).orderBy("doc_id"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "docs_curated" -> (Dedup.minhashPairsSqlChain +
+      s""",
+         |${TextOps.qualityCteSql("qy")},
+         |${TextOps.langMatchCteSql("lg")},
+         |exd AS (
+         |  SELECT doc_id,
+         |         doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+         |  FROM documents
+         |), demote AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= ${sqlD(Dedup.ClusterJaccard)}
+         |)
+         |SELECT qy.doc_id, qy.lang, qy.source, qy.n_words, qy.quality_score
+         |FROM qy
+         |JOIN lg USING (doc_id)
+         |JOIN exd USING (doc_id)
+         |WHERE qy.quality_score >= ${sqlD(QualityMin)}
+         |  AND lg.matches_tag AND NOT exd.is_dup
+         |  AND qy.doc_id NOT IN (SELECT doc_id FROM demote)
+         |ORDER BY qy.doc_id""".stripMargin)
+  )
+}

@@ -314,6 +314,20 @@ object Dedup {
 
   // ---------------- DuckDB oracle twins ----------------
 
+  /** Full LSH pair chain ending in `jac(doc_a, doc_b, jaccard)` — shared by
+    * the pair/cluster oracles here and by the corpus-curation oracle.
+    */
+  private[operators] def minhashPairsSqlChain: String = minhashBandsSql +
+    s""", bands_ok AS (
+       |  SELECT doc_id, band, band_key FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz FROM bands
+       |  ) WHERE bsz <= $MaxBandBucket
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands_ok a JOIN bands_ok b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |)${jaccardSql("cand")}""".stripMargin
+
   private def jaccardSql(candCte: String): String =
     s""", sizes AS (
        |  SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
@@ -349,17 +363,8 @@ object Dedup {
         |       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_minhash_sig" -> (minhashBandsSql + " SELECT doc_id, band, band_key FROM bands ORDER BY doc_id, band"),
-    "dedup_minhash_pairs" -> (minhashBandsSql +
-      s""", bands_ok AS (
-         |  SELECT doc_id, band, band_key FROM (
-         |    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz FROM bands
-         |  ) WHERE bsz <= $MaxBandBucket
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands_ok a JOIN bands_ok b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |)${jaccardSql("cand")}
-         | SELECT doc_a, doc_b, jaccard FROM jac ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_minhash_pairs" -> (minhashPairsSqlChain +
+      " SELECT doc_a, doc_b, jaccard FROM jac ORDER BY doc_a, doc_b"),
     "dedup_ngram_jaccard" ->
       s"""WITH $docShinglesSql,
          |rare AS (
@@ -379,16 +384,8 @@ object Dedup {
     // (member, reachable-node) pair of the undirected edge graph; min(r) per
     // member is the component's canonical id — the same fixpoint the Spark
     // label propagation converges to
-    "dedup_clusters" -> (minhashBandsSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      s""", bands_ok AS (
-         |  SELECT doc_id, band, band_key FROM (
-         |    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz FROM bands
-         |  ) WHERE bsz <= $MaxBandBucket
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands_ok a JOIN bands_ok b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |)${jaccardSql("cand")},
+    "dedup_clusters" -> (minhashPairsSqlChain.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= ${sqlD(ClusterJaccard)}
          |  UNION ALL

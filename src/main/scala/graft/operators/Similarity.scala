@@ -202,6 +202,23 @@ object Similarity {
   def ivfRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(bruteForceTopK(spark, dir), ivfTopK(spark, dir))
 
+  /** Per-DIMENSION corpus statistics of the embedding column — the whitening /
+    * normalization prep pass of an embedding pipeline (mean-center + scale
+    * before LSH/IVF improves bucket balance). One explode + one hash-agg keyed
+    * on dimension: the partial aggregate collapses to #dims rows per partition
+    * map-side, so shuffle volume is #partitions × Dim regardless of corpus
+    * size.
+    */
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.embeddings(spark, dir)
+      .select(posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        r6(avg(col("x"))).as("mean"),
+        r6(stddev_samp(col("x"))).as("std_samp"),
+        r6(min(col("x"))).as("min_x"),
+        r6(max(col("x"))).as("max_x"))
+
   /** Per-label centroid + per-vector distance-to-centroid — the IVF building
     * block (label stands in for a coarse cluster id at test scale).
     */
@@ -335,7 +352,8 @@ object Similarity {
     "ann_ivf_centroids" -> ((s, d) => kmeansCentroidsFlat(s, d).orderBy("c", "d")),
     "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d).orderBy("qid", "rank")),
     "ann_lsh_recall" -> ((s, d) => lshRecall(s, d).orderBy("qid")),
-    "ann_ivf_recall" -> ((s, d) => ivfRecall(s, d).orderBy("qid"))
+    "ann_ivf_recall" -> ((s, d) => ivfRecall(s, d).orderBy("qid")),
+    "emb_dimstats" -> ((s, d) => dimStats(s, d).orderBy("dim"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -396,6 +414,18 @@ object Similarity {
         "JOIN bkt ba ON ba.vec_id = a.vec_id JOIN bkt bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket"),
     "ann_ivf_recall" -> recallSql(ivfBucketCtes,
       "FROM flat a JOIN bkt ba ON ba.vec_id = a.vec_id JOIN bkt bb ON bb.c = ba.c " +
-        "JOIN flat b ON b.vec_id = bb.vec_id AND b.d = a.d")
+        "JOIN flat b ON b.vec_id = bb.vec_id AND b.d = a.d"),
+    "emb_dimstats" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), flat AS (
+         |  SELECT CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim, unnest(v) AS x FROM emb
+         |)
+         |SELECT dim, count(*) AS n,
+         |       ${sqlR6("avg(x)")} AS mean,
+         |       ${sqlR6("stddev_samp(x)")} AS std_samp,
+         |       ${sqlR6("min(x)")} AS min_x,
+         |       ${sqlR6("max(x)")} AS max_x
+         |FROM flat GROUP BY dim ORDER BY dim""".stripMargin
   )
 }

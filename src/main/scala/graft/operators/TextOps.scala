@@ -122,9 +122,13 @@ object TextOps {
     */
   def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
     val nDocs = docs(spark, dir).count()
+    // checkpoint: tf feeds BOTH the df aggregation and the scored join —
+    // without it each branch re-runs the corpus-sized explode+count
+    // (plan audit showed two identical hashpartitioning(doc_id, word) stages)
     val tf = docs(spark, dir)
       .select(col("doc_id"), explode(words).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true)
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "word")
       .withColumn("tfidf", r6(col("tf") * log(lit(nDocs.toDouble) / col("df"))))
@@ -140,6 +144,39 @@ object TextOps {
 
   private def stopHitsSql(stops: Seq[String]): String =
     s"len(list_filter($wordsSql, w -> w IN (${stops.map(s => s"'$s'").mkString(", ")})))::BIGINT"
+
+  /** CTE `<name>(doc_id, lang, source, n_words, quality_score)` — the score
+    * arithmetic of [[quality]], shared with the corpus-curation oracle.
+    */
+  private[operators] def qualityCteSql(name: String): String =
+    s"""$name AS (
+       |  SELECT doc_id, lang, source, n_words,
+       |         ${sqlR6("greatest(0.0e0, least(1.0e0, 0.25e0 * ln(1.0e0 + CAST(n_words AS DOUBLE)) - 2.0e0 * (n_punct / len_c) - 2.0e0 * (n_digit / len_c)))")} AS quality_score
+       |  FROM (SELECT doc_id, lang, source,
+       |               len($wordsSql)::BIGINT AS n_words,
+       |               CAST(length(text) AS DOUBLE) AS len_c,
+       |               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
+       |               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit
+       |        FROM documents)
+       |)""".stripMargin
+
+  /** CTE `<name>(doc_id, matches_tag)` — the language-ID vote of [[langId]],
+    * shared with the corpus-curation oracle.
+    */
+  private[operators] def langMatchCteSql(name: String): String =
+    s"""$name AS (
+       |  SELECT doc_id,
+       |         (CASE WHEN c_en + c_de + c_es + c_fr = 0 THEN 'und'
+       |               WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+       |               WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+       |               WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END) = lang AS matches_tag
+       |  FROM (SELECT doc_id, lang,
+       |               ${stopHitsSql(Seq("the", "a", "and", "of"))} AS c_en,
+       |               ${stopHitsSql(Seq("der", "die", "das", "und"))} AS c_de,
+       |               ${stopHitsSql(Seq("el", "los", "las", "y"))} AS c_es,
+       |               ${stopHitsSql(Seq("le", "les", "et", "ou"))} AS c_fr
+       |        FROM documents)
+       |)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_counts" -> ((s, d) => tokenCounts(s, d).orderBy("doc_id")),

@@ -294,6 +294,16 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.filter(col("bucket") =!= col("nb")).count() == 0)
   }
 
+  test("dimension stats cover every embedding dim with the full vector count") {
+    val stats = Similarity.dimStats(spark, sf).cache()
+    val nVecs = graft.Tables.embeddings(spark, sf).count()
+    assert(stats.count() == Similarity.Dim)
+    assert(stats.filter(col("n") =!= nVecs).count() == 0)
+    assert(stats.filter(col("std_samp") <= 0.0).count() == 0)
+    assert(stats.filter(col("min_x") > col("mean") || col("mean") > col("max_x")).count() == 0)
+    stats.unpersist()
+  }
+
   test("recall@k: per-qid rows denominate by TopK and the grand row is their pooled average") {
     val r = Similarity.lshRecall(spark, sf).cache()
     val perQ = r.filter(col("qid") >= 0)
@@ -392,6 +402,20 @@ class TextSpec extends SparkSpec {
     }
     val b = TextOps.fingerprint(spark, sf).collect().sortBy(_.getLong(0))
     assert(a.zip(b).forall { case (x, y) => x == y })
+  }
+
+  test("curation composes its filters: every kept doc passes all four gates") {
+    val c = Curation.curated(spark, sf).cache()
+    assert(c.filter(col("quality_score") < Curation.QualityMin).count() == 0)
+    // language gate: every kept doc_id has matches_tag in the langid output
+    val lg = TextOps.langId(spark, sf).select("doc_id", "matches_tag")
+    assert(c.join(lg, "doc_id").filter(!col("matches_tag")).count() == 0)
+    // demotion gate: no kept doc is the larger side of a qualifying pair
+    val demoted = Dedup.minhashPairs(spark, sf)
+      .filter(col("jaccard") >= Dedup.ClusterJaccard)
+      .select(col("doc_b").as("doc_id"))
+    assert(c.join(demoted, "doc_id").count() == 0)
+    c.unpersist()
   }
 
   test("tf-idf: at most top-k rows per doc, ranked by non-increasing score") {
