@@ -86,6 +86,28 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("bucket"), col("rank"), col("cos"))
   }
 
+  /** Multi-probe LSH top-k: probe the query's own bucket plus every bucket at
+    * Hamming distance 1 (NumPlanes+1 probes) — the standard recall remedy that
+    * costs probe-count× candidates instead of more hash tables. Measured here
+    * because single-bucket recall@10 is only ~5% at the 8-plane default
+    * (ann_lsh_recall): 256 buckets over a few thousand vectors cannot even
+    * fill a top-10. Each corpus vector still has exactly ONE bucket, so a
+    * candidate pair matches at most one probe and needs no dedup.
+    */
+  def lshMultiprobeTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).join(buckets(spark, dir), "vec_id")
+    val probes = array(
+      col("bucket") +: (0 until NumPlanes).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), explode(probes).as("bucket"))
+    val scored = e.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", r6(cosine_sim(col("qv"), col("v"))))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("bucket"), col("rank"), col("cos"))
+  }
+
   // ---- IVF: learned coarse quantizer (Lloyd's k-means) + bucket search ----
 
   val KMeansK = 16
@@ -160,6 +182,36 @@ object Similarity {
         col("rank"), col("cos"))
   }
 
+  /** Probe width for the nprobe IVF variant. */
+  val NProbe = 4
+
+  /** IVF search probing the [[NProbe]] nearest cells instead of one — the IVF
+    * recall remedy mirroring [[lshMultiprobeTopK]] (single-cell recall@10 is
+    * ~29% at k=16, ann_ivf_recall). Query cells come from sorting the same
+    * literal-folded (dist, c) pairs the single-cell assignment minimizes —
+    * still one codegen'd projection + an explode, no centroid join. Corpus
+    * vectors keep their single-cell assignment, so pairs need no dedup.
+    */
+  def ivfTopKNprobe(spark: SparkSession, dir: String, nprobe: Int = NProbe): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "v").localCheckpoint(true)
+    val cent = lloydCentroids(e)
+    val eb = e.join(e.select(col("vec_id"), assignLit(cent).as("c")), "vec_id")
+    val pairs = cent.map { case (c, w) =>
+      array(r6(l2_sq(col("v"), typedLit(w))), lit(c.toDouble))
+    }
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(slice(array_sort(array(pairs: _*)), 1, nprobe)).as("pc"))
+      .select(col("qid"), col("qv"), col("pc").getItem(1).cast("int").as("c"))
+    val scored = eb.join(broadcast(q), "c")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", r6(cosine_sim(col("qv"), col("v"))))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("c").as("bucket"),
+        col("rank"), col("cos"))
+  }
+
   /** Recall@k of a bucketed top-k against the brute-force ground truth — the
     * measurement VERDICT r2 called out as the missing signal for tuning
     * NumPlanes / KMeansK / nprobe: without it "the ANN still returns good
@@ -201,6 +253,12 @@ object Similarity {
 
   def ivfRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(bruteForceTopK(spark, dir), ivfTopK(spark, dir))
+
+  def lshMultiprobeRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(bruteForceTopK(spark, dir), lshMultiprobeTopK(spark, dir))
+
+  def ivfNprobeRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(bruteForceTopK(spark, dir), ivfTopKNprobe(spark, dir))
 
   /** Per-DIMENSION corpus statistics of the embedding column — the whitening /
     * normalization prep pass of an embedding pipeline (mean-center + scale
@@ -353,6 +411,8 @@ object Similarity {
     "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d).orderBy("qid", "rank")),
     "ann_lsh_recall" -> ((s, d) => lshRecall(s, d).orderBy("qid")),
     "ann_ivf_recall" -> ((s, d) => ivfRecall(s, d).orderBy("qid")),
+    "ann_lsh_mp_recall" -> ((s, d) => lshMultiprobeRecall(s, d).orderBy("qid")),
+    "ann_ivf_np_recall" -> ((s, d) => ivfNprobeRecall(s, d).orderBy("qid")),
     "emb_dimstats" -> ((s, d) => dimStats(s, d).orderBy("dim"))
   )
 
@@ -414,6 +474,26 @@ object Similarity {
         "JOIN bkt ba ON ba.vec_id = a.vec_id JOIN bkt bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket"),
     "ann_ivf_recall" -> recallSql(ivfBucketCtes,
       "FROM flat a JOIN bkt ba ON ba.vec_id = a.vec_id JOIN bkt bb ON bb.c = ba.c " +
+        "JOIN flat b ON b.vec_id = bb.vec_id AND b.d = a.d"),
+    "ann_lsh_mp_recall" -> recallSql(
+      lshBucketCtes +
+        s""",
+           |qprobes AS (
+           |  SELECT vec_id, CASE WHEN p.i = 0 THEN bucket
+           |                      ELSE xor(bucket, (1::BIGINT << CAST(p.i - 1 AS INT))) END AS bucket
+           |  FROM bkt CROSS JOIN range(0, ${NumPlanes + 1}) p(i)
+           |)""".stripMargin,
+      "FROM flat a JOIN qprobes ba ON ba.vec_id = a.vec_id " +
+        "JOIN bkt bb ON bb.bucket = ba.bucket JOIN flat b ON b.vec_id = bb.vec_id AND b.d = a.d"),
+    "ann_ivf_np_recall" -> recallSql(
+      ivfBucketCtes +
+        s""",
+           |qbkt AS (
+           |  SELECT vec_id, c FROM (
+           |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM bdist)
+           |  WHERE rn <= $NProbe
+           |)""".stripMargin,
+      "FROM flat a JOIN qbkt ba ON ba.vec_id = a.vec_id JOIN bkt bb ON bb.c = ba.c " +
         "JOIN flat b ON b.vec_id = bb.vec_id AND b.d = a.d"),
     "emb_dimstats" ->
       s"""WITH emb AS (

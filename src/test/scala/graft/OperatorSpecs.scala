@@ -304,6 +304,15 @@ class SimilaritySpec extends SparkSpec {
     stats.unpersist()
   }
 
+  test("widening the probe set never hurts: multiprobe/nprobe recall >= single-bucket recall") {
+    def total(df: org.apache.spark.sql.DataFrame): Double =
+      df.filter(col("qid") === -1).collect()(0).getAs[Double]("recall")
+    // multiprobe candidates are a superset of the single bucket's, and nprobe
+    // cells a superset of the nearest cell's, so pooled recall is monotone
+    assert(total(Similarity.lshMultiprobeRecall(spark, sf)) >= total(Similarity.lshRecall(spark, sf)))
+    assert(total(Similarity.ivfNprobeRecall(spark, sf)) >= total(Similarity.ivfRecall(spark, sf)))
+  }
+
   test("recall@k: per-qid rows denominate by TopK and the grand row is their pooled average") {
     val r = Similarity.lshRecall(spark, sf).cache()
     val perQ = r.filter(col("qid") >= 0)
