@@ -325,6 +325,53 @@ object EventsOps {
        |GROUP BY event_type, n ORDER BY event_type""".stripMargin
   }
 
+  val AnomalyWin = 16   // trailing window length (rows)
+  val AnomalyMinN = 8   // minimum trailing rows before scoring
+  val AnomalyZ = 3.0    // |z| threshold
+
+  /** Rolling-window anomaly detection: per-series trailing mean/std over the
+    * previous [[AnomalyWin]] observations (EXCLUDING the current row — the
+    * score must not see the value it judges), z-score with the engine's ε
+    * guard, flag at |z| > [[AnomalyZ]]. Rows with fewer than [[AnomalyMinN]]
+    * predecessors emit a null z (warm-up). The flag compares the ROUNDED z so
+    * both engines evaluate the identical boundary.
+    *
+    * Scale: one window shuffle partitioned by the series key — same
+    * parallelism story as the decompose chain (event_type at parity scale,
+    * user_id for sf-scaling cardinality).
+    */
+  def rollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val wTrail = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      .rowsBetween(-AnomalyWin, -1)
+    val z = (col("value") - col("mu")) / (col("sigma") + lit(1e-8))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("mu", avg(col("value")).over(wTrail))
+      .withColumn("sigma", stddev_samp(col("value")).over(wTrail))
+      .withColumn("n_trail", count(col("value")).over(wTrail))
+      .select(col("event_type"), col("event_id"), r6(col("value")).as("value"),
+        when(col("n_trail") >= AnomalyMinN, r6(z)).as("z"))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > AnomalyZ, lit(false)))
+  }
+
+  def rollingAnomalyOracle: String =
+    s"""WITH trail AS (
+       |  SELECT event_type, event_id, value,
+       |         avg(value) OVER w AS mu,
+       |         stddev_samp(value) OVER w AS sigma,
+       |         count(value) OVER w AS n_trail
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+       |               ROWS BETWEEN $AnomalyWin PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT event_type, event_id, ${sqlR6("value")} AS value,
+       |       CASE WHEN n_trail >= $AnomalyMinN
+       |            THEN ${sqlR6("(value - mu) / (sigma + 1.0e-8)")} END AS z,
+       |       coalesce(abs(CASE WHEN n_trail >= $AnomalyMinN
+       |                         THEN ${sqlR6("(value - mu) / (sigma + 1.0e-8)")} END) > ${sqlD(AnomalyZ)},
+       |                false) AS is_anomaly
+       |FROM trail ORDER BY event_type, event_id""".stripMargin
+
   /** Tumbling-window aggregate over event time (§7.5 streaming-shaped, batch form). */
   def tumbling(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -453,6 +500,7 @@ object EventsOps {
     "ts_value_quantiles" -> ((s, d) => valueQuantiles(s, d).orderBy("event_type")),
     "ts_value_quantiles_scalable" -> ((s, d) => valueQuantilesScalable(s, d).orderBy("event_type")),
     "events_stratified_sample" -> ((s, d) => stratifiedSampleAudit(s, d).orderBy("event_type")),
+    "ts_rolling_anomaly" -> ((s, d) => rollingAnomaly(s, d).orderBy("event_type", "event_id")),
     "ts_tumbling_agg" -> ((s, d) => tumbling(s, d))
   )
 
@@ -468,6 +516,7 @@ object EventsOps {
     "ts_value_quantiles" -> valueQuantilesOracle,
     "ts_value_quantiles_scalable" -> valueQuantilesScalableOracle,
     "events_stratified_sample" -> stratifiedSampleOracle,
+    "ts_rolling_anomaly" -> rollingAnomalyOracle,
     "ts_tumbling_agg" -> tumblingOracle
   )
 }

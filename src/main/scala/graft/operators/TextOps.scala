@@ -138,6 +138,32 @@ object TextOps {
       .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"), col("rank"))
   }
 
+  /** Token budget per packed training sequence. */
+  val PackBudget = 2048L
+
+  /** Sequence packing: assign documents to fixed-token-budget batches — the
+    * batch-construction pass of an LLM training pipeline. Greedy-with-overflow
+    * in doc_id order: batch_id = floor(start_offset / budget) where
+    * start_offset is the running token count BEFORE the doc, so a doc that
+    * straddles a boundary goes to the batch it started in (the usual
+    * approximation when exact first-fit isn't worth a serial pass).
+    *
+    * Packing is per-`source`: the running sum is a window within each source
+    * shard, so parallelism = #shards and no global total order exists
+    * anywhere in the plan — the shape packing has in production, where each
+    * data shard packs independently.
+    */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), size(words).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")).cast("double") / PackBudget.toDouble)
+          .cast("long").as("batch_id"))
+  }
+
   // ---------------- DuckDB oracle twins ----------------
 
   private val wordsSql = """regexp_split_to_array(text, '\s+')"""
@@ -184,6 +210,7 @@ object TextOps {
     "text_langid" -> ((s, d) => langId(s, d).orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) => fingerprint(s, d).orderBy("doc_id")),
     "text_tfidf" -> ((s, d) => tfidfTop(s, d).orderBy("doc_id", "rank")),
+    "text_seq_pack" -> ((s, d) => seqPack(s, d).orderBy("doc_id")),
     "text_corpus_stats" -> ((s, d) => corpusStats(s, d).orderBy("lang", "source"))
   )
 
@@ -265,6 +292,18 @@ object TextOps {
          |SELECT doc_id, word, tf, df, tfidf, CAST(rn AS INT) AS rank
          |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rn
          |      FROM scored)
-         |WHERE rn <= $TfIdfTopK ORDER BY doc_id, rank""".stripMargin
+         |WHERE rn <= $TfIdfTopK ORDER BY doc_id, rank""".stripMargin,
+    "text_seq_pack" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, len($wordsSql)::BIGINT AS n_tokens FROM documents
+         |), packed AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM toks
+         |)
+         |SELECT doc_id, source, n_tokens,
+         |       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / ${sqlD(PackBudget.toDouble)}) AS BIGINT) AS batch_id
+         |FROM packed ORDER BY doc_id""".stripMargin
   )
 }

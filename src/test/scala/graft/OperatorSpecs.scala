@@ -355,6 +355,21 @@ class AggregateSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("rolling anomaly: warm-up rows are unscored and flags are rare") {
+    import org.apache.spark.sql.functions._
+    val a = EventsOps.rollingAnomaly(spark, sf).cache()
+    val n = a.count()
+    // exactly AnomalyMinN unscored warm-up rows per series
+    val nTypes = a.select("event_type").distinct().count()
+    assert(a.filter(col("z").isNull).count() == nTypes * EventsOps.AnomalyMinN)
+    // a 3-sigma flag should be rare — under 5% of rows (the 16-sample
+    // trailing std is noisy, so the rate sits well above the Gaussian 0.27%)
+    assert(a.filter(col("is_anomaly")).count() < n / 20)
+    // null z never flags
+    assert(a.filter(col("z").isNull && col("is_anomaly")).count() == 0)
+    a.unpersist()
+  }
+
   test("stratified sample: audit counts equal the sampled row set, rates land near target") {
     import org.apache.spark.sql.functions._
     val audit = EventsOps.stratifiedSampleAudit(spark, sf).cache()
@@ -425,6 +440,27 @@ class TextSpec extends SparkSpec {
       .select(col("doc_b").as("doc_id"))
     assert(c.join(demoted, "doc_id").count() == 0)
     c.unpersist()
+  }
+
+  test("sequence packing: batches respect the budget up to one straddling doc") {
+    val p = TextOps.seqPack(spark, sf).cache()
+    // token mass is preserved
+    val total = p.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val perBatch = p.groupBy("source", "batch_id").agg(
+      sum("n_tokens").as("batch_tokens"),
+      max(struct(col("doc_id"), col("n_tokens"))).as("last"))
+    assert(perBatch.agg(sum("batch_tokens")).collect()(0).getLong(0) == total)
+    // greedy-with-overflow invariant: a batch minus its LAST doc fits the
+    // budget (only the straddling doc may overflow)
+    val over = perBatch
+      .filter(col("batch_tokens") - col("last.n_tokens") >= TextOps.PackBudget)
+      .count()
+    assert(over == 0)
+    // batch ids start at 0 per source and are dense
+    val ids = p.groupBy("source").agg(min("batch_id").as("mn"), max("batch_id").as("mx"),
+      countDistinct("batch_id").as("nd"))
+    assert(ids.filter(col("mn") =!= 0 || col("nd") =!= col("mx") + 1).count() == 0)
+    p.unpersist()
   }
 
   test("tf-idf: at most top-k rows per doc, ranked by non-increasing score") {
