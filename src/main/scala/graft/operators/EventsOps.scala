@@ -325,6 +325,46 @@ object EventsOps {
        |GROUP BY event_type, n ORDER BY event_type""".stripMargin
   }
 
+  /** Ordered funnel: per user, earliest signup → earliest click AT OR AFTER
+    * the signup → earliest purchase at or after that click. Stages that never
+    * happen (in order) stay null, so the row set doubles as per-stage
+    * conversion counts.
+    *
+    * Scale: each stage is one filtered groupBy(user_id) — after the first
+    * aggregation every stage join is user_id-co-partitioned, so the funnel
+    * adds joins but no new shuffle pattern; event_type reaches the scan as a
+    * pushed filter per stage.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t_signup"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(s, "user_id").filter(col("ts") >= col("t_signup"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    s.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_click"), col("t_purchase"))
+  }
+
+  def funnelOracle: String =
+    s"""WITH s AS (
+       |  SELECT user_id, min(ts) AS t_signup FROM events WHERE event_type = 'signup' GROUP BY 1
+       |), c AS (
+       |  SELECT e.user_id, min(e.ts) AS t_click
+       |  FROM events e JOIN s ON s.user_id = e.user_id
+       |  WHERE e.event_type = 'click' AND e.ts >= s.t_signup GROUP BY 1
+       |), p AS (
+       |  SELECT e.user_id, min(e.ts) AS t_purchase
+       |  FROM events e JOIN c ON c.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1
+       |)
+       |SELECT s.user_id, s.t_signup, c.t_click, p.t_purchase
+       |FROM s LEFT JOIN c ON c.user_id = s.user_id LEFT JOIN p ON p.user_id = s.user_id
+       |ORDER BY s.user_id""".stripMargin
+
   val AnomalyWin = 16   // trailing window length (rows)
   val AnomalyMinN = 8   // minimum trailing rows before scoring
   val AnomalyZ = 3.0    // |z| threshold
@@ -501,6 +541,7 @@ object EventsOps {
     "ts_value_quantiles_scalable" -> ((s, d) => valueQuantilesScalable(s, d).orderBy("event_type")),
     "events_stratified_sample" -> ((s, d) => stratifiedSampleAudit(s, d).orderBy("event_type")),
     "ts_rolling_anomaly" -> ((s, d) => rollingAnomaly(s, d).orderBy("event_type", "event_id")),
+    "events_funnel" -> ((s, d) => funnel(s, d).orderBy("user_id")),
     "ts_tumbling_agg" -> ((s, d) => tumbling(s, d))
   )
 
@@ -517,6 +558,7 @@ object EventsOps {
     "ts_value_quantiles_scalable" -> valueQuantilesScalableOracle,
     "events_stratified_sample" -> stratifiedSampleOracle,
     "ts_rolling_anomaly" -> rollingAnomalyOracle,
+    "events_funnel" -> funnelOracle,
     "ts_tumbling_agg" -> tumblingOracle
   )
 }

@@ -355,6 +355,21 @@ class AggregateSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("funnel stages are ordered and monotonically shrinking") {
+    import org.apache.spark.sql.functions._
+    val f = EventsOps.funnel(spark, sf).cache()
+    // stage timestamps are ordered where present
+    assert(f.filter(col("t_click") < col("t_signup")).count() == 0)
+    assert(f.filter(col("t_purchase") < col("t_click")).count() == 0)
+    // a later stage implies the earlier one
+    assert(f.filter(col("t_purchase").isNotNull && col("t_click").isNull).count() == 0)
+    // counts shrink down the funnel
+    val Array(nS, nC, nP) = f.agg(count("t_signup"), count("t_click"), count("t_purchase"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(nS >= nC && nC >= nP && nS > 0)
+    f.unpersist()
+  }
+
   test("rolling anomaly: warm-up rows are unscored and flags are rare") {
     import org.apache.spark.sql.functions._
     val a = EventsOps.rollingAnomaly(spark, sf).cache()
