@@ -28,7 +28,8 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracles),
       (TrendFit.queries, TrendFit.oracles),
       (StreamingOps.queries, StreamingOps.oracles),
-      (Curation.queries, Curation.oracles)
+      (Curation.queries, Curation.oracles),
+      (graft.sources.Bucketed.queries, graft.sources.Bucketed.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

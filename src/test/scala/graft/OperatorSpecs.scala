@@ -430,6 +430,25 @@ class MultimodalSpec extends SparkSpec {
   }
 }
 
+class BucketedSpec extends SparkSpec {
+  test("bucketed join is exchange-free and matches the direct join") {
+    import org.apache.spark.sql.functions._
+    val agg = graft.sources.Bucketed.bucketedJoinAgg(spark, sf).cache()
+    // the join over the two bucketed tables plans with NO shuffle exchange
+    val plan = graft.sources.Bucketed.bucketedJoin(spark)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+    // and the result matches the straight (shuffling) computation
+    val ev = graft.Tables.events(spark, sf)
+    val direct = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_direct"))
+    val bad = agg.join(direct, "event_type")
+      .filter(col("n_user_types") =!= col("n_direct")).count()
+    assert(bad == 0)
+    agg.unpersist()
+  }
+}
+
 class TextSpec extends SparkSpec {
   test("fingerprint digests stay in the 31-bit combine range and are deterministic") {
     val a = TextOps.fingerprint(spark, sf).collect().sortBy(_.getLong(0))
