@@ -277,6 +277,50 @@ object Similarity {
         r6(min(col("x"))).as("min_x"),
         r6(max(col("x"))).as("max_x"))
 
+  /** One-pass nprobe sweep: recall@k for every probe width 1..[[NProbe]] from
+    * a SINGLE k-means fit and a SINGLE brute-force pass — the tuning artifact
+    * an operator actually reads ("what does each extra probe buy?"). Query
+    * cells keep their distance rank once; widening to nprobe = n is a filter
+    * `cell_rank <= n`, so the candidate set is built per (nprobe, qid) by one
+    * explode over probe widths rather than re-running the quantizer per
+    * width. Output: one pooled recall row per nprobe.
+    */
+  def ivfRecallSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "v").localCheckpoint(true)
+    val cent = lloydCentroids(e)
+    val eb = e.join(e.select(col("vec_id"), assignLit(cent).as("c")), "vec_id")
+    val pairs = cent.map { case (c, w) =>
+      array(r6(l2_sq(col("v"), typedLit(w))), lit(c.toDouble))
+    }
+    // query cells ranked once; rank index = position in the sorted pair list
+    val ranked = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        posexplode(slice(array_sort(array(pairs: _*)), 1, NProbe)))
+      .select(col("qid"), col("qv"),
+        (col("pos") + 1).as("cell_rank"), col("col").getItem(1).cast("int").as("c"))
+    val widths = spark.range(1, NProbe + 1, 1, 1).select(col("id").cast("int").as("nprobe"))
+    val probes = ranked.crossJoin(broadcast(widths)).filter(col("cell_rank") <= col("nprobe"))
+      .select("nprobe", "qid", "qv", "c")
+    val scored = eb.join(broadcast(probes), "c")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", r6(cosine_sim(col("qv"), col("v"))))
+    val w = Window.partitionBy("nprobe", "qid").orderBy(desc("cos"), asc("vec_id"))
+    val ap = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
+      .select(col("nprobe"), col("qid"), col("vec_id").as("neighbor_id"))
+      .localCheckpoint(true)
+    val bf = bruteForceTopK(spark, dir).select("qid", "neighbor_id").localCheckpoint(true)
+      .crossJoin(broadcast(widths))
+    val tagged = bf.select(col("nprobe"), col("qid"), col("neighbor_id"), lit(1).as("src"))
+      .unionByName(ap.select(col("nprobe"), col("qid"), col("neighbor_id"), lit(2).as("src")))
+    tagged.groupBy("nprobe", "qid", "neighbor_id")
+      .agg(max(when(col("src") === 1, 1).otherwise(0)).as("in_bf"),
+        max(when(col("src") === 2, 1).otherwise(0)).as("hit"))
+      .filter(col("in_bf") === 1)
+      .groupBy("nprobe")
+      .agg(r6(avg(col("hit"))).as("recall"),
+        sum(col("hit")).cast("long").as("n_matched"), count(lit(1)).as("n"))
+  }
+
   /** Per-label centroid + per-vector distance-to-centroid — the IVF building
     * block (label stands in for a coarse cluster id at test scale).
     */
@@ -413,6 +457,7 @@ object Similarity {
     "ann_ivf_recall" -> ((s, d) => ivfRecall(s, d).orderBy("qid")),
     "ann_lsh_mp_recall" -> ((s, d) => lshMultiprobeRecall(s, d).orderBy("qid")),
     "ann_ivf_np_recall" -> ((s, d) => ivfNprobeRecall(s, d).orderBy("qid")),
+    "ann_ivf_recall_sweep" -> ((s, d) => ivfRecallSweep(s, d).orderBy("nprobe")),
     "emb_dimstats" -> ((s, d) => dimStats(s, d).orderBy("dim"))
   )
 
@@ -495,6 +540,40 @@ object Similarity {
            |)""".stripMargin,
       "FROM flat a JOIN qbkt ba ON ba.vec_id = a.vec_id JOIN bkt bb ON bb.c = ba.c " +
         "JOIN flat b ON b.vec_id = bb.vec_id AND b.d = a.d"),
+    "ann_ivf_recall_sweep" ->
+      s"""WITH $flatSql,
+         |$ivfBucketCtes,
+         |qrank AS (
+         |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS cell_rank
+         |  FROM bdist WHERE vec_id < $NumQueries
+         |), widths AS (
+         |  SELECT CAST(i AS INT) AS nprobe FROM range(1, ${NProbe + 1}) t(i)
+         |),
+         |${topkPairCtes("bf", "FROM flat a JOIN flat b ON a.d = b.d")},
+         |ap_dots AS (
+         |  SELECT w.nprobe, a.vec_id AS qid, b.vec_id AS vid, sum(a.x * b.x) AS dot
+         |  FROM widths w
+         |  JOIN qrank qr ON qr.cell_rank <= w.nprobe
+         |  JOIN flat a ON a.vec_id = qr.vec_id
+         |  JOIN bkt bb ON bb.c = qr.c
+         |  JOIN flat b ON b.vec_id = bb.vec_id AND b.d = a.d
+         |  WHERE a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2, 3
+         |), ap_topk AS (
+         |  SELECT nprobe, qid, vid FROM (
+         |    SELECT nprobe, qid, vid,
+         |           row_number() OVER (PARTITION BY nprobe, qid ORDER BY cos DESC, vid ASC) AS rn
+         |    FROM (SELECT nprobe, qid, vid, ${sqlR6("dot / (na.nrm * nb.nrm)")} AS cos
+         |          FROM ap_dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = vid))
+         |  WHERE rn <= $TopK
+         |), hits AS (
+         |  SELECT w.nprobe, b.qid, CASE WHEN l.vid IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM widths w CROSS JOIN bf_topk b
+         |  LEFT JOIN ap_topk l ON l.nprobe = w.nprobe AND l.qid = b.qid AND l.vid = b.vid
+         |)
+         |SELECT nprobe, ${sqlR6("avg(hit)")} AS recall,
+         |       CAST(sum(hit) AS BIGINT) AS n_matched, count(*) AS n
+         |FROM hits GROUP BY nprobe ORDER BY nprobe""".stripMargin,
     "emb_dimstats" ->
       s"""WITH emb AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -304,6 +304,13 @@ class SimilaritySpec extends SparkSpec {
     stats.unpersist()
   }
 
+  test("nprobe sweep recall is monotone non-decreasing in probe width") {
+    val rows = Similarity.ivfRecallSweep(spark, sf)
+      .collect().sortBy(_.getAs[Int]("nprobe")).map(_.getAs[Double]("recall"))
+    assert(rows.length == Similarity.NProbe)
+    assert(rows.sliding(2).forall { case Array(a, b) => b >= a })
+  }
+
   test("widening the probe set never hurts: multiprobe/nprobe recall >= single-bucket recall") {
     def total(df: org.apache.spark.sql.DataFrame): Double =
       df.filter(col("qid") === -1).collect()(0).getAs[Double]("recall")
