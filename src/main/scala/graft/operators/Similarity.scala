@@ -321,6 +321,27 @@ object Similarity {
         sum(col("hit")).cast("long").as("n_matched"), count(lit(1)).as("n"))
   }
 
+  /** Whitening APPLIED and verified: standardize every embedding cell with
+    * the broadcast per-dimension stats of [[dimStats]] and re-aggregate — the
+    * output should read mean ≈ 0 / std ≈ 1 per dimension, which is exactly
+    * what the oracle hash-checks (on rounded values, both engines whiten with
+    * the identical rounded stats). The stats side is 64 rows broadcast back
+    * into the corpus-sized scan — the standard two-pass normalize shape; at
+    * production scale the second explode would read a materialized flat
+    * table, noted rather than forced at fixture size.
+    */
+  def whitenedCheck(spark: SparkSession, dir: String): DataFrame = {
+    val flat = Tables.embeddings(spark, dir)
+      .select(posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("dim", "x")))
+    val stats = dimStats(spark, dir).select("dim", "mean", "std_samp")
+    flat.join(broadcast(stats), "dim")
+      .withColumn("z", (col("x") - col("mean")) / (col("std_samp") + lit(1e-8)))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        r6(avg(col("z"))).as("mean_w"),
+        r6(stddev_samp(col("z"))).as("std_w"))
+  }
+
   /** Per-label centroid + per-vector distance-to-centroid — the IVF building
     * block (label stands in for a coarse cluster id at test scale).
     */
@@ -458,7 +479,8 @@ object Similarity {
     "ann_lsh_mp_recall" -> ((s, d) => lshMultiprobeRecall(s, d).orderBy("qid")),
     "ann_ivf_np_recall" -> ((s, d) => ivfNprobeRecall(s, d).orderBy("qid")),
     "ann_ivf_recall_sweep" -> ((s, d) => ivfRecallSweep(s, d).orderBy("nprobe")),
-    "emb_dimstats" -> ((s, d) => dimStats(s, d).orderBy("dim"))
+    "emb_dimstats" -> ((s, d) => dimStats(s, d).orderBy("dim")),
+    "emb_whitened_check" -> ((s, d) => whitenedCheck(s, d).orderBy("dim"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -585,6 +607,20 @@ object Similarity {
          |       ${sqlR6("stddev_samp(x)")} AS std_samp,
          |       ${sqlR6("min(x)")} AS min_x,
          |       ${sqlR6("max(x)")} AS max_x
-         |FROM flat GROUP BY dim ORDER BY dim""".stripMargin
+         |FROM flat GROUP BY dim ORDER BY dim""".stripMargin,
+    "emb_whitened_check" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), flat AS (
+         |  SELECT CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim, unnest(v) AS x FROM emb
+         |), stats AS (
+         |  SELECT dim, ${sqlR6("avg(x)")} AS mean, ${sqlR6("stddev_samp(x)")} AS std_samp
+         |  FROM flat GROUP BY dim
+         |)
+         |SELECT f.dim, count(*) AS n,
+         |       ${sqlR6("avg((f.x - s.mean) / (s.std_samp + 1.0e-8))")} AS mean_w,
+         |       ${sqlR6("stddev_samp((f.x - s.mean) / (s.std_samp + 1.0e-8))")} AS std_w
+         |FROM flat f JOIN stats s ON s.dim = f.dim
+         |GROUP BY f.dim ORDER BY f.dim""".stripMargin
   )
 }

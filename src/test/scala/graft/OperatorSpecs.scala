@@ -304,6 +304,17 @@ class SimilaritySpec extends SparkSpec {
     stats.unpersist()
   }
 
+  test("applied whitening yields mean ~0 and std ~1 per dimension") {
+    val w = Similarity.whitenedCheck(spark, sf).collect()
+    assert(w.length == Similarity.Dim)
+    w.foreach { r =>
+      // the stats are r6-rounded before whitening, so the residual mean is
+      // bounded by rounding/std, not by float noise alone
+      assert(math.abs(r.getAs[Double]("mean_w")) < 1e-5)
+      assert(math.abs(r.getAs[Double]("std_w") - 1.0) < 1e-3)
+    }
+  }
+
   test("nprobe sweep recall is monotone non-decreasing in probe width") {
     val rows = Similarity.ivfRecallSweep(spark, sf)
       .collect().sortBy(_.getAs[Int]("nprobe")).map(_.getAs[Double]("recall"))
