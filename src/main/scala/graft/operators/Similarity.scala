@@ -94,10 +94,20 @@ object Similarity {
     * fill a top-10. Each corpus vector still has exactly ONE bucket, so a
     * candidate pair matches at most one probe and needs no dedup.
     */
-  def lshMultiprobeTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** XOR masks for every bucket within Hamming distance `radius` of the
+    * query's own bucket: {0} ∪ single-bit flips ∪ (radius ≥ 2) bit-pair
+    * flips — 9 probes at radius 1, 37 at radius 2 over 8 planes.
+    */
+  private def probeMasks(radius: Int): Seq[Long] = {
+    val singles = (0 until NumPlanes).map(b => 1L << b)
+    val pairs = for { i <- 0 until NumPlanes; j <- i + 1 until NumPlanes }
+      yield (1L << i) | (1L << j)
+    (Seq(0L) ++ singles ++ (if (radius >= 2) pairs else Nil))
+  }
+
+  def lshMultiprobeTopK(spark: SparkSession, dir: String, radius: Int = 1): DataFrame = {
     val e = emb(spark, dir).join(buckets(spark, dir), "vec_id")
-    val probes = array(
-      col("bucket") +: (0 until NumPlanes).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*)
+    val probes = array(probeMasks(radius).map(m => col("bucket").bitwiseXOR(lit(m))): _*)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), explode(probes).as("bucket"))
     val scored = e.join(broadcast(q), "bucket")
@@ -256,6 +266,9 @@ object Similarity {
 
   def lshMultiprobeRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(bruteForceTopK(spark, dir), lshMultiprobeTopK(spark, dir))
+
+  def lshMultiprobe2Recall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(bruteForceTopK(spark, dir), lshMultiprobeTopK(spark, dir, radius = 2))
 
   def ivfNprobeRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(bruteForceTopK(spark, dir), ivfTopKNprobe(spark, dir))
@@ -477,6 +490,7 @@ object Similarity {
     "ann_lsh_recall" -> ((s, d) => lshRecall(s, d).orderBy("qid")),
     "ann_ivf_recall" -> ((s, d) => ivfRecall(s, d).orderBy("qid")),
     "ann_lsh_mp_recall" -> ((s, d) => lshMultiprobeRecall(s, d).orderBy("qid")),
+    "ann_lsh_mp2_recall" -> ((s, d) => lshMultiprobe2Recall(s, d).orderBy("qid")),
     "ann_ivf_np_recall" -> ((s, d) => ivfNprobeRecall(s, d).orderBy("qid")),
     "ann_ivf_recall_sweep" -> ((s, d) => ivfRecallSweep(s, d).orderBy("nprobe")),
     "emb_dimstats" -> ((s, d) => dimStats(s, d).orderBy("dim")),
@@ -551,6 +565,22 @@ object Similarity {
            |  FROM bkt CROSS JOIN range(0, ${NumPlanes + 1}) p(i)
            |)""".stripMargin,
       "FROM flat a JOIN qprobes ba ON ba.vec_id = a.vec_id " +
+        "JOIN bkt bb ON bb.bucket = ba.bucket JOIN flat b ON b.vec_id = bb.vec_id AND b.d = a.d"),
+    // masks = {0} ∪ singles ∪ pairs via a DISTINCT over two flip indices,
+    // where index 8 stands for "no flip" (xor with 0); i = j < 8 also folds
+    // to 0 under xor — DISTINCT collapses the duplicates to the 37 masks
+    "ann_lsh_mp2_recall" -> recallSql(
+      lshBucketCtes +
+        s""",
+           |masks AS (
+           |  SELECT DISTINCT xor(CASE WHEN i.i < $NumPlanes THEN (1::BIGINT << CAST(i.i AS INT)) ELSE 0 END,
+           |                      CASE WHEN j.i < $NumPlanes THEN (1::BIGINT << CAST(j.i AS INT)) ELSE 0 END) AS m
+           |  FROM range(0, ${NumPlanes + 1}) i(i) CROSS JOIN range(0, ${NumPlanes + 1}) j(i)
+           |),
+           |qprobes2 AS (
+           |  SELECT vec_id, xor(bucket, m) AS bucket FROM bkt CROSS JOIN masks
+           |)""".stripMargin,
+      "FROM flat a JOIN qprobes2 ba ON ba.vec_id = a.vec_id " +
         "JOIN bkt bb ON bb.bucket = ba.bucket JOIN flat b ON b.vec_id = bb.vec_id AND b.d = a.d"),
     "ann_ivf_np_recall" -> recallSql(
       ivfBucketCtes +

@@ -325,9 +325,12 @@ class SimilaritySpec extends SparkSpec {
   test("widening the probe set never hurts: multiprobe/nprobe recall >= single-bucket recall") {
     def total(df: org.apache.spark.sql.DataFrame): Double =
       df.filter(col("qid") === -1).collect()(0).getAs[Double]("recall")
-    // multiprobe candidates are a superset of the single bucket's, and nprobe
-    // cells a superset of the nearest cell's, so pooled recall is monotone
-    assert(total(Similarity.lshMultiprobeRecall(spark, sf)) >= total(Similarity.lshRecall(spark, sf)))
+    // multiprobe candidates are a superset of the single bucket's (and
+    // radius 2 a superset of radius 1), nprobe cells a superset of the
+    // nearest cell's — so pooled recall is monotone at every widening
+    val r1 = total(Similarity.lshMultiprobeRecall(spark, sf))
+    assert(r1 >= total(Similarity.lshRecall(spark, sf)))
+    assert(total(Similarity.lshMultiprobe2Recall(spark, sf)) >= r1)
     assert(total(Similarity.ivfNprobeRecall(spark, sf)) >= total(Similarity.ivfRecall(spark, sf)))
   }
 
