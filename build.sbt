@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked run's stdout verbatim (no "[info] " prefix) and drop
+// sbt's "[success] Total time" trailer: the driver tail-captures `sbt runMain
+// graft.Bench` output and JSON-parses it line by line, and the prefix/trailer
+// made every round's bench line unparseable ("parsed": null in BENCH_r0{1,2,3}).
+// With these two settings the bench's short JSON line is the LAST raw stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -40,7 +40,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // clamp to >=1 and survive a malformed value: a crash here (or runs=0 making
+    // dts.min throw) would lose the round's whole perf signal
+    val runs = math.max(1,
+      try sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+      catch { case _: NumberFormatException => 2 })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -270,11 +270,18 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
+    // base frames (pairs, edges) stay pinned for the whole propagation; every
+    // per-round labels checkpoint is unpersisted as soon as its successor is
+    // materialized, so at most two label snapshots hold blocks at a time
+    // instead of up to MaxClusterIters of them
+    val sc = spark.sparkContext
+    val keepBase = sc.getPersistentRDDs.keySet
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < MaxClusterIters) {
+      val prevIds = sc.getPersistentRDDs.keySet -- keepBase
       val nbrMin = edges.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr"))
         .withColumnRenamed("dst", "doc_id")
@@ -284,6 +291,10 @@ object Dedup {
           (coalesce(col("nbr"), col("label")) < col("label")).as("chg"))
         .localCheckpoint(true)
       changed = next.filter(col("chg")).count()
+      // `next` is eagerly materialized above, so the superseded labels blocks
+      // (everything persisted before this round, minus the base frames) are
+      // no longer reachable by any future computation
+      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       labels = next.select("doc_id", "label")
       iter += 1
     }

@@ -321,13 +321,13 @@ object Diffusion {
   def schedSql(timesteps: Int, kind: String): String = {
     val betaExpr = kind match {
       case "linear" =>
-        s"(1.0e-4 + ${sqlD(BetaEnd - BetaStart)} * (CAST(step AS DOUBLE) / ${sqlD((timesteps - 1).toDouble)}))"
+        s"(${sqlD(BetaStart)} + ${sqlD(BetaEnd - BetaStart)} * (CAST(step AS DOUBLE) / ${sqlD((timesteps - 1).toDouble)}))"
       case "cosine" =>
         def f(x: String) =
           s"pow(cos((((($x) / ${sqlD(timesteps.toDouble)}) + ${sqlD(CosS)}) / ${sqlD(1.0 + CosS)}) * ${sqlD(math.Pi * 0.5)}), 2.0e0)"
         s"greatest(least(1.0e0 - ${f("CAST(step AS DOUBLE) + 1.0e0")} / ${f("CAST(step AS DOUBLE)")}, 0.9999e0), 1.0e-4)"
       case "quadratic" =>
-        s"(1.0e-4 + ${sqlD(BetaEnd - BetaStart)} * pow(CAST(step AS DOUBLE) / ${sqlD((timesteps - 1).toDouble)}, 2.0e0))"
+        s"(${sqlD(BetaStart)} + ${sqlD(BetaEnd - BetaStart)} * pow(CAST(step AS DOUBLE) / ${sqlD((timesteps - 1).toDouble)}, 2.0e0))"
     }
     s"""sched0 AS (
        |  SELECT CAST(i AS INT) AS step, $betaExpr AS beta

@@ -455,9 +455,19 @@ class BucketedSpec extends SparkSpec {
   test("bucketed join is exchange-free and matches the direct join") {
     import org.apache.spark.sql.functions._
     val agg = graft.sources.Bucketed.bucketedJoinAgg(spark, sf).cache()
-    // the join over the two bucketed tables plans with NO shuffle exchange
-    val plan = graft.sources.Bucketed.bucketedJoin(spark)
-      .queryExecution.executedPlan.toString
+    // the join over the two bucketed tables plans with NO shuffle exchange.
+    // Broadcast joins are shuffle-free regardless of bucketing, so disable
+    // autoBroadcast while inspecting the plan: the assertion only proves the
+    // bucket layout works if the planner is forced onto the SortMergeJoin
+    // path (at sf0.001 both sides are far below the 10MB broadcast threshold).
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plan =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        graft.sources.Bucketed.bucketedJoin(spark)
+          .queryExecution.executedPlan.toString
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    assert(plan.contains("SortMergeJoin"), s"expected bucketed SMJ path:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
     // and the result matches the straight (shuffling) computation
     val ev = graft.Tables.events(spark, sf)
