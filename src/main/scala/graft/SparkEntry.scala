@@ -29,7 +29,8 @@ object SparkEntry {
       (TrendFit.queries, TrendFit.oracles),
       (StreamingOps.queries, StreamingOps.oracles),
       (Curation.queries, Curation.oracles),
-      (graft.sources.Bucketed.queries, graft.sources.Bucketed.oracles)
+      (graft.sources.Bucketed.queries, graft.sources.Bucketed.oracles),
+      (TypedOps.queries, TypedOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -365,6 +365,54 @@ object EventsOps {
        |FROM s LEFT JOIN c ON c.user_id = s.user_id LEFT JOIN p ON p.user_id = s.user_id
        |ORDER BY s.user_id""".stripMargin
 
+  /** Conversion window for the bounded funnel (minutes per stage). */
+  val FunnelWindowMin = 60
+
+  /** Funnel with a conversion-window bound: each stage must land within
+    * [[FunnelWindowMin]] minutes of the previous one (the standard
+    * attribution-window semantics [[funnel]] leaves unbounded — an unbounded
+    * funnel credits a purchase months after the click). Same join/aggregate
+    * shape and scale story as [[funnel]]; the bound is one extra predicate on
+    * each stage join, evaluated as exact micros timestamp arithmetic in both
+    * engines.
+    */
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val win = expr(s"INTERVAL $FunnelWindowMin MINUTES")
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t_signup"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(s, "user_id")
+      .filter(col("ts") >= col("t_signup") && col("ts") <= col("t_signup") + win)
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") >= col("t_click") && col("ts") <= col("t_click") + win)
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    s.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_click"), col("t_purchase"))
+  }
+
+  def funnelWindowedOracle: String =
+    s"""WITH s AS (
+       |  SELECT user_id, min(ts) AS t_signup FROM events WHERE event_type = 'signup' GROUP BY 1
+       |), c AS (
+       |  SELECT e.user_id, min(e.ts) AS t_click
+       |  FROM events e JOIN s ON s.user_id = e.user_id
+       |  WHERE e.event_type = 'click' AND e.ts >= s.t_signup
+       |    AND e.ts <= s.t_signup + INTERVAL $FunnelWindowMin MINUTE
+       |  GROUP BY 1
+       |), p AS (
+       |  SELECT e.user_id, min(e.ts) AS t_purchase
+       |  FROM events e JOIN c ON c.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+       |    AND e.ts <= c.t_click + INTERVAL $FunnelWindowMin MINUTE
+       |  GROUP BY 1
+       |)
+       |SELECT s.user_id, s.t_signup, c.t_click, p.t_purchase
+       |FROM s LEFT JOIN c ON c.user_id = s.user_id LEFT JOIN p ON p.user_id = s.user_id
+       |ORDER BY s.user_id""".stripMargin
+
   val AnomalyWin = 16   // trailing window length (rows)
   val AnomalyMinN = 8   // minimum trailing rows before scoring
   val AnomalyZ = 3.0    // |z| threshold
@@ -542,6 +590,7 @@ object EventsOps {
     "events_stratified_sample" -> ((s, d) => stratifiedSampleAudit(s, d).orderBy("event_type")),
     "ts_rolling_anomaly" -> ((s, d) => rollingAnomaly(s, d).orderBy("event_type", "event_id")),
     "events_funnel" -> ((s, d) => funnel(s, d).orderBy("user_id")),
+    "events_funnel_windowed" -> ((s, d) => funnelWindowed(s, d).orderBy("user_id")),
     "ts_tumbling_agg" -> ((s, d) => tumbling(s, d))
   )
 
@@ -559,6 +608,7 @@ object EventsOps {
     "events_stratified_sample" -> stratifiedSampleOracle,
     "ts_rolling_anomaly" -> rollingAnomalyOracle,
     "events_funnel" -> funnelOracle,
+    "events_funnel_windowed" -> funnelWindowedOracle,
     "ts_tumbling_agg" -> tumblingOracle
   )
 }

