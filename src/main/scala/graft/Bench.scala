@@ -36,6 +36,19 @@ object Bench {
   private def gcMillis: Long =
     ManagementFactory.getGarbageCollectorMXBeans.asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
 
+  /** Hypervisor steal ticks (field 9 of /proc/stat's cpu line): a VM-level
+    * freeze stalls wall-clock while loadavg stays low — steal is the one
+    * counter that names it. The r4 builder bench saw exactly this (two
+    * alphabetically-contiguous blocks of 100x-slowed trivial queries, load
+    * < 2 throughout), so the artifact now carries the evidence.
+    */
+  private def stealTicks: Long =
+    try Files.readString(Paths.get("/proc/stat")).linesIterator
+      .find(_.startsWith("cpu "))
+      .map(_.trim.split("\\s+").drop(1).map(_.toLong))
+      .filter(_.length >= 8).map(_(7)).getOrElse(0L)
+    catch { case _: Throwable => 0L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -54,6 +67,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadavg
     val gcStart = gcMillis
+    val stealStart = stealTicks
     // warm up codegen/IO paths so the first measured query doesn't absorb
     // session bring-up
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -81,8 +95,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"$k\":${ms(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val gcSec = (gcMillis - gcStart) / 1e3
+    // steal is in USER_HZ (100/s) per-cpu-summed; report raw tick delta
+    val stealDelta = stealTicks - stealStart
     val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","runs":$runs,"agg":"min","loadavg_start":"$loadStart","loadavg_end":"$loadavg","gc_sec":${ms(gcSec)}}"""
+      s""","runs":$runs,"agg":"min","loadavg_start":"$loadStart","loadavg_end":"$loadavg"""" +
+      s""","gc_sec":${ms(gcSec)},"steal_ticks":$stealDelta}"""
     val short = s"""{"metric":"total","value":${ms(total)}}"""
     try Files.writeString(Paths.get(outPath), full + "\n" + short + "\n")
     catch { case _: Throwable => () }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
-import graft.streaming.StreamingOps
+import graft.streaming.{StatefulOps, StreamingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,7 +30,8 @@ object SparkEntry {
       (StreamingOps.queries, StreamingOps.oracles),
       (Curation.queries, Curation.oracles),
       (graft.sources.Bucketed.queries, graft.sources.Bucketed.oracles),
-      (TypedOps.queries, TypedOps.oracles)
+      (TypedOps.queries, TypedOps.oracles),
+      (StatefulOps.queries, StatefulOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
