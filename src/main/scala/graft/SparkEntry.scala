@@ -30,6 +30,7 @@ object SparkEntry {
       (StreamingOps.queries, StreamingOps.oracles),
       (Curation.queries, Curation.oracles),
       (graft.sources.Bucketed.queries, graft.sources.Bucketed.oracles),
+      (graft.sources.Partitioned.queries, graft.sources.Partitioned.oracles),
       (TypedOps.queries, TypedOps.oracles),
       (StatefulOps.queries, StatefulOps.oracles)
     )
