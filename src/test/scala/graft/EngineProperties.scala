@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.{DetRand, Num}
+import graft.operators.{Diffusion, Reshape}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.{forAll, forAllNoShrink}
+
+/** ScalaCheck property suite (SURVEY §5 test plan): the algebraic laws the
+  * operators must satisfy for ARBITRARY parameters, not just the registered
+  * fixtures. Each property batches its generated cases into one small Spark
+  * job, and iteration counts are tuned so the whole suite stays in seconds.
+  */
+object EngineProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = TestSession.spark
+
+  // S4 ∘ S5 = id for any (patchSize, seqLen) with seqLen % patchSize == 0
+  property("patchify.unpatchify.identity") =
+    forAll(Gen.choose(1, 8), Gen.choose(1, 6), Gen.choose(1, 4)) { (patchSize, mult, n) =>
+      val seqLen = patchSize * mult
+      val base = spark.range(n.toLong * seqLen).select(
+        (col("id") / seqLen).cast("long").as("series_id"),
+        (col("id") % seqLen).cast("int").as("t"),
+        Num.r6(sin(col("id").cast("double"))).as("value"))
+      val back = Reshape.unpatchify(Reshape.patchify(spark, base, patchSize), patchSize)
+        .select("series_id", "t", "value")
+      back.exceptAll(base).isEmpty && base.exceptAll(back).isEmpty
+    }
+
+  // DetRand.u01 lands strictly inside (0,1) and uniform(lo,hi) inside [lo,hi]
+  // for any key within the documented |key| < 2e11 contract
+  property("detrand.bounds") =
+    forAll(Gen.choose(-1.9e11, 1.9e11), Gen.choose(0, 60)) { (key0, stream) =>
+      val keys = spark.range(64).select((col("id").cast("double") * 1234.5 + key0).as("k"))
+      val bad = keys.select(
+        DetRand.u01(col("k"), stream).as("u"),
+        DetRand.uniform(col("k"), stream + 1, -3.5, 7.25).as("v"))
+        .filter(col("u") <= 0.0 || col("u") >= 1.0 || col("v") < -3.5 || col("v") > 7.25)
+        .count()
+      bad == 0L
+    }
+
+  // Num.r6 is idempotent and within half an ulp-of-1e-6 of its argument
+  property("r6.idempotent.close") =
+    forAll(Gen.choose(-1.0e6, 1.0e6)) { x0 =>
+      val xs = spark.range(32).select((col("id").cast("double") * 0.137 + x0).as("x"))
+      val bad = xs.select(col("x"), Num.r6(col("x")).as("r"), Num.r6(Num.r6(col("x"))).as("rr"))
+        .filter(col("r") =!= col("rr") || abs(col("r") - col("x")) > 5.000001e-7)
+        .count()
+      bad == 0L
+    }
+
+  // U2 at full generality: for ANY affine beta in (0, 1), the cumulative
+  // alpha product is strictly decreasing and ac_prev is its 1-lag with pad 1
+  property("schedule.cumprod.monotone") =
+    forAllNoShrink(Gen.choose(1e-5, 0.02), Gen.choose(0.021, 0.3), Gen.choose(10, 60)) {
+      (bs, be, steps) =>
+        val sched = Diffusion.scheduleFrom(spark, steps,
+          step => lit(bs) + lit(be - bs) * step / (steps - 1).toDouble)
+          .orderBy("step")
+          .select("step", "ac", "ac_prev")
+          .collect()
+        val ac = sched.map(_.getDouble(1))
+        val acPrev = sched.map(_.getDouble(2))
+        val decreasing = ac.sliding(2).forall(w => w(1) < w(0))
+        val lagged = acPrev.head == 1.0 &&
+          acPrev.drop(1).zip(ac.dropRight(1)).forall { case (p, a) => p == a }
+        decreasing && lagged && ac.forall(a => a > 0.0 && a < 1.0)
+    }
+}
