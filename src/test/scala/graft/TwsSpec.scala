@@ -1,0 +1,52 @@
+package graft
+
+import graft.streaming.TwsOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** transformWithState: named ValueState must accumulate across micro-batches
+  * (requires the RocksDB state store provider, set only for this query).
+  */
+class TwsSpec extends SparkSpec {
+
+  test("running per-user totals accumulate across micro-batches via ValueState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, user: Long, v: Double) =
+      graft.streaming.WmEvent(user, id, new Timestamp(base + id * 1000L),
+        (base + id * 1000L) * 1000L, v)
+
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[graft.streaming.WmEvent]
+      val q = TwsOps.runningUserStats(stream.toDF())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("tws_out").start()
+
+      stream.addData(Seq(ev(1, 1, 1.5), ev(2, 1, 2.25), ev(3, 2, 10.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(4, 1, 0.25), ev(5, 2, 5.0), ev(6, 3, 7.0)))
+      q.processAllAvailable()
+      q.stop()
+
+      // update mode: one row per (user, batch); the LAST row per user holds
+      // the cross-batch running total
+      val rows = spark.table("tws_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val last = rows.groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+      assert(last(1L) == ((1L, 3L, 4000000L)), s"got ${last(1L)}")   // 1.5+2.25+0.25
+      assert(last(2L) == ((2L, 2L, 15000000L)), s"got ${last(2L)}")  // 10+5
+      assert(last(3L) == ((3L, 1L, 7000000L)), s"got ${last(3L)}")
+      // batch 1 emitted the partial totals, proving per-batch emission too
+      assert(rows.contains((1L, 2L, 3750000L)), s"got ${rows.mkString(",")}")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
