@@ -72,6 +72,12 @@ object Bench {
     // session bring-up
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).count()
+    // a query that throws would otherwise time near-zero and FLATTER the
+    // total (VERDICT r4 caution): record the exception class per query so the
+    // JSON carries an "errors" count and a failing total can't look healthy.
+    // Correctness gating catches the breakage separately; this makes the perf
+    // artifact self-auditing the way the steal/gc fields are.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val dts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -80,7 +86,7 @@ object Bench {
           // sum as DOUBLE: a BIGINT sum of xxhash64 values overflows 2^63 under
           // ANSI mode and aborts the query mid-scan, truncating the measurement
           df.select(xxhash64(df.columns.map(col): _*).cast("double").as("h")).agg(sum("h")).collect()
-        } catch { case _: Throwable => () }
+        } catch { case e: Throwable => errors(name) = e.getClass.getSimpleName }
         val dt = (System.nanoTime() - t0) / 1e9
         // release blocks pinned by intra-query localCheckpoints so storage
         // pressure from one query can't tax the next
@@ -97,9 +103,11 @@ object Bench {
     val gcSec = (gcMillis - gcStart) / 1e3
     // steal is in USER_HZ (100/s) per-cpu-summed; report raw tick delta
     val stealDelta = stealTicks - stealStart
+    val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","runs":$runs,"agg":"min","loadavg_start":"$loadStart","loadavg_end":"$loadavg"""" +
-      s""","gc_sec":${ms(gcSec)},"steal_ticks":$stealDelta}"""
+      s""","gc_sec":${ms(gcSec)},"steal_ticks":$stealDelta""" +
+      s""","errors":${errors.size},"query_errors":$errJson}"""
     val short = s"""{"metric":"total","value":${ms(total)}}"""
     try Files.writeString(Paths.get(outPath), full + "\n" + short + "\n")
     catch { case _: Throwable => () }

@@ -273,28 +273,29 @@ object Dedup {
     // base frames (pairs, edges) stay pinned for the whole propagation; every
     // per-round labels checkpoint is unpersisted as soon as its successor is
     // materialized, so at most two label snapshots hold blocks at a time
-    // instead of up to MaxClusterIters of them
-    val sc = spark.sparkContext
-    val keepBase = sc.getPersistentRDDs.keySet
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    // instead of up to MaxClusterIters of them. Snapshot ownership is tracked
+    // by RDD id (Checkpoints.tracked) rather than a global persistent-set
+    // diff, so concurrent persists by unrelated code are never swept up.
+    var (labelsCp, labelIds) = graft.functions.Checkpoints.tracked(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
+    var labels = labelsCp
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < MaxClusterIters) {
-      val prevIds = sc.getPersistentRDDs.keySet -- keepBase
       val nbrMin = edges.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr"))
         .withColumnRenamed("dst", "doc_id")
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
-          (coalesce(col("nbr"), col("label")) < col("label")).as("chg"))
-        .localCheckpoint(true)
+      val (next, nextIds) = graft.functions.Checkpoints.tracked(
+        labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+            (coalesce(col("nbr"), col("label")) < col("label")).as("chg")))
       changed = next.filter(col("chg")).count()
       // `next` is eagerly materialized above, so the superseded labels blocks
-      // (everything persisted before this round, minus the base frames) are
-      // no longer reachable by any future computation
-      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      // are no longer reachable by any future computation
+      graft.functions.Checkpoints.release(next, labelIds)
+      labelIds = nextIds
       labels = next.select("doc_id", "label")
       iter += 1
     }

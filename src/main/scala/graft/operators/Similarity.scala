@@ -186,7 +186,13 @@ object Similarity {
   def kmeansCentroidsFlat(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cent = quantizerFor(dir) {
-      lloydCentroids(emb(spark, dir).select("vec_id", "v").localCheckpoint(true))
+      // fit-only path: the checkpointed working set is released as soon as
+      // the centroid Seq is extracted — without this every cache-miss fit
+      // left its blocks pinned for the life of the process (ADVICE r4)
+      val (e, ids) = graft.functions.Checkpoints.tracked(
+        emb(spark, dir).select("vec_id", "v"))
+      try lloydCentroids(e)
+      finally graft.functions.Checkpoints.release(e, ids, blocking = true)
     }
     cent.flatMap { case (c, ws) => ws.zipWithIndex.map { case (w, d) => (c, d, w) } }
       .toDF("c", "d", "w")

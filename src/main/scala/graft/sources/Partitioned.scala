@@ -25,12 +25,27 @@ object Partitioned {
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), "graft_events_by_date")
 
-  /** Idempotent: the driver and bench invoke each query repeatedly. */
   private def writePartitionedEvents(spark: SparkSession, dir: String): Unit =
     Tables.events(spark, dir)
       .withColumn("event_date", to_date(col("ts")))
       .write.partitionBy("event_date")
       .mode("overwrite").parquet(location(spark).toString)
+
+  /** location → source dir it was last written from. Rewriting on EVERY
+    * invocation (the pre-r5 behavior) made the registered query benchmark the
+    * overwrite more than the pruned read, and a concurrent reader could
+    * observe the location mid-overwrite (ADVICE r4). The layout is an index:
+    * write once per (location, source dir) — the quantizerCache pattern — and
+    * rewrite only when a different source dir targets the same location
+    * (compute() is atomic per key, so concurrent first calls serialize).
+    */
+  private val written = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensurePartitionedEvents(spark: SparkSession, dir: String): Unit =
+    written.compute(location(spark).toString, (_, prev) => {
+      if (prev != dir) writePartitionedEvents(spark, dir)
+      dir
+    })
 
   /** The pruned read, exposed separately so the spec can inspect the plan. */
   def prunedRead(spark: SparkSession): DataFrame =
@@ -39,7 +54,7 @@ object Partitioned {
         col("event_date") <= lit(ToDate).cast("date"))
 
   def prunedDailyAgg(spark: SparkSession, dir: String): DataFrame = {
-    writePartitionedEvents(spark, dir)
+    ensurePartitionedEvents(spark, dir)
     prunedRead(spark)
       .groupBy("event_date", "event_type")
       .agg(count(lit(1)).as("n_events"),

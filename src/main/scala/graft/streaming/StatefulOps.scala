@@ -43,9 +43,11 @@ case class ClosedSession(user_id: Long, session_seq: Long, n_events: Long,
   * Session arithmetic is bit-identical to TypedOps/Relational.sessionize:
   * cast-to-double-seconds gap, exact BIGINT micros money sum.
   *
-  * Scale: state is ONE OpenSession per active user key (five longs), evicted
-  * by the event-time timeout — the watermark bounds state exactly as it
-  * bounds the windowed aggregates.
+  * Scale: state is ONE OpenSession per active user key (five longs). The
+  * event-time timeout closes idle sessions and leaves a zero-event sentinel
+  * carrying the seq counter for one further gap (so session numbering stays
+  * monotonic per user across timeouts), after which a second timeout evicts
+  * it — the watermark bounds state exactly as it bounds windowed aggregates.
   */
 object StatefulOps {
   val GapMinutes = 30.0
@@ -60,11 +62,14 @@ object StatefulOps {
     var out = Vector.empty[ClosedSession]
     rows.foreach { e =>
       open match {
-        case Some(s) if (e.ts_us.toDouble / 1e6 - s.last_us.toDouble / 1e6) / 60.0 <= GapMinutes =>
+        // n == 0 is the already-closed SENTINEL a timeout leaves behind to
+        // carry the seq counter: never merge into it, never re-emit it
+        case Some(s) if s.n > 0 &&
+            (e.ts_us.toDouble / 1e6 - s.last_us.toDouble / 1e6) / 60.0 <= GapMinutes =>
           open = Some(s.copy(n = s.n + 1, last_us = e.ts_us,
             value_micros = s.value_micros + math.floor(e.value * 1e6 + 0.5).toLong))
         case _ =>
-          open.foreach { s =>
+          open.filter(_.n > 0).foreach { s =>
             out :+= ClosedSession(uid, s.session_seq, s.n, s.start_us, s.last_us, s.value_micros)
           }
           val seq = open.map(_.session_seq + 1).getOrElse(1L)
@@ -82,15 +87,38 @@ object StatefulOps {
       uid: Long, it: Iterator[WmEvent], state: GroupState[OpenSession]): Iterator[ClosedSession] = {
     if (state.hasTimedOut) {
       val s = state.get
-      state.remove()
-      Iterator.single(ClosedSession(uid, s.session_seq, s.n, s.start_us, s.last_us, s.value_micros))
+      if (s.n > 0) {
+        // close the idle session, but LINGER a sentinel (n = 0) carrying the
+        // seq counter so the user's next session continues numbering instead
+        // of restarting at 1 and colliding with an already-emitted
+        // (user_id, session_seq) key (ADVICE r4). The linger deadline anchors
+        // to the WATERMARK at close time (one further gap past it), not the
+        // session's own last event: the watermark has already overtaken
+        // last_us + gap when this fires, so a last_us-anchored deadline would
+        // be instantly expired and evicted by the very next no-data batch.
+        // State stays bounded; only a user idle one gap past the close's
+        // watermark restarts numbering (documented bounded-memory tradeoff).
+        state.update(s.copy(n = 0L))
+        state.setTimeoutTimestamp(
+          state.getCurrentWatermarkMs() + (GapMinutes * 60000L).toLong)
+        Iterator.single(ClosedSession(uid, s.session_seq, s.n, s.start_us, s.last_us, s.value_micros))
+      } else {
+        state.remove()
+        Iterator.empty
+      }
     } else {
       val (closed, open) = walk(uid, state.getOption, it)
       open match {
         case Some(s) =>
           state.update(s)
+          // deadline clamped to watermark + 1: a late-but-admissible event
+          // (inside the 2-hour watermark delay but older than watermark − gap)
+          // would otherwise produce a timestamp ≤ watermark, which Spark
+          // rejects with IllegalArgumentException at runtime (ADVICE r4)
           if (withTimeout)
-            state.setTimeoutTimestamp(s.last_us / 1000L + (GapMinutes * 60000L).toLong)
+            state.setTimeoutTimestamp(math.max(
+              s.last_us / 1000L + (GapMinutes * 60000L).toLong,
+              state.getCurrentWatermarkMs() + 1L))
         case None => state.remove()
       }
       closed.iterator

@@ -59,6 +59,45 @@ class StatefulSpec extends SparkSpec {
     assert(rows.contains((1L, 2L, 1L)), s"got $rows")
   }
 
+  test("session numbering continues after a timeout closes a session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, minutes: Long, user: Long = 1L) =
+      graft.streaming.WmEvent(user, id, new Timestamp(base + minutes * 60000L),
+        (base + minutes * 60000L) * 1000L, 1.0)
+
+    val stream = MemoryStream[graft.streaming.WmEvent]
+    val q = StatefulOps.statefulSessions(stream.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stateful_seq_out").start()
+
+    // batch 1: user 1 opens session 1; user 2's far-future event advances the
+    // watermark (max ts − 2h) far past user 1's gap deadline
+    stream.addData(Seq(ev(1, 0), ev(2, 2000, user = 2L)))
+    q.processAllAvailable()
+    // batch 2: the timeout fires for user 1 (closes session 1, leaves the
+    // seq-carrying sentinel)
+    stream.addData(Seq(ev(3, 2005, user = 2L)))
+    q.processAllAvailable()
+    // batch 3: user 1 returns (above the watermark) — must get session_seq 2,
+    // not restart at 1 and collide with the already-emitted key
+    stream.addData(Seq(ev(4, 1900)))
+    q.processAllAvailable()
+    // batch 4: advance the watermark so user 1's second session times out too
+    stream.addData(Seq(ev(5, 6000, user = 2L)))
+    q.processAllAvailable()
+    stream.addData(Seq(ev(6, 6005, user = 2L)))
+    q.processAllAvailable()
+    q.stop()
+
+    val u1 = spark.table("stateful_seq_out")
+      .filter(col("user_id") === 1L)
+      .select("session_seq", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(u1 == Set((1L, 1L), (2L, 1L)), s"got $u1")
+  }
+
   test("streaming AvailableNow run over the events file emits only real sessions") {
     val sink = "stateful_file_out"
     spark.catalog.dropTempView(sink)
