@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
-import graft.streaming.{StatefulOps, StreamingOps}
+import graft.streaming.{StatefulOps, StreamingOps, TwsOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,7 +32,8 @@ object SparkEntry {
       (graft.sources.Bucketed.queries, graft.sources.Bucketed.oracles),
       (graft.sources.Partitioned.queries, graft.sources.Partitioned.oracles),
       (TypedOps.queries, TypedOps.oracles),
-      (StatefulOps.queries, StatefulOps.oracles)
+      (StatefulOps.queries, StatefulOps.oracles),
+      (TwsOps.queries, TwsOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -460,6 +460,43 @@ object EventsOps {
        |                false) AS is_anomaly
        |FROM trail ORDER BY event_type, event_id""".stripMargin
 
+  /** Relative standard deviation handed to HLL++, and the tolerance the
+    * registered check asserts. rsd 0.01 puts small-cardinality groups in the
+    * sketch's near-exact sparse mode, so 2% holds with wide margin.
+    */
+  val HllRsd = 0.01
+  val HllTolPct = 2.0
+
+  /** Sketch-based corpus profiling: distinct users per day via HLL++
+    * (`approx_count_distinct`) — at 100 TB distinct-count questions are
+    * sketch territory: the sketch is a few KB per group, map-side combinable,
+    * one shuffle of sketches instead of an expand + exact distinct over every
+    * (day, user) pair.
+    *
+    * Oracle design: HLL sketches are implementation-defined (DuckDB's
+    * approx_count_distinct is a DIFFERENT sketch), so the estimate itself
+    * can't hash-match across engines. The registered row instead carries the
+    * EXACT count (hash-checked) plus `hll_within_tol` — the property a
+    * profiling user actually relies on — which the oracle asserts literally
+    * TRUE: if the sketch ever drifted past tolerance, Spark would emit false
+    * and the gate would fail. The exact twin exists only to power the check;
+    * the 100-TB pipeline runs the sketch alone.
+    */
+  def dailyUsersSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(approx_count_distinct(col("user_id"), HllRsd).as("approx"),
+        countDistinct(col("user_id")).as("n_users_exact"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_date"), col("n_users_exact"), col("n_events"),
+        (abs(col("approx") - col("n_users_exact")).cast("double") * 100.0 /
+          col("n_users_exact").cast("double") <= HllTolPct).as("hll_within_tol"))
+
+  def dailyUsersSketchOracle: String =
+    s"""SELECT CAST(ts AS DATE) AS event_date, count(DISTINCT user_id) AS n_users_exact,
+       |       count(*) AS n_events, true AS hll_within_tol
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Tumbling-window aggregate over event time (§7.5 streaming-shaped, batch form). */
   def tumbling(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -591,6 +628,7 @@ object EventsOps {
     "ts_rolling_anomaly" -> ((s, d) => rollingAnomaly(s, d).orderBy("event_type", "event_id")),
     "events_funnel" -> ((s, d) => funnel(s, d).orderBy("user_id")),
     "events_funnel_windowed" -> ((s, d) => funnelWindowed(s, d).orderBy("user_id")),
+    "events_daily_users_hll" -> ((s, d) => dailyUsersSketch(s, d).orderBy("event_date")),
     "ts_tumbling_agg" -> ((s, d) => tumbling(s, d))
   )
 
@@ -609,6 +647,7 @@ object EventsOps {
     "ts_rolling_anomaly" -> rollingAnomalyOracle,
     "events_funnel" -> funnelOracle,
     "events_funnel_windowed" -> funnelWindowedOracle,
+    "events_daily_users_hll" -> dailyUsersSketchOracle,
     "ts_tumbling_agg" -> tumblingOracle
   )
 }

@@ -218,6 +218,57 @@ object Relational {
        |FROM pu p ASOF JOIN cl c ON p.user_id = c.user_id AND p.ts >= c.ts
        |ORDER BY p.event_id""".stripMargin
 
+  /** Interval-join window length (minutes) and its bucket width (seconds). */
+  val IntervalMin = 60
+  private val BucketUs = IntervalMin * 60L * 1000000L
+
+  /** Time-interval (range) join — the other join class Spark lacks natively
+    * next to [[asofJoin]]: for each purchase, aggregate the same user's
+    * clicks in the preceding [[IntervalMin]] minutes (`[ts-60min, ts)`).
+    *
+    * The scale-correct Spark form is NOT `ON c.ts BETWEEN p.ts - 60min AND
+    * p.ts` — Catalyst can only execute that as a per-user-key nested loop
+    * (quadratic in events-per-user, and a single shuffle key per user).
+    * Instead both sides are bucketed by the window length: a click lands in
+    * ONE hour bucket; a purchase probes its own bucket and the previous one
+    * (two candidate rows via explode — any match is within one bucket width,
+    * so exactly these two buckets can contain it). The join is then a plain
+    * equi-join on (user_id, bucket) — hash-partitioned parallelism scales
+    * with users × hours, candidates are bounded by per-user-per-hour click
+    * volume, and the exact `[p-60min, p)` predicate filters the at-most-2×
+    * candidate set. The oracle runs the naive inequality join in DuckDB.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+        floor(unix_micros(col("ts")).cast("double") / BucketUs).cast("long").as("bucket"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("c_micros"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), unix_micros(col("ts")).as("p_us"))
+      .withColumn("pb", floor(unix_micros(col("ts")).cast("double") / BucketUs).cast("long"))
+      .withColumn("bucket", explode(array(col("pb"), col("pb") - 1)))
+    val matched = purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("c_us") >= col("p_us") - BucketUs && col("c_us") < col("p_us"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n"), sum(col("c_micros")).as("sv"))
+    purchases.filter(col("bucket") === col("pb")) // one row per purchase again
+      .join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("n"), lit(0L)).as("n_clicks_60m"),
+        r6(coalesce(col("sv"), lit(0L)).cast("double") / 1e6).as("clicks_value"))
+  }
+
+  def intervalJoinOracle: String =
+    s"""SELECT p.event_id, p.user_id, p.ts,
+       |       count(c.user_id) AS n_clicks_60m,
+       |       ${sqlR6("CAST(coalesce(sum(CAST(floor(c.value * 1e6 + 0.5) AS BIGINT)), 0) AS DOUBLE) / 1e6")} AS clicks_value
+       |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+       |LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+       |  ON c.user_id = p.user_id
+       | AND c.ts >= p.ts - INTERVAL $IntervalMin MINUTE AND c.ts < p.ts
+       |GROUP BY 1, 2, 3 ORDER BY p.event_id""".stripMargin
+
   /** Gap-based sessionization of events: new session when > 30 min idle. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -249,6 +300,7 @@ object Relational {
     "orders_with_returns" -> ((s, d) => ordersWithReturns(s, d).orderBy("o_orderpriority")),
     "customers_without_orders" -> ((s, d) => customersWithoutOrders(s, d).orderBy("c_custkey")),
     "events_asof_join" -> ((s, d) => asofJoin(s, d).orderBy("event_id")),
+    "events_interval_join" -> ((s, d) => intervalJoin(s, d).orderBy("event_id")),
     "events_sessionize" -> ((s, d) => sessionize(s, d).orderBy("user_id", "session_seq"))
   )
 
@@ -316,6 +368,7 @@ object Relational {
     "orders_with_returns" -> ordersWithReturnsOracle,
     "customers_without_orders" -> customersWithoutOrdersOracle,
     "events_asof_join" -> asofJoinOracle,
+    "events_interval_join" -> intervalJoinOracle,
     "events_sessionize" ->
       s"""WITH g AS (
          |  SELECT user_id, event_id, ts, value,

@@ -164,6 +164,80 @@ object TextOps {
           .cast("long").as("batch_id"))
   }
 
+  /** Shard count for exact packing: parallelism of the per-shard serial walk. */
+  val PackShards = 8
+
+  /** Budget for the EXACT packer — deliberately tighter than [[PackBudget]] so
+    * the fixture's 10-99-token docs open many bins per shard and the first-fit
+    * backfill branch (placing a small doc into an EARLIER bin's remainder) is
+    * actually exercised, not vacuous.
+    */
+  val PackExactBudget = 256L
+
+  /** EXACT first-fit sequence packing — the form an LLM-data pipeline ships
+    * token batches with (the window form above is the documented greedy
+    * approximation). First-fit is inherently serial per stream, so the
+    * corpus is split into [[PackShards]] deterministic shards
+    * (shard = doc_id mod K) and each shard packs independently in doc_id
+    * order: place each doc in the FIRST open bin with enough remaining
+    * budget, else open a new bin. Deterministic shard assignment + total
+    * order within the shard make the serial walk oracle-checkable (DuckDB
+    * recursive CTE re-runs the identical walk).
+    *
+    * Scale shape: one shuffle on shard, then a single mapPartitions pass per
+    * shard holding only the open-bin remainders (one long per bin) — at
+    * 100 TB parallelism = shard count (a knob), and no global order exists
+    * anywhere in the plan. Shards stay contiguous under sortWithinPartitions
+    * even if AQE co-locates several shards in one task, so the walk resets
+    * cleanly at each shard boundary.
+    */
+  def seqPackExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select(pmod(col("doc_id"), lit(PackShards.toLong)).as("shard"),
+        col("doc_id"), size(words).cast("long").as("n_tokens"))
+      .as[(Long, Long, Long)]
+      .repartition(PackShards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .mapPartitions { it =>
+        var curShard = -1L
+        var bins = scala.collection.mutable.ArrayBuffer.empty[Long] // remaining budget per open bin
+        it.map { case (shard, docId, n) =>
+          if (shard != curShard) {
+            curShard = shard
+            bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+          }
+          val idx = bins.indexWhere(_ >= n)
+          val bin =
+            if (idx >= 0) { bins(idx) -= n; idx }
+            else { bins += (PackExactBudget - n); bins.length - 1 }
+          (docId, shard, n, bin.toLong + 1L)
+        }
+      }
+      .toDF("doc_id", "shard", "n_tokens", "bin_id")
+  }
+
+  /** Sketch-based vocabulary profiling: distinct words per source via HLL++
+    * — the corpus-analysis twin of EventsOps.dailyUsersSketch (same oracle
+    * design: exact count hash-checked, the sketch asserted in-tolerance,
+    * because the two engines' HLL implementations differ). At 100 TB the
+    * exploded (source, word) stream never materializes a distinct set: each
+    * partition folds into a KB-sized sketch map-side and only sketches
+    * shuffle.
+    */
+  def vocabSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EventsOps.{HllRsd, HllTolPct}
+    docs(spark, dir)
+      .select(col("source"), explode(words).as("word"))
+      .groupBy("source")
+      .agg(approx_count_distinct(col("word"), HllRsd).as("approx"),
+        countDistinct(col("word")).as("n_words_exact"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("source"), col("n_words_exact"), col("n_tokens"),
+        (abs(col("approx") - col("n_words_exact")).cast("double") * 100.0 /
+          col("n_words_exact").cast("double") <= HllTolPct).as("hll_within_tol"))
+  }
+
   // ---------------- DuckDB oracle twins ----------------
 
   private val wordsSql = """regexp_split_to_array(text, '\s+')"""
@@ -211,6 +285,8 @@ object TextOps {
     "text_fingerprint" -> ((s, d) => fingerprint(s, d).orderBy("doc_id")),
     "text_tfidf" -> ((s, d) => tfidfTop(s, d).orderBy("doc_id", "rank")),
     "text_seq_pack" -> ((s, d) => seqPack(s, d).orderBy("doc_id")),
+    "text_seq_pack_exact" -> ((s, d) => seqPackExact(s, d).orderBy("doc_id")),
+    "text_vocab_hll" -> ((s, d) => vocabSketch(s, d).orderBy("source")),
     "text_corpus_stats" -> ((s, d) => corpusStats(s, d).orderBy("lang", "source"))
   )
 
@@ -304,6 +380,39 @@ object TextOps {
          |)
          |SELECT doc_id, source, n_tokens,
          |       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / ${sqlD(PackBudget.toDouble)}) AS BIGINT) AS batch_id
-         |FROM packed ORDER BY doc_id""".stripMargin
+         |FROM packed ORDER BY doc_id""".stripMargin,
+    // Recursive CTE replays seqPackExact's serial walk: all shards advance one
+    // doc per iteration, each row carrying its shard's open-bin remainders as
+    // a BIGINT list. idx = first bin with room (list_filter preserves order,
+    // so [1] IS first-fit); NULL idx opens a new bin — identical to the Scala
+    // indexWhere branch, all-integer so both engines agree exactly.
+    "text_seq_pack_exact" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id % $PackShards AS shard, doc_id, len($wordsSql)::BIGINT AS n_tokens,
+         |         row_number() OVER (PARTITION BY doc_id % $PackShards ORDER BY doc_id) AS seq
+         |  FROM documents
+         |), walk AS (
+         |  SELECT shard, seq, doc_id, n_tokens,
+         |         CAST(1 AS BIGINT) AS bin_id,
+         |         [$PackExactBudget - n_tokens] AS bins
+         |  FROM toks WHERE seq = 1
+         |  UNION ALL
+         |  SELECT shard, seq, doc_id, n_tokens,
+         |         CAST(coalesce(idx, len(bins) + 1) AS BIGINT) AS bin_id,
+         |         CASE WHEN idx IS NOT NULL
+         |              THEN bins[1:idx-1] || [bins[idx] - n_tokens] || bins[idx+1:len(bins)]
+         |              ELSE bins || [$PackExactBudget - n_tokens] END AS bins
+         |  FROM (
+         |    SELECT t.shard, t.seq, t.doc_id, t.n_tokens, w.bins,
+         |           list_filter(generate_series(1, len(w.bins)), i -> w.bins[i] >= t.n_tokens)[1] AS idx
+         |    FROM walk w JOIN toks t ON t.shard = w.shard AND t.seq = w.seq + 1
+         |  )
+         |)
+         |SELECT doc_id, shard, n_tokens, bin_id FROM walk ORDER BY doc_id""".stripMargin,
+    "text_vocab_hll" ->
+      s"""SELECT source, count(DISTINCT word) AS n_words_exact,
+         |       count(*) AS n_tokens, true AS hll_within_tol
+         |FROM (SELECT source, unnest($wordsSql) AS word FROM documents)
+         |GROUP BY 1 ORDER BY source""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
@@ -50,5 +50,50 @@ object TwsOps {
       .as[WmEvent]
       .groupByKey(_.user_id)
       .transformWithState(new RunningStatsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Deterministic BATCH form of the same StatefulProcessor — the
+    * events_closed_sessions pattern applied to transformWithState: Spark runs
+    * the processor over the finite events table with empty initial state, so
+    * each user's handleInputRows sees the full history in one call and the
+    * emitted row is the user's final running total. This makes the newest
+    * state API oracle-checkable (a plain per-user aggregate in DuckDB)
+    * instead of spec-only; cross-batch accumulation is proven by TwsSpec's
+    * MemoryStream run of the identical processor. Money sums ride the exact
+    * BIGINT-micros path and convert to rounded DOUBLE only at the edge.
+    */
+  def runningUserStatsBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num._
+    ensureStateStoreCoordinator(spark)
+    runningUserStats(graft.Tables.events(spark, dir)).toDF()
+      .select(col("user_id"), col("n_events"), col("value_micros"),
+        r6(col("value_micros").cast("double") / 1e6).as("total_value"))
+  }
+
+  /** Batch plans of stateful operators still read through StateStoreRDD,
+    * whose executor tasks look up the driver's StateStoreCoordinator RPC
+    * endpoint — but only a STREAMING query start registers it, so the first
+    * stateful batch query in a fresh session dies with
+    * RpcEndpointNotFoundException. Touch StreamingQueryManager's lazy
+    * `stateStoreCoordinator` (private[sql], hence public in bytecode) so the
+    * endpoint exists before the job runs. Idempotent: the lazy val caches.
+    */
+  private def ensureStateStoreCoordinator(spark: SparkSession): Unit =
+    spark.streams.getClass.getMethod("stateStoreCoordinator").invoke(spark.streams)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_running_user_stats" -> ((s, d) =>
+      runningUserStatsBatch(s, d).orderBy("user_id"))
+  )
+
+  def oracles: Map[String, String] = {
+    import graft.functions.Num._
+    Map(
+      "events_running_user_stats" ->
+        s"""SELECT user_id, count(*) AS n_events,
+           |       CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS value_micros,
+           |       ${sqlR6("CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6")} AS total_value
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    )
   }
 }

@@ -16,4 +16,28 @@ class PlanHygieneSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
+
+  /** Dimension-side joins must stay broadcast: a dim that silently outgrows
+    * `spark.sql.autoBroadcastJoinThreshold` (or a hint lost in a refactor)
+    * would fall back to a full SortMergeJoin — correct results, but a shuffle
+    * of the FACT table that costs hours at 100 TB. Asserting the physical
+    * plan keeps that regression loud. (events_bucketed_join is the deliberate
+    * exception: its exchange-free SMJ is asserted by OperatorSpecs.)
+    */
+  test("dimension joins plan a BroadcastHashJoin") {
+    val mustBroadcast = Seq(
+      "tpch_q3",            // customer (dim) ⋈ orders ⋈ lineitem
+      "tpch_q5",            // region/nation/customer/supplier dims ⋈ facts
+      "revenue_rollup",     // nation/region dims ⋈ orders rollup
+      "diff_qsample",       // J1 schedule gather: 500-row schedule ⋈ states
+      "class_embed_lookup", // J2 embedding-table lookup
+      "label_family_map")   // J3 label→family dim map
+    // (events_asof_join is deliberately absent: its whole point is that the
+    // as-of is a union + LOCF window with NO join operator in the plan)
+    val bad = mustBroadcast.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      if (!plan.contains("BroadcastHashJoin")) Some(name) else None
+    }
+    assert(bad.isEmpty, s"no BroadcastHashJoin in: $bad")
+  }
 }

@@ -9,6 +9,21 @@ import java.sql.Timestamp
   */
 class TwsSpec extends SparkSpec {
 
+  test("batch form of the processor equals the per-user aggregate") {
+    import org.apache.spark.sql.functions._
+    val out = TwsOps.runningUserStatsBatch(spark, sf)
+    val expected = graft.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("value_micros"))
+    val joined = out.alias("o").join(expected.alias("e"), "user_id")
+      .filter(col("o.n_events") =!= col("e.n_events") ||
+        col("o.value_micros") =!= col("e.value_micros"))
+    assert(out.count() > 0)
+    assert(out.count() == expected.count())
+    assert(joined.count() == 0)
+  }
+
   test("running per-user totals accumulate across micro-batches via ValueState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
