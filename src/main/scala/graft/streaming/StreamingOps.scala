@@ -46,6 +46,20 @@ object StreamingOps {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup: one row per event_id, with state bounded by the
+    * watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming twin
+    * of Dedup's exact dedup. At ingest scale full-history dedup state is
+    * unkeepable; the contract a pipeline actually needs is "replays and
+    * redeliveries arrive within bounded lateness", which is exactly what the
+    * watermark bound expresses: a duplicate inside the horizon is dropped,
+    * state for ids older than the watermark is evicted. StreamingSpec proves
+    * cross-micro-batch suppression (the batch oracle is plain
+    * dropDuplicates on the same rows).
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Driver-visible streaming run (I5 as a query, not just a spec): the events
     * parquet is consumed INCREMENTALLY — `readStream` file source, stateful
     * tumbling aggregation, `Trigger.AvailableNow` draining the backlog in

@@ -72,6 +72,26 @@ class StreamingSpec extends SparkSpec {
     assert(perUser.agg(sum("total")).collect()(0).getLong(0) == 500)
   }
 
+  test("dropDuplicatesWithinWatermark suppresses replays across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.dedupWithinWatermark(stream.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    // batch 1: first 300 events; batch 2: events 200-499 — 100 event_ids
+    // (200-299) are redelivered in the second micro-batch and must be dropped
+    stream.addData(events.take(300))
+    q.processAllAvailable()
+    stream.addData(events.drop(200))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out")
+    assert(out.count() == 500)
+    assert(out.select("event_id").distinct().count() == 500)
+  }
+
   test("sliding windows place every event in exactly window/slide = 4 windows") {
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val total = ev.count()
