@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Num._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -497,6 +497,55 @@ object EventsOps {
        |       count(*) AS n_events, true AS hll_within_tol
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** approx_percentile accuracy: rank error ≤ n/accuracy = n·1e-4 rows. */
+  val PctSketchAccuracy = 10000
+
+  /** Bracket half-width in QUANTILE space for the sketch check. It must
+    * cover two effects: the sketch's rank error (≤ 1e-4 of n) and the
+    * discreteness gap — approx_percentile returns an ACTUAL element while
+    * `percentile` interpolates, so even a perfect sketch can sit one rank
+    * below the interpolated bound (that off-by-one is what a q±1e-4 bracket
+    * tripped on). 0.01 ≥ one rank for every fixture group (n ≥ a few
+    * hundred) while still pinning the estimate to within 1% of the target
+    * quantile — drift past that fails the gate.
+    */
+  val PctSketchTolQ = 0.01
+
+  /** Sketch-based quantiles: `approx_percentile` (Greenwald-Khanna style
+    * summary — mergeable, bounded memory) next to the exact forms
+    * ([[valueQuantiles]] buffers per group, [[valueQuantilesScalable]]
+    * sorts). At 100 TB the sketch is the only per-pass option when keys are
+    * many and re-sorting per query is too dear.
+    *
+    * Oracle design (the HLL pattern adapted to quantiles): the sketch's
+    * guarantee is on RANK, so the check brackets each estimate between the
+    * exact quantiles at q ± [[PctSketchTolQ]] — computable in both engines —
+    * and the row carries the exact q50/q99 (hash-checked) plus the bracket
+    * booleans the oracle asserts literally true.
+    */
+  def valueQuantilesSketch(spark: SparkSession, dir: String): DataFrame = {
+    def bracket(q: Double, est: Column): Column =
+      est >= percentile(col("value"), lit(math.max(0.0, q - PctSketchTolQ))) &&
+        est <= percentile(col("value"), lit(math.min(1.0, q + PctSketchTolQ)))
+    Tables.events(spark, dir).groupBy("event_type")
+      .agg(
+        r6(percentile(col("value"), lit(0.5))).as("q50"),
+        r6(percentile(col("value"), lit(0.99))).as("q99"),
+        bracket(0.5, percentile_approx(col("value"), lit(0.5), lit(PctSketchAccuracy)))
+          .as("q50_within_tol"),
+        bracket(0.99, percentile_approx(col("value"), lit(0.99), lit(PctSketchAccuracy)))
+          .as("q99_within_tol"),
+        count(lit(1)).as("n"))
+  }
+
+  def valueQuantilesSketchOracle: String =
+    s"""SELECT event_type,
+       |       ${sqlR6("quantile_cont(value, 0.5e0)")} AS q50,
+       |       ${sqlR6("quantile_cont(value, 0.99e0)")} AS q99,
+       |       true AS q50_within_tol, true AS q99_within_tol,
+       |       count(*) AS n
+       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** Tumbling-window aggregate over event time (§7.5 streaming-shaped, batch form). */
   def tumbling(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -629,6 +678,7 @@ object EventsOps {
     "events_funnel" -> ((s, d) => funnel(s, d).orderBy("user_id")),
     "events_funnel_windowed" -> ((s, d) => funnelWindowed(s, d).orderBy("user_id")),
     "events_daily_users_hll" -> ((s, d) => dailyUsersSketch(s, d).orderBy("event_date")),
+    "ts_value_quantiles_sketch" -> ((s, d) => valueQuantilesSketch(s, d).orderBy("event_type")),
     "ts_tumbling_agg" -> ((s, d) => tumbling(s, d))
   )
 
@@ -648,6 +698,7 @@ object EventsOps {
     "events_funnel" -> funnelOracle,
     "events_funnel_windowed" -> funnelWindowedOracle,
     "events_daily_users_hll" -> dailyUsersSketchOracle,
+    "ts_value_quantiles_sketch" -> valueQuantilesSketchOracle,
     "ts_tumbling_agg" -> tumblingOracle
   )
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-user running aggregate held as a typed ValueState. */
 case class RunningAgg(n: Long, value_micros: Long)
@@ -41,7 +41,42 @@ class RunningStatsProcessor extends StatefulProcessor[Long, WmEvent, UserRunning
   }
 }
 
+/** One buffered event in the last-K ListState. */
+case class RecentEvent(ts_us: Long, event_id: Long, value: Double)
+
+/** One row of a user's current last-K context (rank 1 = most recent). */
+case class UserRecent(user_id: Long, recency_rank: Int, event_id: Long,
+    ts_us: Long, value: Double)
+
+/** `ListState` demonstration: keep each user's K most recent events — the
+  * "recent-context" feature a training-data pipeline joins onto every
+  * example (last-N interactions per user). State per key is EXACTLY K rows:
+  * each batch merges the buffered K with the new arrivals, re-sorts by
+  * (ts, event_id) descending and keeps K, so out-of-order arrivals are
+  * handled and state never grows past K regardless of history length.
+  */
+class LastKProcessor(k: Int) extends StatefulProcessor[Long, WmEvent, UserRecent] {
+  @transient private var recent: ListState[RecentEvent] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    recent = getHandle.getListState[RecentEvent](
+      "recent", Encoders.product[RecentEvent], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[WmEvent],
+      timerValues: TimerValues): Iterator[UserRecent] = {
+    val merged = (recent.get().toSeq ++
+      rows.map(e => RecentEvent(e.ts_us, e.event_id, e.value)))
+      .sortBy(r => (-r.ts_us, -r.event_id)).take(k)
+    recent.put(merged.toArray)
+    merged.iterator.zipWithIndex.map { case (r, i) =>
+      UserRecent(user, i + 1, r.event_id, r.ts_us, r.value)
+    }
+  }
+}
+
 object TwsOps {
+  /** K for the last-K recent-context buffer. */
+  val RecentK = 3
   /** Running per-user stats over a (possibly streaming) events frame. */
   def runningUserStats(events: DataFrame): Dataset[UserRunning] = {
     import events.sparkSession.implicits._
@@ -81,9 +116,35 @@ object TwsOps {
   private def ensureStateStoreCoordinator(spark: SparkSession): Unit =
     spark.streams.getClass.getMethod("stateStoreCoordinator").invoke(spark.streams)
 
+  /** Last-K events per user through the ListState processor. */
+  def userRecent(events: DataFrame): Dataset[UserRecent] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("event_id"), col("ts"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[WmEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new LastKProcessor(RecentK), TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Batch form of the ListState last-K (same determinism argument as
+    * [[runningUserStatsBatch]]): one call per user over the full history →
+    * the emitted rows ARE the final last-K, oracle = a per-user descending
+    * row_number window. TwsSpec proves the cross-batch merge (including
+    * out-of-order arrivals) on MemoryStream.
+    */
+  def userRecentBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Num._
+    ensureStateStoreCoordinator(spark)
+    userRecent(graft.Tables.events(spark, dir)).toDF()
+      .select(col("user_id"), col("recency_rank"), col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"), r6(col("value")).as("value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_running_user_stats" -> ((s, d) =>
-      runningUserStatsBatch(s, d).orderBy("user_id"))
+      runningUserStatsBatch(s, d).orderBy("user_id")),
+    "events_user_recent" -> ((s, d) =>
+      userRecentBatch(s, d).orderBy("user_id", "recency_rank"))
   )
 
   def oracles: Map[String, String] = {
@@ -93,7 +154,13 @@ object TwsOps {
         s"""SELECT user_id, count(*) AS n_events,
            |       CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS value_micros,
            |       ${sqlR6("CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6")} AS total_value
-           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "events_user_recent" ->
+        s"""SELECT user_id, CAST(rn AS INT) AS recency_rank, event_id, ts,
+           |       ${sqlR6("value")} AS value
+           |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |      FROM events)
+           |WHERE rn <= $RecentK ORDER BY user_id, recency_rank""".stripMargin
     )
   }
 }

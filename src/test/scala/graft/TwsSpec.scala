@@ -24,6 +24,54 @@ class TwsSpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("ListState last-K merges out-of-order arrivals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, user: Long, v: Double) =
+      graft.streaming.WmEvent(user, id, new Timestamp(base + id * 1000L),
+        (base + id * 1000L) * 1000L, v)
+
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[graft.streaming.WmEvent]
+      val q = TwsOps.userRecent(stream.toDF())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("tws_recent_out").start()
+
+      // batch 1: events 10, 20, 30 for user 1 → last-3 = (30, 20, 10)
+      stream.addData(Seq(ev(10, 1, 1.0), ev(20, 1, 2.0), ev(30, 1, 3.0)))
+      q.processAllAvailable()
+      // batch 2: 40 (newer) and 15 (OLDER than the buffered 20/30) — the
+      // merged last-3 must be (40, 30, 20): 15 is outranked, 10 evicted
+      stream.addData(Seq(ev(40, 1, 4.0), ev(15, 1, 1.5)))
+      q.processAllAvailable()
+      q.stop()
+
+      val rows = spark.table("tws_recent_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      // update mode emits per batch; keep the final batch's rows = the ones
+      // whose event ids include 40
+      val finalRanks = rows.filter(_._3 == 40L)
+      assert(finalRanks.nonEmpty)
+      val byRank = rows.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).toSet }
+      assert(byRank(1).contains(40L))
+      // rank-2/3 rows of the final batch are 30 and 20 ((1,3,20) can only
+      // come from batch 2 — batch 1's rank 3 was event 10)
+      assert(rows.contains((1L, 2, 30L)) && rows.contains((1L, 3, 20L)),
+        s"got ${rows.mkString(",")}")
+      // the out-of-order event 15 never outranks the buffered 20/30
+      assert(!rows.exists(_._3 == 15L), s"got ${rows.mkString(",")}")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("running per-user totals accumulate across micro-batches via ValueState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
