@@ -80,6 +80,25 @@ object Num {
   def sqlR6(x: String): String = sqlR(x, 6)
   def sqlR4(x: String): String = sqlR(x, 4)
 
+  /** Order-independent float aggregation: quantize each term to a LONG at
+    * 10^-n resolution BEFORE summing, so the group sum is integer arithmetic —
+    * associative and commutative — and its value cannot depend on partial-merge
+    * order. Plain `sum(double)` over a GROUP BY accumulates partials in
+    * shuffle-fetch (Spark) / thread-completion (DuckDB) order, so a sum landing
+    * within float-noise of an `r6` boundary flips between runs of the SAME
+    * engine on the SAME data (observed: DuckDB on ts_decompose_dim). The
+    * caller divides the summed long back by 10^n (exact for |sum| < 2^53) and
+    * is responsible for the overflow bound: max|term|·10^n · group-size must
+    * stay far below 2^63.
+    */
+  def fx(c: Column, n: Int): Column = floor(c * math.pow(10, n) + 0.5).cast("long")
+  def fx9(c: Column): Column = fx(c, 9)
+  /** DuckDB twin of [[fx]]; `sum` of BIGINT yields HUGEINT there, so the
+    * un-scaling in the caller must CAST to DOUBLE before dividing.
+    */
+  def sqlFx(x: String, n: Int): String = s"CAST(floor(($x)*1e$n + 0.5) AS BIGINT)"
+  def sqlFx9(x: String): String = sqlFx(x, 9)
+
   /** Double literal for DuckDB SQL. A bare `6.283185307179586` parses as
     * DECIMAL(16,15) there (decimal arithmetic then overflows / loses double
     * semantics); e-notation forces DOUBLE.

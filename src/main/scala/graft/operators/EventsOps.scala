@@ -73,11 +73,17 @@ object EventsOps {
         least(lit(MaxFreq), (ceil(col("n") / 2) - 1).cast("int")))))
       .select(key, "k")
     val theta = lit(2.0 * math.Pi) * col("k") * col("t") / col("n")
+    // fx9 long terms: max|detr·cos| ≈ 486 at sf0.1 → ≤ 4.9e11/term × n ≈ 2e4
+    // rows/series → |sum| ≤ 1e16, ~900× under 2^63. The quantization (5e-10 a
+    // term) is invisible at the 6dp output contract; what it buys is a group
+    // sum that is INTEGER, hence identical under any partial-merge order in
+    // both engines (see Num.fx — plain double sums flipped an r6 boundary
+    // run-to-run inside DuckDB itself).
     tr.join(freqs, key)
       .groupBy(col(key), col("k"))
       .agg(
-        r6(sum(col("detr") * cos(theta))).as("re"),
-        r6(-sum(col("detr") * sin(theta))).as("im"),
+        r6(sum(fx9(col("detr") * cos(theta))).cast("double") / 1e9).as("re"),
+        r6(-(sum(fx9(col("detr") * sin(theta))).cast("double") / 1e9)).as("im"),
         first(col("n")).as("n"))
       .withColumn("amplitude", r6(sqrt(col("re") * col("re") + col("im") * col("im"))))
   }
@@ -113,7 +119,7 @@ object EventsOps {
     // inverse rDFT over the kept bins only: each (series,t) row joins K=4 bins
     val seas = tr.select(key, "t", "n").join(broadcast(top), key)
       .groupBy(col(key), col("t"))
-      .agg(r6(sum((lit(2.0) / col("n")) * (col("re") * cos(theta) - col("im") * sin(theta)))).as("seasonality"))
+      .agg(r6(sum(fx9((lit(2.0) / col("n")) * (col("re") * cos(theta) - col("im") * sin(theta)))).cast("double") / 1e9).as("seasonality"))
     tr.join(seas, Seq(key, "t"))
       .select(col(key), col("t"),
         r6(col("value")).as("value"),
@@ -145,7 +151,10 @@ object EventsOps {
   def decomposeMse(spark: SparkSession, dir: String): DataFrame =
     decompose(spark, dir)
       .groupBy("event_type")
-      .agg(r6(avg(pow(col("value") - col("trend") - col("seasonality"), 2))).as("mse"),
+      // fx7, not fx9: squared residuals reach (2·486)² ≈ 9.4e5 worst-case, so
+      // 1e7 scaling bounds the long sum at ~2e17 for 2e4-row series (190×
+      // headroom) where 1e9 would leave only ~2×.
+      .agg(r6((sum(fx(pow(col("value") - col("trend") - col("seasonality"), 2), 7)).cast("double") / 1e7) / count(lit(1))).as("mse"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
@@ -584,8 +593,8 @@ object EventsOps {
        |       LATERAL (SELECT unnest(generate_series(1, CAST(least($MaxFreq, CAST(ceil(n/2.0e0) AS BIGINT) - 1) AS BIGINT))) AS k) g
        |), spectrum AS (
        |  SELECT d.$key, f.k,
-       |         ${sqlR6(s"sum(d.detr * cos(${sqlD(2.0 * math.Pi)} * f.k * d.t / d.n))")} AS re,
-       |         ${sqlR6(s"-sum(d.detr * sin(${sqlD(2.0 * math.Pi)} * f.k * d.t / d.n))")} AS im,
+       |         ${sqlR6(s"CAST(sum(${sqlFx9(s"d.detr * cos(${sqlD(2.0 * math.Pi)} * f.k * d.t / d.n)")}) AS DOUBLE)/1e9")} AS re,
+       |         ${sqlR6(s"-(CAST(sum(${sqlFx9(s"d.detr * sin(${sqlD(2.0 * math.Pi)} * f.k * d.t / d.n)")}) AS DOUBLE)/1e9)")} AS im,
        |         max(d.n) AS n
        |  FROM detr_t d JOIN freqs f USING ($key)
        |  GROUP BY d.$key, f.k
@@ -603,7 +612,7 @@ object EventsOps {
        |  WHERE rn <= $TopK
        |), seas AS (
        |  SELECT d.$key, d.t,
-       |         ${sqlR6(s"sum((2.0e0/d.n) * (b.re * cos(${sqlD(2.0 * math.Pi)} * b.k * d.t / d.n) - b.im * sin(${sqlD(2.0 * math.Pi)} * b.k * d.t / d.n)))")} AS seasonality
+       |         ${sqlR6(s"CAST(sum(${sqlFx9(s"(2.0e0/d.n) * (b.re * cos(${sqlD(2.0 * math.Pi)} * b.k * d.t / d.n) - b.im * sin(${sqlD(2.0 * math.Pi)} * b.k * d.t / d.n))")}) AS DOUBLE)/1e9")} AS seasonality
        |  FROM (SELECT $key, t, n FROM detr_t) d JOIN top b USING ($key)
        |  GROUP BY d.$key, d.t
        |), dec AS (
@@ -627,7 +636,7 @@ object EventsOps {
     s" SELECT * FROM dec ORDER BY 1, 2"
 
   def decomposeMseOracle: String = seriesSqlK("event_type") + decomposeCtes("event_type") +
-    s""" SELECT event_type, ${sqlR6("avg(pow(value - trend - seasonality, 2))")} AS mse, count(*) AS n
+    s""" SELECT event_type, ${sqlR6(s"(CAST(sum(${sqlFx("pow(value - trend - seasonality, 2)", 7)}) AS DOUBLE)/1e7)/count(*)")} AS mse, count(*) AS n
        | FROM dec GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Multivariate decompose oracle: same tails over a generated (series_id,

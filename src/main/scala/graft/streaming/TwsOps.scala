@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-user running aggregate held as a typed ValueState. */
 case class RunningAgg(n: Long, value_micros: Long)
@@ -74,6 +74,39 @@ class LastKProcessor(k: Int) extends StatefulProcessor[Long, WmEvent, UserRecent
   }
 }
 
+/** One row of a user's per-event_type running counts. */
+case class UserTypeCount(user_id: Long, event_type: String, n_events: Long)
+
+/** Event row keyed for the MapState processor (needs the type column). */
+case class TypedEvent(user_id: Long, event_type: String)
+
+/** `MapState` demonstration — the third state primitive next to ValueState
+  * ([[RunningStatsProcessor]]) and ListState ([[LastKProcessor]]): per-user
+  * running counts keyed by event_type, updated point-wise. The point of
+  * MapState over a ValueState holding a Map is UPDATE GRANULARITY: only the
+  * touched (type → count) entries are written to RocksDB per batch, not the
+  * whole map — the difference between O(types-touched) and O(types-known)
+  * state I/O per key per batch.
+  */
+class TypeCountsProcessor extends StatefulProcessor[Long, TypedEvent, UserTypeCount] {
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long](
+      "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[TypedEvent],
+      timerValues: TimerValues): Iterator[UserTypeCount] = {
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    rows.foreach { e =>
+      val prev = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+      counts.updateValue(e.event_type, prev + 1L)
+      touched += e.event_type
+    }
+    touched.iterator.map(t => UserTypeCount(user, t, counts.getValue(t)))
+  }
+}
+
 object TwsOps {
   /** K for the last-K recent-context buffer. */
   val RecentK = 3
@@ -140,11 +173,30 @@ object TwsOps {
         timestamp_micros(col("ts_us")).as("ts"), r6(col("value")).as("value"))
   }
 
+  /** Per-(user, event_type) running counts through the MapState processor. */
+  def userTypeCounts(events: DataFrame): Dataset[UserTypeCount] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("event_type"))
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Batch form of the MapState counts (full history in one call → final
+    * counts per touched type); oracle = a plain two-key aggregate.
+    */
+  def userTypeCountsBatch(spark: SparkSession, dir: String): DataFrame = {
+    ensureStateStoreCoordinator(spark)
+    userTypeCounts(graft.Tables.events(spark, dir)).toDF()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_running_user_stats" -> ((s, d) =>
       runningUserStatsBatch(s, d).orderBy("user_id")),
     "events_user_recent" -> ((s, d) =>
-      userRecentBatch(s, d).orderBy("user_id", "recency_rank"))
+      userRecentBatch(s, d).orderBy("user_id", "recency_rank")),
+    "events_user_type_counts" -> ((s, d) =>
+      userTypeCountsBatch(s, d).orderBy("user_id", "event_type"))
   )
 
   def oracles: Map[String, String] = {
@@ -160,7 +212,10 @@ object TwsOps {
            |       ${sqlR6("value")} AS value
            |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
            |      FROM events)
-           |WHERE rn <= $RecentK ORDER BY user_id, recency_rank""".stripMargin
+           |WHERE rn <= $RecentK ORDER BY user_id, recency_rank""".stripMargin,
+      "events_user_type_counts" ->
+        """SELECT user_id, event_type, count(*) AS n_events
+          |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
     )
   }
 }

@@ -9,6 +9,16 @@ package graft
   */
 class PlanHygieneSpec extends SparkSpec {
 
+  // Why CartesianProduct and not also BroadcastNestedLoopJoin: a sweep run
+  // against BNLJ flagged 44 queries, ALL of them deliberate bounded
+  // fan-outs — generator grids (crossJoin of tiny spark.range sides: every
+  // (series, t) pair MUST exist, that cross product is the operator's
+  // semantics) and the brute-force ANN baseline (bounded 100-query side
+  // broadcast against the partitioned corpus, the declared ground-truth
+  // path). BNLJ with a literal/range broadcast side is O(n·k) with k a
+  // plan-time constant — not a scale cliff. CartesianProduct is the planner
+  // telling us NEITHER side was broadcastable: that is the unbounded
+  // data×data explosion this spec exists to ban.
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString

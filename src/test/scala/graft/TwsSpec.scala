@@ -72,6 +72,41 @@ class TwsSpec extends SparkSpec {
     }
   }
 
+  test("MapState per-type counts accumulate point-wise across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[graft.streaming.TypedEvent]
+      val q = TwsOps.userTypeCounts(stream.toDF())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("tws_counts_out").start()
+
+      stream.addData(Seq((1L, "click"), (1L, "click"), (1L, "view"), (2L, "view"))
+        .map(t => graft.streaming.TypedEvent(t._1, t._2)))
+      q.processAllAvailable()
+      // batch 2 touches ONLY user 1's clicks: its count continues from 2,
+      // and user 1's view count (untouched) is not re-emitted
+      stream.addData(Seq(graft.streaming.TypedEvent(1L, "click")))
+      q.processAllAvailable()
+      q.stop()
+
+      val rows = spark.table("tws_counts_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.contains((1L, "click", 2L)) && rows.contains((1L, "click", 3L)),
+        s"got ${rows.mkString(",")}")
+      assert(rows.count { case (u, t, _) => u == 1L && t == "view" } == 1)
+      assert(rows.contains((2L, "view", 1L)))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("running per-user totals accumulate across micro-batches via ValueState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
