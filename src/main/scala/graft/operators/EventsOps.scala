@@ -506,6 +506,98 @@ object EventsOps {
        |       count(*) AS n_events, true AS hll_within_tol
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Salt fan-out for [[saltedJoin]] and the events-per-user threshold above
+    * which a user counts as heavy (fixture median is 66, p90 ≈ 78 at every
+    * sf, so 75 splits the population meaningfully at all three scales).
+    */
+  val JoinSalts = 8
+  val HeavyUserN = 75L
+
+  /** Skew-salted large×large join — the JOIN twin of [[saltedAgg]]. Enriches
+    * each event with its user's profile (here: per-user event count) when the
+    * profile side is TOO BIG TO BROADCAST (billions of users at 100 TB) and
+    * the fact side is skewed on the join key, so a plain shuffle join sends
+    * every hot user's events to one task.
+    *
+    * The remedy is the classic salt/replicate decomposition: the fact side
+    * gets a deterministic salt in [0, S) (pmod of event_id — NOT rand(), so
+    * runs are replayable and the oracle can ignore the salt entirely), the
+    * profile side is replicated S-fold with every salt value, and the join key
+    * becomes (user_id, salt) — each hot user's rows now spread over S tasks,
+    * at the cost of S× the profile side's shuffle volume. The `shuffle_hash`
+    * hint pins the shuffled-join shape the salt exists to fix (at fixture
+    * scale Spark would otherwise just broadcast the profile and the salt
+    * would be load-bearing only in the plan we're NOT testing); AQE's
+    * runtime skew-join split is the automatic alternative for sort-merge
+    * plans, but salting is the portable form that also covers aggregations
+    * ([[saltedAgg]]) and works under any join strategy.
+    *
+    * The salt never reaches the output: results are aggregated per
+    * event_type, integer-sum arithmetic throughout, so the oracle is the
+    * UNSALTED plain join — salting must be a pure execution-layout choice.
+    */
+  def saltedJoin(spark: SparkSession, dir: String, salts: Int = JoinSalts,
+      heavyN: Long = HeavyUserN): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "event_type")
+    val profile = ev.groupBy("user_id").agg(count(lit(1)).as("user_n"))
+    val replicated = profile.withColumn("salt",
+      explode(array((0 until salts).map(lit(_)): _*)))
+    val salted = ev.withColumn("salt", pmod(col("event_id"), lit(salts.toLong)).cast("int"))
+    salted.join(replicated.hint("shuffle_hash"), Seq("user_id", "salt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("user_n")).as("sum_user_n"),
+        r6(sum(col("user_n")).cast("double") / count(lit(1))).as("avg_user_n"),
+        sum(when(col("user_n") >= heavyN, 1L).otherwise(0L)).as("n_heavy"))
+  }
+
+  def saltedJoinOracle: String =
+    s"""WITH profile AS (SELECT user_id, count(*) AS user_n FROM events GROUP BY 1)
+       |SELECT e.event_type, count(*) AS n_events,
+       |       CAST(sum(p.user_n) AS BIGINT) AS sum_user_n,
+       |       ${sqlR6("CAST(sum(p.user_n) AS DOUBLE)/count(*)")} AS avg_user_n,
+       |       CAST(sum(CASE WHEN p.user_n >= $HeavyUserN THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy
+       |FROM events e JOIN profile p USING (user_id)
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** Count-min-sketch point-count estimates over the event_type vocabulary —
+    * the third sketch next to HLL (distinct counts) and approx_percentile
+    * (quantiles): CMS answers "how many of THIS key" from a few-KB
+    * mergeable array without a per-key hash table, the structure a 100-TB
+    * frequency-monitoring pass keeps per partition and merges once.
+    *
+    * eps 1e-3 → width 2,000 counters per row, so a 5-key vocabulary is
+    * collision-free in practice and the estimate lands inside the same 2%
+    * tolerance the HLL rows use. The single-row sketch binary is collected
+    * to the driver and probed there (point queries are driver-side by
+    * nature); the probe vocabulary is the exact aggregate's own keys — a
+    * ≤ #event_types-row fold, same bounded-literal idiom as the centroid
+    * and schedule folds. Oracle design follows [[dailyUsersSketch]]: the
+    * engine-specific estimate can't hash-match, so the row carries the
+    * exact count plus an in-tolerance boolean the oracle asserts true.
+    */
+  def typeCountsCms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val skBytes = ev
+      .agg(count_min_sketch(col("event_type"), lit(0.001d), lit(0.99d), lit(42)).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val exact = ev.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    exact.toSeq.sortBy(_._1)
+      .map { case (t, n) =>
+        val est = cms.estimateCount(t)
+        (t, n, math.abs(est - n).toDouble * 100.0 / n.toDouble <= HllTolPct)
+      }
+      .toDF("event_type", "n_exact", "cms_within_tol")
+  }
+
+  def typeCountsCmsOracle: String =
+    """SELECT event_type, count(*) AS n_exact, true AS cms_within_tol
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** approx_percentile accuracy: rank error ≤ n/accuracy = n·1e-4 rows. */
   val PctSketchAccuracy = 10000
 
@@ -680,6 +772,8 @@ object EventsOps {
     "ts_decompose_mse" -> ((s, d) => decomposeMse(s, d)),
     "ts_stride" -> ((s, d) => stride(s, d, 5, "user_id")),
     "ts_skew_salted_agg" -> ((s, d) => saltedAgg(s, d).orderBy("event_type")),
+    "events_skew_salted_join" -> ((s, d) => saltedJoin(s, d).orderBy("event_type")),
+    "events_type_counts_cms" -> ((s, d) => typeCountsCms(s, d).orderBy("event_type")),
     "ts_value_quantiles" -> ((s, d) => valueQuantiles(s, d).orderBy("event_type")),
     "ts_value_quantiles_scalable" -> ((s, d) => valueQuantilesScalable(s, d).orderBy("event_type")),
     "events_stratified_sample" -> ((s, d) => stratifiedSampleAudit(s, d).orderBy("event_type")),
@@ -700,6 +794,8 @@ object EventsOps {
     "ts_decompose_mse" -> decomposeMseOracle,
     "ts_stride" -> strideOracleK("user_id"),
     "ts_skew_salted_agg" -> saltedAggOracle,
+    "events_skew_salted_join" -> saltedJoinOracle,
+    "events_type_counts_cms" -> typeCountsCmsOracle,
     "ts_value_quantiles" -> valueQuantilesOracle,
     "ts_value_quantiles_scalable" -> valueQuantilesScalableOracle,
     "events_stratified_sample" -> stratifiedSampleOracle,

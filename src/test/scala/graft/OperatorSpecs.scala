@@ -368,6 +368,31 @@ class AggregateSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("skew-salted join shuffles on the salted key, not broadcast, and matches the plain join") {
+    import org.apache.spark.sql.functions._
+    // plan shape: the shuffle_hash hint must hold (broadcast would make the
+    // salt decorative at fixture scale), and the join key must carry the salt
+    val plan = EventsOps.saltedJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"profile side must not broadcast:\n$plan")
+    assert(plan.contains("salt"), s"join key must include the salt:\n$plan")
+    // semantics: salting is pure execution layout — results equal the unsalted join
+    val ev = graft.Tables.events(spark, sf).select("user_id", "event_type")
+    val profile = ev.groupBy("user_id").agg(count(lit(1)).as("user_n"))
+    val direct = ev.join(profile, "user_id").groupBy("event_type")
+      .agg(count(lit(1)).as("n_direct"), sum(col("user_n")).as("sum_direct"))
+    val bad = EventsOps.saltedJoin(spark, sf).join(direct, "event_type")
+      .filter(col("n_events") =!= col("n_direct") || col("sum_user_n") =!= col("sum_direct"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("count-min-sketch type counts are exact-in-tolerance at fixture scale") {
+    val rows = EventsOps.typeCountsCms(spark, sf).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getBoolean(2)), rows.mkString(","))
+  }
+
   test("per-key quantiles are monotone") {
     import org.apache.spark.sql.functions._
     val bad = EventsOps.valueQuantiles(spark, sf)
