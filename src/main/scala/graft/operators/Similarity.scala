@@ -254,23 +254,50 @@ object Similarity {
 
   /** The trained coarse quantizer is an INDEX, not a query result: real IVF
     * systems fit it once per corpus and every search reuses it. This cache
-    * models that index persistence — keyed by the corpus directory (the
-    * fixtures are immutable for the life of a process; invalidation is
-    * process restart, exactly like an on-disk index file). Without it every
-    * IVF query re-runs the 3 Lloyd aggregation passes it shares with its
-    * siblings. The fit itself is unchanged and still oracle-checked
-    * (ann_ivf_centroids recomputes through the same code path on first use).
+    * models that index persistence. Entries are keyed by corpus dir and
+    * guarded by a CONTENT FINGERPRINT of the backing parquet — (path, length,
+    * mtime) of every part file hashed — so a corpus mutated in place misses
+    * and refits instead of serving stale centroids (the r4 invalidation
+    * caution); the stale entry is replaced, keeping the cache bounded by
+    * #distinct dirs. Without the cache every IVF query re-runs the 3 Lloyd
+    * aggregation passes it shares with its siblings. The fit itself is
+    * unchanged and still oracle-checked (ann_ivf_centroids recomputes
+    * through the same code path on first use).
     */
   private val quantizerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[(Int, Seq[Double])])]()
 
-  /** Fit (by-name, only evaluated on a cache miss) or reuse the quantizer. */
-  private def quantizerFor(dir: String)(fit: => Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] =
-    quantizerCache.computeIfAbsent(dir, _ => fit)
+  /** Fingerprint of the embeddings parquet backing `dir`'s quantizer: a
+    * listing-level digest (no data read — metadata only, one NameNode-style
+    * round trip), sufficient because parquet files are immutable-once-written
+    * in every real pipeline: mutation shows up as new/renamed/re-lengthed
+    * parts.
+    */
+  private def corpusFingerprint(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(path)
+    val parts =
+      if (st.isDirectory) fs.listStatus(path).toSeq.sortBy(_.getPath.toString)
+      else Seq(st)
+    parts.foldLeft(17L) { (h, s) =>
+      ((h * 31 + s.getPath.toString.hashCode) * 31 + s.getLen) * 31 + s.getModificationTime
+    }
+  }
+
+  /** Fit (by-name, only evaluated on a cache miss or a fingerprint mismatch)
+    * or reuse the quantizer.
+    */
+  private def quantizerFor(spark: SparkSession, dir: String)(
+      fit: => Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] = {
+    val fp = corpusFingerprint(spark, dir)
+    quantizerCache.compute(dir, (_, prev) =>
+      if (prev != null && prev._1 == fp) prev else (fp, fit))._2
+  }
 
   def kmeansCentroidsFlat(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cent = quantizerFor(dir) {
+    val cent = quantizerFor(spark, dir) {
       // fit-only path: the checkpointed working set is released as soon as
       // the centroid Seq is extracted — without this every cache-miss fit
       // left its blocks pinned for the life of the process (ADVICE r4)
@@ -288,7 +315,7 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select("vec_id", "v").localCheckpoint(true)
-    val buckets = e.select(col("vec_id"), assignLit(quantizerFor(dir)(lloydCentroids(e))).as("c"))
+    val buckets = e.select(col("vec_id"), assignLit(quantizerFor(spark, dir)(lloydCentroids(e))).as("c"))
     val eb = e.join(buckets, "vec_id")
     val q = eb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("c"))
@@ -313,7 +340,7 @@ object Similarity {
     */
   def ivfTopKNprobe(spark: SparkSession, dir: String, nprobe: Int = NProbe): DataFrame = {
     val e = emb(spark, dir).select("vec_id", "v").localCheckpoint(true)
-    val cent = quantizerFor(dir)(lloydCentroids(e))
+    val cent = quantizerFor(spark, dir)(lloydCentroids(e))
     val eb = e.join(e.select(col("vec_id"), assignLit(cent).as("c")), "vec_id")
     val pairs = cent.map { case (c, w) =>
       array(r6(l2_sq(col("v"), typedLit(w))), lit(c.toDouble))
@@ -409,7 +436,7 @@ object Similarity {
     */
   def ivfRecallSweep(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select("vec_id", "v").localCheckpoint(true)
-    val cent = quantizerFor(dir)(lloydCentroids(e))
+    val cent = quantizerFor(spark, dir)(lloydCentroids(e))
     val eb = e.join(e.select(col("vec_id"), assignLit(cent).as("c")), "vec_id")
     val pairs = cent.map { case (c, w) =>
       array(r6(l2_sq(col("v"), typedLit(w))), lit(c.toDouble))

@@ -54,8 +54,10 @@ object StatefulOps {
 
   /** Closed sessions emitted by walking `incoming` from `prior` state; the
     * still-open tail session is returned separately (None when no events).
+    * Shared with [[TimedSessionProcessor]] so the flatMapGroupsWithState and
+    * transformWithState sessionizers are arithmetic-identical by construction.
     */
-  private def walk(uid: Long, prior: Option[OpenSession], incoming: Iterator[WmEvent])
+  private[streaming] def walk(uid: Long, prior: Option[OpenSession], incoming: Iterator[WmEvent])
       : (Vector[ClosedSession], Option[OpenSession]) = {
     val rows = incoming.toArray.sortBy(e => (e.ts_us, e.event_id))
     var open = prior
@@ -129,7 +131,7 @@ object StatefulOps {
     events.select(col("user_id"), col("event_id"), col("ts"),
       unix_micros(col("ts")).as("ts_us"), col("value"))
 
-  private def toStats(closed: DataFrame): DataFrame =
+  private[streaming] def toStats(closed: DataFrame): DataFrame =
     closed.select(
       col("user_id"), col("session_seq"), col("n_events"),
       timestamp_micros(col("start_us")).as("session_start"),

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-user running aggregate held as a typed ValueState. */
 case class RunningAgg(n: Long, value_micros: Long)
@@ -107,6 +107,71 @@ class TypeCountsProcessor extends StatefulProcessor[Long, TypedEvent, UserTypeCo
   }
 }
 
+/** Timer-driven TWS sessionizer — the fourth transformWithState facility
+  * after the three state primitives: per-key EVENT-TIME TIMERS
+  * (`registerTimer` / `handleExpiredTimer`). Session semantics are
+  * bit-identical to [[StatefulOps]]'s flatMapGroupsWithState handler — both
+  * run the shared [[StatefulOps.walk]] — but idle sessions close through an
+  * explicitly managed timer instead of GroupStateTimeout: exactly one timer
+  * is armed per key (previous ones deleted on re-arm — TWS allows many
+  * timers per key, GroupStateTimeout allowed one, so single-deadline
+  * semantics must now be enforced by the processor), anchored at
+  * last-event + gap and clamped past the current watermark (the r4
+  * late-event lesson applies unchanged). A fired close leaves the same
+  * n = 0 sentinel carrying the seq counter for one further gap so session
+  * numbering survives a timeout close; the sentinel's own expiry evicts it.
+  *
+  * `withTimers` = false under a batch plan (TimeMode.None — registering a
+  * timer there is rejected, and the walk sees each user's full history in
+  * one call anyway), mirroring StatefulOps' `withTimeout` flag.
+  */
+class TimedSessionProcessor(withTimers: Boolean)
+    extends StatefulProcessor[Long, WmEvent, ClosedSession] {
+  private val gapMs = (StatefulOps.GapMinutes * 60000.0).toLong
+  @transient private var open: ValueState[OpenSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[OpenSession](
+      "open", Encoders.product[OpenSession], TTLConfig.NONE)
+
+  private def rearm(deadlineMs: Long): Unit = {
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    getHandle.registerTimer(deadlineMs)
+  }
+
+  override def handleInputRows(user: Long, rows: Iterator[WmEvent],
+      timerValues: TimerValues): Iterator[ClosedSession] = {
+    val prior = if (open.exists()) Some(open.get()) else None
+    val (closed, tail) = StatefulOps.walk(user, prior, rows)
+    tail match {
+      case Some(s) =>
+        open.update(s)
+        if (withTimers) rearm(math.max(
+          s.last_us / 1000L + gapMs, timerValues.getCurrentWatermarkInMs() + 1L))
+      case None => open.clear()
+    }
+    closed.iterator
+  }
+
+  override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+    val s = if (open.exists()) open.get() else null
+    if (s == null) Iterator.empty
+    else if (s.n > 0L) {
+      // close the idle session; linger the seq-carrying sentinel one further
+      // gap past the watermark (same bounded-memory numbering tradeoff as
+      // StatefulOps' timeout branch)
+      open.update(s.copy(n = 0L))
+      rearm(timerValues.getCurrentWatermarkInMs() + gapMs)
+      Iterator.single(ClosedSession(user, s.session_seq, s.n, s.start_us, s.last_us,
+        s.value_micros))
+    } else {
+      open.clear()
+      Iterator.empty
+    }
+  }
+}
+
 object TwsOps {
   /** K for the last-K recent-context buffer. */
   val RecentK = 3
@@ -190,13 +255,50 @@ object TwsOps {
     userTypeCounts(graft.Tables.events(spark, dir)).toDF()
   }
 
+  /** Streaming form of the timer-driven sessionizer: watermarked input,
+    * TimeMode.EventTime, per-key timers close idle sessions.
+    */
+  def timedSessions(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val ds = events.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[WmEvent]
+    StatefulOps.toStats(ds.groupByKey(_.user_id)
+      .transformWithState(new TimedSessionProcessor(withTimers = true),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF())
+  }
+
+  /** Batch form (TimeMode.None, timers off): the walk sees each user's full
+    * history in one call and emits every closed session — each user's final,
+    * still-open one is not emitted — so the oracle is the same session SQL
+    * as `events_closed_sessions`. TwsSpec proves the timer path (idle-close
+    * across watermark advances, seq continuation after a timeout) on
+    * MemoryStream.
+    */
+  def timedSessionsBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ensureStateStoreCoordinator(spark)
+    val ds = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[WmEvent]
+    StatefulOps.toStats(ds.groupByKey(_.user_id)
+      .transformWithState(new TimedSessionProcessor(withTimers = false),
+        TimeMode.None(), OutputMode.Append())
+      .toDF())
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_running_user_stats" -> ((s, d) =>
       runningUserStatsBatch(s, d).orderBy("user_id")),
     "events_user_recent" -> ((s, d) =>
       userRecentBatch(s, d).orderBy("user_id", "recency_rank")),
     "events_user_type_counts" -> ((s, d) =>
-      userTypeCountsBatch(s, d).orderBy("user_id", "event_type"))
+      userTypeCountsBatch(s, d).orderBy("user_id", "event_type")),
+    "events_tws_sessions" -> ((s, d) =>
+      timedSessionsBatch(s, d).orderBy("user_id", "session_seq"))
   )
 
   def oracles: Map[String, String] = {
@@ -215,7 +317,10 @@ object TwsOps {
            |WHERE rn <= $RecentK ORDER BY user_id, recency_rank""".stripMargin,
       "events_user_type_counts" ->
         """SELECT user_id, event_type, count(*) AS n_events
-          |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
+          |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+      // identical session semantics to events_closed_sessions — both
+      // sessionizers run StatefulOps.walk — so the oracle is shared
+      "events_tws_sessions" -> StatefulOps.oracles("events_closed_sessions")
     )
   }
 }

@@ -107,6 +107,55 @@ class TwsSpec extends SparkSpec {
     }
   }
 
+  test("event-time timers close idle sessions and session numbering survives the timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(user: Long, minute: Long, id: Long) = {
+      val ms = base + minute * 60000L
+      graft.streaming.WmEvent(user, id, new Timestamp(ms), ms * 1000L, 1.0)
+    }
+
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[graft.streaming.WmEvent]
+      val q = TwsOps.timedSessions(stream.toDF())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_sessions_out").start()
+
+      def batch(evs: graft.streaming.WmEvent*): Unit = {
+        stream.addData(evs); q.processAllAvailable()
+      }
+      // user 1: two events 10 min apart → one open session, timer at t=40min
+      batch(ev(1, 0, 1), ev(1, 10, 2))
+      // user 2 at t=400 advances the watermark to 280min AFTER this batch...
+      batch(ev(2, 400, 3))
+      // ...so THIS batch's timer sweep (wm = 280 ≥ 40) closes user 1's session
+      batch(ev(2, 410, 4))
+      // user 1 returns at t=420: the lingering sentinel must continue seq → 2
+      batch(ev(1, 420, 5))
+      // two watermark pushes: wm = 480 ≥ the new timer (420 + 30 = 450)...
+      batch(ev(2, 600, 6))
+      // ...fires user 1's second close in this batch
+      batch(ev(2, 610, 7))
+      q.stop()
+
+      val u1 = spark.table("tws_sessions_out").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), r.getLong(2)))  // (session_seq, n_events)
+        .sorted
+      assert(u1.toSeq == Seq((1L, 2L), (2L, 1L)),
+        s"expected timer-closed sessions (1,2),(2,1) for user 1, got ${u1.mkString(",")}")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("running per-user totals accumulate across micro-batches via ValueState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
