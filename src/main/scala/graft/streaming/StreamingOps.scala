@@ -60,6 +60,33 @@ object StreamingOps {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * `events_interval_join`: each purchase matched with the same user's
+    * clicks in the preceding 60 minutes, where BOTH inputs are unbounded
+    * streams. This is the one join class where the engine must buffer both
+    * sides as state; the two watermarks plus the time-range predicate are
+    * what make that state BOUNDED — Spark derives that click state older
+    * than (purchase watermark − 60 min) can never match again and evicts it.
+    * Without the range condition on event time the state would grow forever;
+    * with it, steady-state size is (events within the watermark horizon),
+    * independent of stream age. StreamingSpec proves in/out-of-window
+    * matching across micro-batches; batch agreement with the naive
+    * inequality join is the registered `events_interval_join` oracle.
+    */
+  def streamIntervalJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    c.join(p, expr(
+      """c_user = p_user AND
+        |click_ts BETWEEN purchase_ts - INTERVAL 60 MINUTES AND purchase_ts""".stripMargin))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** Driver-visible streaming run (I5 as a query, not just a spec): the events
     * parquet is consumed INCREMENTALLY — `readStream` file source, stateful
     * tumbling aggregation, `Trigger.AvailableNow` draining the backlog in

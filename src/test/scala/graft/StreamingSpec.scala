@@ -92,6 +92,39 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == 500)
   }
 
+  test("stream-stream interval join matches in-window clicks across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, user: Long, minute: Long, typ: String) =
+      Ev(id, new Timestamp(base + minute * 60000L), user, typ, 1.0)
+
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamingOps.streamIntervalJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+
+    // batch 1: clicks only — one 50 min before the purchase (in window), one
+    // 90 min before (out), one in-window but for ANOTHER user
+    clicks.addData(Seq(ev(1, 7, 50, "click"), ev(2, 7, 10, "click"), ev(3, 8, 60, "click")))
+    q.processAllAvailable()
+    // batch 2: user 7 purchase at minute 100 — the join must reach BACK into
+    // click state buffered from the earlier micro-batch
+    purchases.addData(Seq(ev(100, 7, 100, "purchase")))
+    q.processAllAvailable()
+    // batch 3: a click arriving AFTER the purchase row was processed still
+    // matches (purchase state is buffered too — the join is symmetric)
+    clicks.addData(Seq(ev(4, 7, 95, "click")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssjoin_out").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sorted // (purchase_id, click_id)
+    assert(rows.toSeq == Seq((100L, 1L), (100L, 4L)),
+      s"expected clicks 1 and 4 to match purchase 100, got ${rows.mkString(",")}")
+  }
+
   test("sliding windows place every event in exactly window/slide = 4 windows") {
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val total = ev.count()
