@@ -269,6 +269,59 @@ object Relational {
        | AND c.ts >= p.ts - INTERVAL $IntervalMin MINUTE AND c.ts < p.ts
        |GROUP BY 1, 2, 3 ORDER BY p.event_id""".stripMargin
 
+  /** The pivot vocabulary, fixed at plan time. Passing the value list to
+    * `pivot` matters at scale twice over: it skips the eager
+    * distinct-discovery JOB Spark otherwise runs before it can even plan,
+    * and it bounds output width by contract — a miskeyed stream can't
+    * explode the schema to millions of columns.
+    */
+  val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Long→wide reshaping: per-user event counts pivoted to one column per
+    * event_type. Plans as two chained hash aggregates (PlanAudit-checked):
+    * a (user, type) count whose partial agg collapses map-side, then a
+    * per-user PivotFirst packing the ≤ |PivotTypes| rows into columns — so
+    * everything that shuffles is ∝ users × types, never raw events, and the
+    * scan reads only the two columns involved. Missing combinations surface
+    * as 0, not null, to keep the frame arithmetic-ready (and the hash
+    * deterministic).
+    */
+  def typePivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+    wide.na.fill(0L, PivotTypes)
+  }
+
+  def typePivotOracle: String = {
+    val cols = PivotTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+      .mkString(",\n       |       ")
+    s"""SELECT user_id,
+       |       $cols
+       |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+  }
+
+  /** Wide→long: `unpivot` (melt) of the pivoted frame back to
+    * (user_id, event_type, n_events) rows. Because the wide frame is dense
+    * (zeros, not dropped rows), the roundtrip yields the FULL user × type
+    * grid — the shape a feature store hands to a trainer — unlike the plain
+    * groupBy which omits empty combinations. Unpivot is a zero-shuffle
+    * expand: each wide row becomes #types long rows map-side.
+    */
+  def typeUnpivot(spark: SparkSession, dir: String): DataFrame =
+    typePivot(spark, dir)
+      .unpivot(Array(col("user_id")), PivotTypes.map(col).toArray, "event_type", "n_events")
+
+  def typeUnpivotOracle: String =
+    s"""SELECT u.user_id, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+       |FROM (SELECT DISTINCT user_id FROM events) u
+       |CROSS JOIN (SELECT unnest(${PivotTypes.mkString("['", "', '", "']")}) AS event_type) t
+       |LEFT JOIN (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2) c
+       |  USING (user_id, event_type)
+       |ORDER BY user_id, event_type""".stripMargin
+
   /** Gap-based sessionization of events: new session when > 30 min idle. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -301,7 +354,9 @@ object Relational {
     "customers_without_orders" -> ((s, d) => customersWithoutOrders(s, d).orderBy("c_custkey")),
     "events_asof_join" -> ((s, d) => asofJoin(s, d).orderBy("event_id")),
     "events_interval_join" -> ((s, d) => intervalJoin(s, d).orderBy("event_id")),
-    "events_sessionize" -> ((s, d) => sessionize(s, d).orderBy("user_id", "session_seq"))
+    "events_sessionize" -> ((s, d) => sessionize(s, d).orderBy("user_id", "session_seq")),
+    "events_type_pivot" -> ((s, d) => typePivot(s, d).orderBy("user_id")),
+    "events_type_unpivot" -> ((s, d) => typeUnpivot(s, d).orderBy("user_id", "event_type"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -385,6 +440,8 @@ object Relational {
          |SELECT user_id, session_seq, count(*) AS n_events,
          |       min(ts) AS session_start, max(ts) AS session_end,
          |       ${sqlR6(sqlExactSum("value"))} AS session_value
-         |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin
+         |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+    "events_type_pivot" -> typePivotOracle,
+    "events_type_unpivot" -> typeUnpivotOracle
   )
 }
