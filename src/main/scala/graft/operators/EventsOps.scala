@@ -598,6 +598,58 @@ object EventsOps {
     """SELECT event_type, count(*) AS n_exact, true AS cms_within_tol
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** The event_type domain the quality audit enforces (same vocabulary the
+    * stratified sampler and pivot use).
+    */
+  val TypeDomain: Seq[String] = SampleRates.map(_._1).sorted
+
+  /** Data-quality audit — the profile-the-table pass a production ingest runs
+    * before anything downstream trusts the data: every check is a conditional
+    * sum in ONE aggregate over the table (partial aggs collapse map-side to a
+    * single row per partition; the duplicate-key check rides countDistinct's
+    * expand in the same job), then the single wide row is melted to
+    * (check_name, n) rows with `unpivot` — a report shape that unions across
+    * tables/days. Checks: row count, null keys, duplicate primary keys,
+    * event_type outside the declared domain, timestamps outside the sane
+    * range, non-finite values.
+    */
+  def qualityReport(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val domain = TypeDomain.map(lit(_))
+    val wide = ev.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_null_user"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("n_dup_event_id"),
+      sum(when(!col("event_type").isin(domain: _*), 1L).otherwise(0L)).as("n_bad_type"),
+      sum(when(year(col("ts")) < 2020 || year(col("ts")) >= 2035, 1L).otherwise(0L))
+        .as("n_ts_out_of_range"),
+      sum(when(col("value").isNull || isnan(col("value")), 1L).otherwise(0L))
+        .as("n_nonfinite_value"))
+    val checks = Seq("n_rows", "n_null_user", "n_dup_event_id", "n_bad_type",
+      "n_ts_out_of_range", "n_nonfinite_value")
+    wide.unpivot(Array.empty[Column], checks.map(col).toArray, "check_name", "n")
+  }
+
+  def qualityReportOracle: String = {
+    val domainSql = TypeDomain.mkString("('", "', '", "')")
+    s"""WITH a AS (
+       |  SELECT count(*) AS n_rows,
+       |         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_user,
+       |         count(*) - count(DISTINCT event_id) AS n_dup_event_id,
+       |         CAST(sum(CASE WHEN event_type NOT IN $domainSql THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_type,
+       |         CAST(sum(CASE WHEN year(ts) < 2020 OR year(ts) >= 2035 THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_out_of_range,
+       |         CAST(sum(CASE WHEN value IS NULL OR isnan(value) THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite_value
+       |  FROM events
+       |)
+       |SELECT 'n_rows' AS check_name, n_rows AS n FROM a
+       |UNION ALL SELECT 'n_null_user', n_null_user FROM a
+       |UNION ALL SELECT 'n_dup_event_id', n_dup_event_id FROM a
+       |UNION ALL SELECT 'n_bad_type', n_bad_type FROM a
+       |UNION ALL SELECT 'n_ts_out_of_range', n_ts_out_of_range FROM a
+       |UNION ALL SELECT 'n_nonfinite_value', n_nonfinite_value FROM a
+       |ORDER BY check_name""".stripMargin
+  }
+
   /** approx_percentile accuracy: rank error ≤ n/accuracy = n·1e-4 rows. */
   val PctSketchAccuracy = 10000
 
@@ -774,6 +826,7 @@ object EventsOps {
     "ts_skew_salted_agg" -> ((s, d) => saltedAgg(s, d).orderBy("event_type")),
     "events_skew_salted_join" -> ((s, d) => saltedJoin(s, d).orderBy("event_type")),
     "events_type_counts_cms" -> ((s, d) => typeCountsCms(s, d).orderBy("event_type")),
+    "events_quality_report" -> ((s, d) => qualityReport(s, d).orderBy("check_name")),
     "ts_value_quantiles" -> ((s, d) => valueQuantiles(s, d).orderBy("event_type")),
     "ts_value_quantiles_scalable" -> ((s, d) => valueQuantilesScalable(s, d).orderBy("event_type")),
     "events_stratified_sample" -> ((s, d) => stratifiedSampleAudit(s, d).orderBy("event_type")),
@@ -796,6 +849,7 @@ object EventsOps {
     "ts_skew_salted_agg" -> saltedAggOracle,
     "events_skew_salted_join" -> saltedJoinOracle,
     "events_type_counts_cms" -> typeCountsCmsOracle,
+    "events_quality_report" -> qualityReportOracle,
     "ts_value_quantiles" -> valueQuantilesOracle,
     "ts_value_quantiles_scalable" -> valueQuantilesScalableOracle,
     "events_stratified_sample" -> stratifiedSampleOracle,
