@@ -393,6 +393,22 @@ class AggregateSpec extends SparkSpec {
     assert(rows.forall(_.getBoolean(2)), rows.mkString(","))
   }
 
+  test("Observation collects audit metrics during the main action, no second scan") {
+    import org.apache.spark.sql.functions._
+    // the complement of events_quality_report's dedicated audit pass: observe()
+    // piggybacks the metrics on whatever action the job already runs, so at
+    // 100 TB the audit costs zero extra scans — the accumulator-backed twin of
+    // the quality checks, asserted here against direct recomputation
+    val obs = org.apache.spark.sql.Observation("audit")
+    val ev = graft.Tables.events(spark, sf)
+    val n = ev.observe(obs, count(lit(1)).as("n_rows"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"))
+      .count()
+    val m = obs.get
+    assert(m("n_rows") == n)
+    assert(m("n_purchase") == ev.filter(col("event_type") === "purchase").count())
+  }
+
   test("per-key quantiles are monotone") {
     import org.apache.spark.sql.functions._
     val bad = EventsOps.valueQuantiles(spark, sf)
