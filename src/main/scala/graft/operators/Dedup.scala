@@ -166,6 +166,11 @@ object Dedup {
 
   private[graft] def minhashPairsOf(shRaw: DataFrame): DataFrame = {
     val sh = shRaw.localCheckpoint(true)
+    withJaccard(sh, minhashCandidatesOf(sh))
+  }
+
+  /** Raw LSH band candidates (pre-verification) over a shingle frame. */
+  private[graft] def minhashCandidatesOf(sh: DataFrame): DataFrame = {
     val spark = sh.sparkSession
     val wBucket = Window.partitionBy("band", "band_key")
     val bands = bandsOf(spark, sh)
@@ -173,12 +178,11 @@ object Dedup {
       .filter(col("bsz") <= MaxBandBucket)
       .drop("bsz")
       .localCheckpoint(true)
-    val cand = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    withJaccard(sh, cand)
   }
 
   /** Attach exact digest-set Jaccard to a (doc_a, doc_b) pair set. */
@@ -217,6 +221,61 @@ object Dedup {
       .select("doc_a", "doc_b")
     withJaccard(sh, cand).filter(col("jaccard") >= JaccardThreshold)
   }
+
+  /** Banding-quality measurement — the dedup twin of the ANN recall rows
+    * (`ann_*_recall`): precision and recall of the RAW MinHash band-candidate
+    * generator against the exact-Jaccard near-dup detector
+    * ([[ngramJaccardPairs]], itself hash-verified). This is the number an
+    * operator reads before trusting banded dedup at scale: recall says what
+    * fraction of true near-dups the bands even surface (missed pairs are
+    * unrecoverable — verification only filters), precision says how much
+    * of the candidate volume the Jaccard verification pass will throw away
+    * (pure compute cost). One summary row; the pair sets are combined with
+    * a tag-union + two-key max so nothing joins wider than the pair id.
+    */
+  def minhashQuality(spark: SparkSession, dir: String): DataFrame = {
+    val cand = minhashCandidatesOf(docShingles(spark, dir).localCheckpoint(true))
+      .withColumn("in_cand", lit(1)).withColumn("in_truth", lit(0))
+    val truth = ngramJaccardPairs(spark, dir)
+      .select("doc_a", "doc_b")
+      .withColumn("in_cand", lit(0)).withColumn("in_truth", lit(1))
+    cand.union(truth)
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("in_cand")).as("c"), max(col("in_truth")).as("t"))
+      .agg(
+        sum(col("c")).cast("long").as("n_candidates"),
+        sum(col("t")).cast("long").as("n_true"),
+        sum(col("c") * col("t")).cast("long").as("n_hit"))
+      .select(col("n_candidates"), col("n_true"), col("n_hit"),
+        r6(col("n_hit").cast("double") / col("n_candidates").cast("double")).as("band_precision"),
+        r6(col("n_hit").cast("double") / col("n_true").cast("double")).as("band_recall"))
+  }
+
+  def minhashQualityOracle: String =
+    minhashCandSql +
+      s""", rare AS (
+         |  SELECT base FROM shingles GROUP BY base
+         |  HAVING count(*) <= $MaxShingleDf AND count(*) >= 2
+         |), blocked AS (
+         |  SELECT s.doc_id, s.base FROM shingles s JOIN rare r ON s.base = r.base
+         |), cand_ng AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocked a JOIN blocked b ON a.base = b.base AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinSharedRare
+         |)${jaccardSql("cand_ng")}
+         |, truth AS (
+         |  SELECT doc_a, doc_b FROM jac WHERE jaccard >= ${sqlD(JaccardThreshold)}
+         |), flags AS (
+         |  SELECT (c.doc_a IS NOT NULL) AS in_cand, (t.doc_a IS NOT NULL) AS in_truth
+         |  FROM cand c FULL OUTER JOIN truth t
+         |    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+         |)
+         |SELECT CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+         |       CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |       CAST(sum(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |       ${sqlR6("CAST(sum(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END) AS DOUBLE) / CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS DOUBLE)")} AS band_precision,
+         |       ${sqlR6("CAST(sum(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END) AS DOUBLE) / CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS DOUBLE)")} AS band_recall
+         |FROM flags""".stripMargin
 
   /** SimHash: 16-bit fingerprint from per-token md5 bits, weight ±1 per distinct
     * token; bit set iff the signed vote is positive.
@@ -329,7 +388,10 @@ object Dedup {
   /** Full LSH pair chain ending in `jac(doc_a, doc_b, jaccard)` — shared by
     * the pair/cluster oracles here and by the corpus-curation oracle.
     */
-  private[operators] def minhashPairsSqlChain: String = minhashBandsSql +
+  /** The band-candidate CTE alone (`cand`), reused by the pair chain and the
+    * banding-quality oracle.
+    */
+  private[operators] def minhashCandSql: String = minhashBandsSql +
     s""", bands_ok AS (
        |  SELECT doc_id, band, band_key FROM (
        |    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz FROM bands
@@ -338,7 +400,10 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands_ok a JOIN bands_ok b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-       |)${jaccardSql("cand")}""".stripMargin
+       |)""".stripMargin
+
+  private[operators] def minhashPairsSqlChain: String =
+    minhashCandSql + jaccardSql("cand")
 
   private def jaccardSql(candCte: String): String =
     s""", sizes AS (
@@ -362,6 +427,7 @@ object Dedup {
     "dedup_minhash_sig" -> ((s, d) => minhashBands(s, d).orderBy("doc_id", "band")),
     "dedup_minhash_pairs" -> ((s, d) => minhashPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d).orderBy("doc_a", "doc_b")),
+    "dedup_minhash_quality" -> ((s, d) => minhashQuality(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d).orderBy("doc_id")),
     "dedup_clusters" -> ((s, d) => duplicateClusters(s, d).orderBy("doc_id")),
     "dedup_embedding_nn" -> ((s, d) => embeddingNearDup(s, d).orderBy("qid"))
@@ -377,6 +443,7 @@ object Dedup {
     "dedup_minhash_sig" -> (minhashBandsSql + " SELECT doc_id, band, band_key FROM bands ORDER BY doc_id, band"),
     "dedup_minhash_pairs" -> (minhashPairsSqlChain +
       " SELECT doc_a, doc_b, jaccard FROM jac ORDER BY doc_a, doc_b"),
+    "dedup_minhash_quality" -> minhashQualityOracle,
     "dedup_ngram_jaccard" ->
       s"""WITH $docShinglesSql,
          |rare AS (
