@@ -207,8 +207,14 @@ object Dedup {
     * the candidate dedup — no separate DISTINCT pass), then exact Jaccard ≥
     * threshold over the full shingle sets.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir).localCheckpoint(true)
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsOf(docShingles(spark, dir).localCheckpoint(true))
+
+  /** Same walk over an already-checkpointed shingle frame, so callers that
+    * need both detectors ([[minhashQuality]]) scan and shingle the corpus
+    * once.
+    */
+  private[graft] def ngramJaccardPairsOf(sh: DataFrame): DataFrame = {
     val rare = sh.groupBy("base").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf && col("df") >= 2)
     val blocked = sh.join(rare.select("base"), "base")
@@ -234,9 +240,10 @@ object Dedup {
     * a tag-union + two-key max so nothing joins wider than the pair id.
     */
   def minhashQuality(spark: SparkSession, dir: String): DataFrame = {
-    val cand = minhashCandidatesOf(docShingles(spark, dir).localCheckpoint(true))
+    val sh = docShingles(spark, dir).localCheckpoint(true)
+    val cand = minhashCandidatesOf(sh)
       .withColumn("in_cand", lit(1)).withColumn("in_truth", lit(0))
-    val truth = ngramJaccardPairs(spark, dir)
+    val truth = ngramJaccardPairsOf(sh)
       .select("doc_a", "doc_b")
       .withColumn("in_cand", lit(0)).withColumn("in_truth", lit(1))
     cand.union(truth)
