@@ -228,6 +228,78 @@ object Dedup {
     withJaccard(sh, cand).filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** Max Hamming distance for a SimHash near-dup pair, and the blocking that
+    * finds them without all-pairs: split the 16-bit fingerprint into
+    * HammingMax + 1 = 4 blocks of 4 bits — a pair within Hamming 3 differs
+    * in at most 3 blocks, so by pigeonhole it MATCHES on at least one, and
+    * the (block, value) equi-join surfaces every such pair with zero false
+    * negatives. Exact popcount(xor) then keeps the true ones. Same
+    * blocked-candidate discipline as MinHash bands and LSH buckets.
+    */
+  val HammingMax = 3
+
+  /** Raw Hamming-≤ 3 pairs. NOTE on output cardinality: a 16-bit fingerprint
+    * is demo granularity (production simhash is 64-bit) and this synthetic
+    * corpus is token-homogeneous, so the pair set is DENSE — ~1/3 of all
+    * doc pairs at sf0.001. The registered query therefore aggregates to the
+    * per-distance histogram ([[simhashPairStats]]): constant-size output at
+    * any scale while still executing the full blocked pipeline; the raw
+    * pair frame stays the composable building block.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhash(spark, dir).localCheckpoint(true)
+    val blockCols = (0 to HammingMax).map { b =>
+      struct(lit(b).as("blk"), (shiftright(col("simhash"), b * 4) % 16).as("bv"))
+    }
+    val blocks = fp
+      .select(col("doc_id"), col("simhash"), explode(array(blockCols: _*)).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.blk").as("blk"), col("e.bv").as("bv"))
+    val cand = blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.blk").as("blk"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+    // emit-on-first-matching-block: a pair matching in several blocks is kept
+    // only at its SMALLEST matching index — a pure map-side filter derived
+    // from the two fingerprints, replacing a distinct() shuffle of the full
+    // (dense) candidate set
+    def blockOf(c: Column, j: Int) = shiftright(c, j * 4) % 16
+    val earlier = (0 until HammingMax).map { j =>
+      col("blk") > j && (blockOf(col("sh_a"), j) === blockOf(col("sh_b"), j))
+    }.reduce(_ || _)
+    cand.filter(!earlier)
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= HammingMax)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Pair count per Hamming distance — the bounded-output report form. */
+  def simhashPairStats(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(spark, dir)
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"))
+
+  /** The simhash derivation as a reusable CTE chain ending in
+    * `fp(doc_id, simhash)` — shared by the fingerprint and pair oracles.
+    */
+  private def simhashSqlChain: String =
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+       |  FROM documents
+       |), hv_t AS (
+       |  SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS hv FROM toks
+       |), votes AS (
+       |  SELECT doc_id, CAST(b.i AS INT) AS bit,
+       |         CAST(sum(CASE WHEN (hv >> CAST(b.i AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+       |  FROM hv_t CROSS JOIN range(0, 16) b(i)
+       |  GROUP BY doc_id, b.i
+       |), fp AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id
+       |)""".stripMargin
+
   /** Banding-quality measurement — the dedup twin of the ANN recall rows
     * (`ann_*_recall`): precision and recall of the RAW MinHash band-candidate
     * generator against the exact-Jaccard near-dup detector
@@ -436,6 +508,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_minhash_quality" -> ((s, d) => minhashQuality(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d).orderBy("doc_id")),
+    "dedup_simhash_pairs" -> ((s, d) => simhashPairStats(s, d).orderBy("hamming")),
     "dedup_clusters" -> ((s, d) => duplicateClusters(s, d).orderBy("doc_id")),
     "dedup_embedding_nn" -> ((s, d) => embeddingNearDup(s, d).orderBy("qid"))
   )
@@ -490,21 +563,24 @@ object Dedup {
          |JOIN (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1) cnt
          |  USING (cluster_id)
          |ORDER BY doc_id""".stripMargin),
-    "dedup_simhash" ->
-      s"""WITH toks AS (
-         |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
-         |  FROM documents
-         |), hv_t AS (
-         |  SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS hv FROM toks
-         |), votes AS (
-         |  SELECT doc_id, CAST(b.i AS INT) AS bit,
-         |         CAST(sum(CASE WHEN (hv >> CAST(b.i AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
-         |  FROM hv_t CROSS JOIN range(0, 16) b(i)
-         |  GROUP BY doc_id, b.i
+    "dedup_simhash" -> (simhashSqlChain +
+      " SELECT doc_id, simhash FROM fp ORDER BY doc_id"),
+    "dedup_simhash_pairs" -> (simhashSqlChain +
+      s""", blocks AS (
+         |  SELECT doc_id, simhash, b.i AS blk, (simhash >> (CAST(b.i AS INT) * 4)) % 16 AS bv
+         |  FROM fp CROSS JOIN range(0, ${HammingMax + 1}) b(i)
+         |), cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  WHERE NOT (${(0 until HammingMax).map(j =>
+              s"(a.blk > $j AND (a.simhash >> ${j * 4}) % 16 = (b.simhash >> ${j * 4}) % 16)")
+              .mkString(" OR ")})
          |)
-         |SELECT doc_id,
-         |       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |SELECT CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming, count(*) AS n_pairs
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $HammingMax
+         |GROUP BY 1 ORDER BY hamming""".stripMargin),
     "dedup_embedding_nn" ->
       s"""WITH emb AS (
          |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
