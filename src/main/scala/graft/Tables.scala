@@ -12,31 +12,74 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4's parquet reader
-    * rejects at schema-conversion time. Read `ts` as raw INT64 nanos via an
-    * explicit schema (works regardless of session config, so the driver's own
-    * SparkSession needs no special flags), then truncate to micros with exact
-    * integer division — matching DuckDB's own nanos→micros truncation.
+  /** events.parquet has shipped with `ts` as TIMESTAMP(NANOS) in some fixture
+    * generations and TIMESTAMP(MICROS) in others. Spark 4's parquet reader
+    * rejects the NANOS form at schema-conversion time, so that form is read
+    * as raw INT64 nanos via an explicit schema and truncated to micros with
+    * exact integer division (matching DuckDB's own nanos→micros truncation);
+    * the MICROS form reads natively. The unit is detected ONCE per dir from
+    * the footer (whether a native schema read succeeds) and memoized — a
+    * wrong guess here would silently collapse every timestamp into 1970, so
+    * detection must come from the file, not from an assumption.
     */
-  val eventsSchema: StructType = StructType(Seq(
+  val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private def eventsNativeSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming twin of [[events]]: same explicit schema and nanos→micros
-    * truncation, planned as an incremental file source. The file stream
-    * source requires a directory base path, so it watches the sf dir with a
-    * glob filter selecting only the events file.
+  /** `ts`'s inferable Spark type per dir: TimestampType (MICROS, UTC-adjusted),
+    * TimestampNTZType (MICROS, isAdjustedToUTC=false — what pandas/pyarrow
+    * writers emit), or None when the footer carries NANOS (schema inference
+    * throws and the raw-INT64 path applies). Probed once, memoized. */
+  private val tsTypeByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[DataType]]()
+
+  private def nativeTsType(spark: SparkSession, dir: String): Option[DataType] =
+    tsTypeByDir.computeIfAbsent(dir, _ =>
+      try {
+        spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType match {
+          case t @ (TimestampType | TimestampNTZType) => Some(t)
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    )
+
+  /** NTZ micros cast to TimestampType is the identity wall-clock mapping under
+    * the UTC session timezone every graft session pins — the same naive
+    * reading DuckDB's oracle applies to the file. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    nativeTsType(spark, dir) match {
+      case Some(t) =>
+        spark.read.schema(eventsNativeSchema(t)).parquet(s"$dir/events.parquet")
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case None =>
+        spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+
+  /** Streaming twin of [[events]]: same unit detection (via the batch footer
+    * probe), planned as an incremental file source. The file stream source
+    * requires a directory base path, so it watches the sf dir with a glob
+    * filter selecting only the events file.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    nativeTsType(spark, dir) match {
+      case Some(t) =>
+        spark.readStream.schema(eventsNativeSchema(t))
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case None =>
+        spark.readStream.schema(eventsRawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")

@@ -326,8 +326,15 @@ object Dedup {
         sum(col("t")).cast("long").as("n_true"),
         sum(col("c") * col("t")).cast("long").as("n_hit"))
       .select(col("n_candidates"), col("n_true"), col("n_hit"),
-        r6(col("n_hit").cast("double") / col("n_candidates").cast("double")).as("band_precision"),
-        r6(col("n_hit").cast("double") / col("n_true").cast("double")).as("band_recall"))
+        // zero-guard: double 0/0 is NaN in Spark but NULL in DuckDB, so on a
+        // corpus with no candidates / no truth pairs the engines would
+        // disagree exactly on the empty edge (ADVICE r5) — both now emit NULL
+        when(col("n_candidates") > 0,
+          r6(col("n_hit").cast("double") / col("n_candidates").cast("double")))
+          .as("band_precision"),
+        when(col("n_true") > 0,
+          r6(col("n_hit").cast("double") / col("n_true").cast("double")))
+          .as("band_recall"))
   }
 
   def minhashQualityOracle: String =
@@ -352,8 +359,8 @@ object Dedup {
          |SELECT CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
          |       CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
          |       CAST(sum(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-         |       ${sqlR6("CAST(sum(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END) AS DOUBLE) / CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS DOUBLE)")} AS band_precision,
-         |       ${sqlR6("CAST(sum(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END) AS DOUBLE) / CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS DOUBLE)")} AS band_recall
+         |       ${sqlR6("CAST(sum(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END) AS DOUBLE) / NULLIF(CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS DOUBLE), 0)")} AS band_precision,
+         |       ${sqlR6("CAST(sum(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END) AS DOUBLE) / NULLIF(CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS DOUBLE), 0)")} AS band_recall
          |FROM flags""".stripMargin
 
   /** SimHash: 16-bit fingerprint from per-token md5 bits, weight ±1 per distinct

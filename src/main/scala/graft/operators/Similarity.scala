@@ -265,34 +265,51 @@ object Similarity {
     * through the same code path on first use).
     */
   private val quantizerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[(Int, Seq[Double])])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[(Int, Seq[Double])])]()
+  private val quantizerLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Fingerprint of the embeddings parquet backing `dir`'s quantizer: a
     * listing-level digest (no data read — metadata only, one NameNode-style
     * round trip), sufficient because parquet files are immutable-once-written
     * in every real pipeline: mutation shows up as new/renamed/re-lengthed
-    * parts.
+    * parts. MD5 over (count, path bytes, length, mtime) per part — the r5
+    * form folded 32-bit `String.hashCode`, where a collision (or an in-place
+    * rewrite inside mtime granularity preserving part lengths) could miss
+    * invalidation and serve stale centroids (ADVICE r5).
     */
-  private def corpusFingerprint(spark: SparkSession, dir: String): Long = {
+  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(path)
     val parts =
       if (st.isDirectory) fs.listStatus(path).toSeq.sortBy(_.getPath.toString)
       else Seq(st)
-    parts.foldLeft(17L) { (h, s) =>
-      ((h * 31 + s.getPath.toString.hashCode) * 31 + s.getLen) * 31 + s.getModificationTime
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"n=${parts.size};".getBytes("UTF-8"))
+    parts.foreach { s =>
+      md.update(s"${s.getPath};${s.getLen};${s.getModificationTime};".getBytes("UTF-8"))
     }
+    md.digest().map("%02x".format(_)).mkString
   }
 
-  /** Fit (by-name, only evaluated on a cache miss or a fingerprint mismatch)
-    * or reuse the quantizer.
+  /** Fit (only evaluated on a cache miss or a fingerprint mismatch) or reuse
+    * the quantizer. The fit — a multi-pass Spark job — runs under a per-key
+    * lock object, NOT inside `ConcurrentHashMap.compute` (whose remapping
+    * functions must stay short and non-blocking; a long fit inside the bin
+    * lock blocked unrelated keys hashing to the same bin — ADVICE r5).
+    * Concurrent first calls for the same dir still serialize; different dirs
+    * never contend.
     */
   private def quantizerFor(spark: SparkSession, dir: String)(
       fit: => Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] = {
     val fp = corpusFingerprint(spark, dir)
-    quantizerCache.compute(dir, (_, prev) =>
-      if (prev != null && prev._1 == fp) prev else (fp, fit))._2
+    val lock = quantizerLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      val prev = quantizerCache.get(dir)
+      if (prev != null && prev._1 == fp) prev._2
+      else { val c = fit; quantizerCache.put(dir, (fp, c)); c }
+    }
   }
 
   def kmeansCentroidsFlat(spark: SparkSession, dir: String): DataFrame = {

@@ -37,15 +37,11 @@ object Partitioned {
     * observe the location mid-overwrite (ADVICE r4). The layout is an index:
     * write once per (location, source dir) — the quantizerCache pattern — and
     * rewrite only when a different source dir targets the same location
-    * (compute() is atomic per key, so concurrent first calls serialize).
+    * (concurrent first calls serialize on [[WriteOnce]]'s per-key lock, kept
+    * OUTSIDE the map's own bin locks per ADVICE r5).
     */
-  private val written = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def ensurePartitionedEvents(spark: SparkSession, dir: String): Unit =
-    written.compute(location(spark).toString, (_, prev) => {
-      if (prev != dir) writePartitionedEvents(spark, dir)
-      dir
-    })
+    WriteOnce.ensure(location(spark).toString, dir)(writePartitionedEvents(spark, dir))
 
   /** The pruned read, exposed separately so the spec can inspect the plan. */
   def prunedRead(spark: SparkSession): DataFrame =

@@ -40,13 +40,8 @@ object RangeLayout {
       .sortWithinPartitions("ts", "event_id")
       .write.mode("overwrite").parquet(location(spark).toString)
 
-  private val written = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   def ensureRangeSorted(spark: SparkSession, dir: String): Unit =
-    written.compute(location(spark).toString, (_, prev) => {
-      if (prev != dir) writeRangeSorted(spark, dir)
-      dir
-    })
+    WriteOnce.ensure(location(spark).toString, dir)(writeRangeSorted(spark, dir))
 
   /** Read-back with file provenance, for asserting the layout contract. */
   def fileStats(spark: SparkSession, dir: String): DataFrame = {

@@ -80,9 +80,14 @@ object StreamingOps {
     val p = purchases.withWatermark("ts", "1 hour")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))
+    // Half-open [p-60min, p): the SAME predicate as the batch twin
+    // `events_interval_join` (Relational.intervalJoin) — BETWEEN's inclusive
+    // upper bound would match a click at exactly the purchase timestamp in
+    // streaming but not batch, silently diverging at the boundary (ADVICE r5).
     c.join(p, expr(
       """c_user = p_user AND
-        |click_ts BETWEEN purchase_ts - INTERVAL 60 MINUTES AND purchase_ts""".stripMargin))
+        |click_ts >= purchase_ts - INTERVAL 60 MINUTES AND
+        |click_ts < purchase_ts""".stripMargin))
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
         col("purchase_ts"), col("click_ts"))
   }
