@@ -29,6 +29,7 @@ object SparkEntry {
       (TrendFit.queries, TrendFit.oracles),
       (StreamingOps.queries, StreamingOps.oracles),
       (Curation.queries, Curation.oracles),
+      (CorpusQc.queries, CorpusQc.oracles),
       (graft.sources.Bucketed.queries, graft.sources.Bucketed.oracles),
       (graft.sources.Partitioned.queries, graft.sources.Partitioned.oracles),
       (TypedOps.queries, TypedOps.oracles),

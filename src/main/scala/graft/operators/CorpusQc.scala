@@ -1,0 +1,247 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{DetRand => R}
+import graft.functions.Num._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus quality-control passes an LLM training-data pipeline runs between
+  * raw ingest and tokenization (north-star ops, no reference counterpart):
+  *
+  *  - repetition filters (the Gopher-style "fraction of the doc that is the
+  *    same n-gram over and over" heuristics, adapted to word n-grams since the
+  *    fixture docs carry no line structure),
+  *  - eval-set decontamination (n-gram overlap against a held-out benchmark
+  *    set — train docs sharing shingles with eval docs leak test data),
+  *  - token-budget mixture sampling (per-source quotas: deterministically
+  *    sample each source until its token budget fills — the data-mixing pass
+  *    that turns raw source proportions into a training mix).
+  *
+  * Scale shapes: repetition is explode + two hash-aggs keyed on (doc_id,
+  * digest) — counts collapse map-side, raw text never shuffles (the same
+  * arithmetic word-digest scheme as [[TextOps.fingerprint]] / [[Dedup]]: one
+  * md5 per WORD, 28-bit integer digests, LCG folds, every intermediate exact
+  * BIGINT in both engines). Decontamination broadcasts the eval side (the
+  * benchmark set is small by construction; the 100-TB train side is scanned
+  * once, only digests move). Mixture sampling is a per-source window over a
+  * deterministic sample key — parallelism = #sources, no global order.
+  */
+object CorpusQc {
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  private val words: Column = split(col("text"), "\\s+")
+  private val M31 = 2147483648L
+
+  /** Per-word 28-bit md5 digests (the [[TextOps.fingerprint]] scheme). */
+  private val hw: Column =
+    transform(words, w => conv(substring(md5(w), 1, 7), 16, 10).cast("long"))
+
+  private def at(c: Column, i: Column): Column =
+    coalesce(try_element_at(c, i), lit(0L))
+
+  /** Word n-gram digest at 0-based position i: LCG fold of n word digests. */
+  private def gramDigest(hws: Column, i: Column, n: Int): Column =
+    (2 to n).foldLeft(at(hws, i + 1)) { (h, j) =>
+      (h * 69069L + at(hws, i + j)) % M31
+    }
+
+  /** All n-gram digests of a doc (positions 0..nw−n; `greatest` guard keeps a
+    * too-short doc on one deterministic fake gram instead of a descending
+    * sequence — both engines compute the identical value via coalesce(…, 0)).
+    */
+  private def gramArr(n: Int): Column =
+    transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => gramDigest(hw, i, n))
+
+  private def gramDigestSql(i: String, n: Int): String =
+    (2 to n).foldLeft(s"coalesce(hw[$i + 1], 0)") { (h, j) =>
+      s"(($h) * 69069 + coalesce(hw[$i + $j], 0)) % $M31"
+    }
+
+  /** `<name>(doc_id, g)` — one row per n-gram position (NOT distinct). */
+  private def gramCteSql(name: String, n: Int): String =
+    s"""${name}_h AS (
+       |  SELECT doc_id,
+       |         list_transform(regexp_split_to_array(text, '\\s+'),
+       |                        w -> ('0x' || substr(md5(w), 1, 7))::BIGINT) AS hw
+       |  FROM documents
+       |), $name AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(generate_series(0, greatest(len(hw) - $n, 0)),
+       |                               i -> ${gramDigestSql("i", n)})) AS g
+       |  FROM ${name}_h
+       |)""".stripMargin
+
+  // ---------------- repetition filters ----------------
+
+  /** Flag thresholds (on the r6-rounded fractions, so both engines compare
+    * identical values): fixture docs average top2 ≈ 0.04 / dup5 ≈ 0, so these
+    * mark the repetitive tail, not the bulk.
+    */
+  val Top2Threshold = 0.1
+  val Dup5Threshold = 0.05
+
+  /** Per-doc repetition profile: the most frequent word-2-gram's share of all
+    * 2-gram positions (`top_2gram_frac`), the share of 2-gram positions whose
+    * gram occurs more than once (`dup_2gram_frac`), and the same duplicate
+    * share for 5-grams (`dup_5gram_frac`) — boilerplate and template text
+    * score high on 2-grams, copy-paste loops on 5-grams. One explode + count
+    * per n; the per-(doc, gram) counts collapse map-side before the per-doc
+    * rollup, so shuffle volume is distinct grams per doc, not positions.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    def profile(n: Int, p: String): DataFrame =
+      docs(spark, dir).select(col("doc_id"), explode(gramArr(n)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as(s"n_${p}grams"),
+          max(col("cnt")).as(s"max_$p"),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as(s"dup_$p"))
+    val base = docs(spark, dir).select(col("doc_id"), size(words).cast("long").as("n_words"))
+    val top2 = r6(col("max_g2").cast("double") / col("n_g2grams").cast("double"))
+    val dup2 = r6(col("dup_g2").cast("double") / col("n_g2grams").cast("double"))
+    val dup5 = r6(col("dup_g5").cast("double") / col("n_g5grams").cast("double"))
+    base.join(profile(2, "g2"), "doc_id").join(profile(5, "g5"), "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        top2.as("top_2gram_frac"), dup2.as("dup_2gram_frac"), dup5.as("dup_5gram_frac"),
+        (top2 > Top2Threshold || dup5 > Dup5Threshold).as("repetitive"))
+  }
+
+  // ---------------- eval-set decontamination ----------------
+
+  /** Shingle width for contamination checks. 4 words: wide enough that random
+    * fixture text rarely collides (13-gram is the published convention for
+    * natural text; this corpus's ~30-word vocabulary saturates anything
+    * wider — n=8 flags only the one literal near-dup), narrow enough that the
+    * flagged set is non-trivial at every scale (19/27/2052 docs at
+    * sf0.001/0.01/0.1).
+    */
+  val DecontamN = 4
+
+  /** Every 25th doc_id is the held-out "benchmark" set — deterministic, so
+    * the oracle draws the identical split.
+    */
+  val EvalMod = 25
+
+  /** Train docs sharing ≥1 word-[[DecontamN]]-gram with ANY eval doc, with
+    * the contaminated-position count and fraction — the decontamination pass
+    * run before training so benchmark text can be dropped or excised.
+    *
+    * Scale: eval digests are DISTINCT + broadcast (the benchmark set is tiny
+    * by construction); the train side streams through one narrow
+    * digest-explode and an inner hash join — no shuffle of the corpus, no
+    * text movement, output only flagged docs.
+    */
+  def decontam(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), explode(gramArr(DecontamN)).as("g"))
+    val evalG = grams.filter(col("doc_id") % EvalMod === 0).select("g").distinct()
+    val trainHits = grams.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(evalG), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val trainBase = docs(spark, dir).filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id"),
+        (greatest(size(words) - DecontamN, lit(0)) + 1).cast("long").as("n_shingles"))
+    trainBase.join(trainHits, "doc_id")
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        r6(col("n_hit").cast("double") / col("n_shingles").cast("double")).as("contam_frac"))
+  }
+
+  // ---------------- token-budget mixture sampling ----------------
+
+  /** Base token budget; source k's budget is Base·(1 + k mod 3) — a
+    * deterministic stand-in for the per-source mixture weights a data-mixing
+    * config would carry.
+    */
+  val MixBaseBudget = 300L
+
+  /** Deterministic token-budget sampling per source: order each source's docs
+    * by a cross-engine sample key (u01 of doc_id — the same LCG stream
+    * discipline as the generators), then keep docs while the running token
+    * count BEFORE the doc is inside the source's budget (so the first doc
+    * always lands, and the doc that crosses the line is kept — budgets are
+    * soft floors, the packing convention). Per-source window, no global sort.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val srcIdx = substring(col("source"), 4, 8).cast("long")
+    val u = R.u01(col("doc_id").cast("double"), 41)
+    val w = Window.partitionBy("source").orderBy("u", "doc_id")
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), size(words).cast("long").as("n_tokens"),
+        (lit(MixBaseBudget) * (lit(1L) + pmod(srcIdx, lit(3L)))).as("budget_tokens"),
+        u.as("u"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pick_order", row_number().over(w))
+      .filter(col("cum_before") < col("budget_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("budget_tokens"),
+        col("pick_order"), col("cum_before"))
+  }
+
+  // ---------------- DuckDB oracle twins ----------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> ((s, d) => repetition(s, d).orderBy("doc_id")),
+    "docs_decontam" -> ((s, d) => decontam(s, d).orderBy("doc_id")),
+    "docs_mixture_sample" -> ((s, d) => mixtureSample(s, d).orderBy("source", "pick_order"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH ${gramCteSql("g2", 2)},
+         |${gramCteSql("g5", 5)},
+         |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+         |c5 AS (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+         |p2 AS (
+         |  SELECT doc_id, sum(cnt) AS n2, max(cnt) AS max2,
+         |         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup2
+         |  FROM c2 GROUP BY 1
+         |), p5 AS (
+         |  SELECT doc_id, sum(cnt) AS n5,
+         |         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup5
+         |  FROM c5 GROUP BY 1
+         |)
+         |SELECT d.doc_id, len(regexp_split_to_array(d.text, '\\s+'))::BIGINT AS n_words,
+         |       ${sqlR6("CAST(p2.max2 AS DOUBLE) / p2.n2")} AS top_2gram_frac,
+         |       ${sqlR6("CAST(p2.dup2 AS DOUBLE) / p2.n2")} AS dup_2gram_frac,
+         |       ${sqlR6("CAST(p5.dup5 AS DOUBLE) / p5.n5")} AS dup_5gram_frac,
+         |       (${sqlR6("CAST(p2.max2 AS DOUBLE) / p2.n2")} > ${sqlD(Top2Threshold)}
+         |        OR ${sqlR6("CAST(p5.dup5 AS DOUBLE) / p5.n5")} > ${sqlD(Dup5Threshold)}) AS repetitive
+         |FROM documents d JOIN p2 ON p2.doc_id = d.doc_id JOIN p5 ON p5.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "docs_decontam" ->
+      s"""WITH ${gramCteSql("grams", DecontamN)},
+         |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % $EvalMod = 0),
+         |hits AS (
+         |  SELECT t.doc_id, count(*) AS n_hit
+         |  FROM grams t JOIN ev USING (g)
+         |  WHERE t.doc_id % $EvalMod <> 0 GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       (greatest(len(regexp_split_to_array(d.text, '\\s+')) - $DecontamN, 0) + 1)::BIGINT AS n_shingles,
+         |       h.n_hit,
+         |       ${sqlR6(s"CAST(h.n_hit AS DOUBLE) / (greatest(len(regexp_split_to_array(d.text, '\\s+')) - $DecontamN, 0) + 1)")} AS contam_frac
+         |FROM documents d JOIN hits h ON h.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "docs_mixture_sample" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |         len(regexp_split_to_array(text, '\\s+'))::BIGINT AS n_tokens,
+         |         $MixBaseBudget * (1 + (substr(source, 4)::BIGINT % 3)) AS budget_tokens,
+         |         ${R.sqlU01("CAST(doc_id AS DOUBLE)", 41)} AS u
+         |  FROM documents
+         |), win AS (
+         |  SELECT doc_id, source, n_tokens, budget_tokens,
+         |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         |         CAST(row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS INT) AS pick_order
+         |  FROM base
+         |)
+         |SELECT doc_id, source, n_tokens, budget_tokens, pick_order, cum_before
+         |FROM win WHERE cum_before < budget_tokens
+         |ORDER BY source, pick_order""".stripMargin
+  )
+}
