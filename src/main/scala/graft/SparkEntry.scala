@@ -30,6 +30,7 @@ object SparkEntry {
       (StreamingOps.queries, StreamingOps.oracles),
       (Curation.queries, Curation.oracles),
       (CorpusQc.queries, CorpusQc.oracles),
+      (PqOps.queries, PqOps.oracles),
       (graft.sources.Bucketed.queries, graft.sources.Bucketed.oracles),
       (graft.sources.Partitioned.queries, graft.sources.Partitioned.oracles),
       (TypedOps.queries, TypedOps.oracles),

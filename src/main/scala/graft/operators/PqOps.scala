@@ -1,0 +1,293 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Num._
+import graft.plans.VectorFunctions.l2_sq
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) + asymmetric distance computation (ADC) — the
+  * compression path that makes 100-TB-scale ANN feasible where IVF/LSH alone
+  * do not: a [[Dim]]-dim float vector (256 B) compresses to [[M]] 4-bit-ish
+  * codes (here one small int per subspace, 8 codes ≈ 8 B — a 32× scan-size
+  * reduction), and query-time distances come from a per-query lookup table
+  * instead of touching raw vectors (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011).
+  *
+  *  - fit: each of the [[M]] subspaces (of [[SubDim]] dims) gets its own
+  *    k-means codebook ([[K]] codewords, [[Iters]] Lloyd iterations) — ALL
+  *    subspaces fit in the SAME distributed aggregation per iteration (the
+  *    subspace id is just one more grouping key next to
+  *    [[Similarity]]'s single-space quantizer), codebooks fold back into the
+  *    plan as literals exactly like the IVF centroids.
+  *  - encode: one codegen'd projection per vector — argmin over the literal
+  *    (dist, c) pairs per subspace — no join, no shuffle; only (vec_id, code)
+  *    rows ever move.
+  *  - search (ADC): the query's 128-entry distance table (m × c → partial
+  *    L2²) is computed against the literal codebooks and BROADCAST; the
+  *    corpus side streams CODES only, and the approximate distance is the sum
+  *    of 8 table lookups — at 100 TB this is the difference between scanning
+  *    8 B/vector and 256 B/vector, and the shape real ANN services ship
+  *    (IVF-PQ) for the billion-vector regime.
+  *
+  * Determinism: partial distances are r6-rounded (absorbing libm/order ulp),
+  * summed via the [[graft.functions.Num.fx]] integer-quantization discipline
+  * so the 8-term sum is order-independent, and ranked with the (dist, vid)
+  * lexicographic tiebreak — the DuckDB oracle replays the identical fit,
+  * encode, and ADC walk.
+  */
+object PqOps {
+  val Dim = 64
+  val M = 8
+  val SubDim = Dim / M
+  val K = 16
+  val Iters = 2
+  val TopK = 10
+  val NumQueries = 100
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** Codebook: (subspace m, codeword c, SubDim weights), r6-rounded. */
+  private type Codebook = Seq[(Int, Int, Seq[Double])]
+
+  /** Per-subspace argmin codes as one array column over the vector `v`, via
+    * the fused [[graft.plans.PqCodes]] kernel. The first cut composed this
+    * from M·K literal array_min trees (the [[Similarity]] assignLit pattern
+    * once per subspace): at 128 inlined distance loops Janino overflowed the
+    * 64 KB method limit and the whole encode stage fell back to interpreted
+    * eval — the custom expression is one compact codegen'd triple loop.
+    */
+  private def codesArray(cb: Codebook): Column =
+    graft.plans.VectorFunctions.pq_codes(col("v"), SubDim, cb)
+
+  /** Lloyd fit of all [[M]] codebooks at once: seed with the first [[K]]
+    * vectors' subvectors, then per iteration ONE distributed aggregation
+    * (encode inline against the literal codebooks + per-(m, c, sd) mean) and
+    * a ≤ M·K·SubDim = 1,024-value collect — the same driver-side
+    * literal-folding budget as the IVF quantizer. Codewords that lose every
+    * vector simply drop out of the next round's literals (both engines drop
+    * them identically).
+    */
+  private def lloydPq(e: DataFrame): Codebook = {
+    var cb: Codebook = e.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("c"), col("v")).collect()
+      .flatMap { r =>
+        val c = r.getInt(0); val v = r.getSeq[Double](1)
+        (0 until M).map(m => (m, c, v.slice(m * SubDim, (m + 1) * SubDim).toSeq))
+      }.toSeq.sortBy(t => (t._1, t._2))
+    for (_ <- 1 to Iters) {
+      cb = e.select(codesArray(cb).as("codes"), posexplode(col("v")))
+        .select(expr(s"pos div $SubDim").cast("int").as("m"),
+          pmod(col("pos"), lit(SubDim)).cast("int").as("sd"),
+          col("col").as("x"),
+          element_at(col("codes"), expr(s"pos div $SubDim").cast("int") + 1).as("c"))
+        .groupBy("m", "c", "sd").agg(r6(avg(col("x"))).as("w"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+        .groupBy(t => (t._1, t._2))
+        .map { case ((m, c), rows) => (m, c, rows.sortBy(_._3).map(_._4).toSeq) }
+        .toSeq.sortBy(t => (t._1, t._2))
+    }
+    cb
+  }
+
+  /** Codebooks are an index (the IVF-quantizer stance): fit once per corpus,
+    * guarded by the same listing-level content fingerprint, fit outside the
+    * map's bin locks.
+    */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Codebook)]()
+  private val codebookLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def codebookFor(spark: SparkSession, dir: String)(fit: => Codebook): Codebook = {
+    val fp = Similarity.corpusFingerprint(spark, dir)
+    val lock = codebookLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      val prev = codebookCache.get(dir)
+      if (prev != null && prev._1 == fp) prev._2
+      else { val c = fit; codebookCache.put(dir, (fp, c)); c }
+    }
+  }
+
+  private def fitted(spark: SparkSession, dir: String): Codebook =
+    codebookFor(spark, dir) {
+      val (e, ids) = graft.functions.Checkpoints.tracked(
+        emb(spark, dir).select("vec_id", "v"))
+      try lloydPq(e)
+      finally graft.functions.Checkpoints.release(e, ids, blocking = true)
+    }
+
+  /** The fitted codebooks, flat: (m, c, sd, w). */
+  def codebooksFlat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    fitted(spark, dir)
+      .flatMap { case (m, c, ws) => ws.zipWithIndex.map { case (w, sd) => (m, c, sd, w) } }
+      .toDF("m", "c", "sd", "w")
+  }
+
+  /** PQ encoding of the whole corpus: (vec_id, m, code) — the 8-codes-per-
+    * vector compressed representation, one narrow projection + posexplode.
+    */
+  def codes(spark: SparkSession, dir: String): DataFrame = {
+    val cb = fitted(spark, dir)
+    emb(spark, dir)
+      .select(col("vec_id"), posexplode(codesArray(cb)))
+      .select(col("vec_id"), col("pos").cast("int").as("m"), col("col").as("code"))
+  }
+
+  /** ADC top-k: broadcast the 100-query × 128-entry distance table, stream
+    * the corpus CODES (never the vectors), sum 8 exact-integer-quantized
+    * lookups per (query, vector), rank ascending. The per-(qid, vec_id)
+    * partial sums collapse map-side (8 rows → 1), so the shuffle carries one
+    * row per scored pair, not per subspace.
+    */
+  def adcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val cb = fitted(spark, dir).sortBy(t => (t._1, t._2))
+    val dt = emb(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"),
+        posexplode(graft.plans.VectorFunctions.pq_dists(col("v"), SubDim, cb)))
+      .select(col("qid"),
+        element_at(typedLit(cb.map(_._1)), col("pos") + 1).as("m"),
+        element_at(typedLit(cb.map(_._2)), col("pos") + 1).as("code"),
+        col("col").as("dist"))
+    val scored = codes(spark, dir).join(broadcast(dt), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg((sum(fx(col("dist"), 6)).cast("double") / 1e6).as("adist"))
+    val w = Window.partitionBy("qid").orderBy(asc("adist"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"), col("adist"))
+  }
+
+  /** Exact-L2 ground truth for the ADC ranking (PQ approximates L2², so its
+    * honest baseline is the exact L2² top-k, not the cosine one).
+    */
+  def bfL2TopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dist", r6(l2_sq(col("qv"), col("v"))))
+    val w = Window.partitionBy("qid").orderBy(asc("dist"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"), col("dist"))
+  }
+
+  /** Recall@[[TopK]] of the 32×-compressed ADC ranking vs exact L2. */
+  def adcRecall(spark: SparkSession, dir: String): DataFrame =
+    Similarity.recallOf(bfL2TopK(spark, dir), adcTopK(spark, dir))
+
+  // ---------------- DuckDB oracle twins ----------------
+
+  /** flat → sflat (subspace view) → pcent0..pcent[[Iters]] → codes — the
+    * per-subspace k-means chain; [[Similarity]]'s kmeansSql with the
+    * subspace id as one more key everywhere.
+    */
+  private def pqChainSql: String = {
+    val steps = (1 to Iters).map { i =>
+      s"""pdist$i AS (
+         |  SELECT f.vec_id, f.m, c.c, ${sqlR6("sum(pow(f.x - c.w, 2))")} AS dist
+         |  FROM sflat f JOIN pcent${i - 1} c ON c.m = f.m AND c.sd = f.sd
+         |  GROUP BY 1, 2, 3
+         |), pasg$i AS (
+         |  SELECT vec_id, m, c FROM (
+         |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+         |    FROM pdist$i)
+         |  WHERE rn = 1
+         |), pcent$i AS (
+         |  SELECT a.m, a.c, f.sd, ${sqlR6("avg(f.x)")} AS w
+         |  FROM pasg$i a JOIN sflat f ON f.vec_id = a.vec_id AND f.m = a.m
+         |  GROUP BY 1, 2, 3
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""sflat AS (
+       |  SELECT vec_id, CAST(d // $SubDim AS INT) AS m, CAST(d % $SubDim AS INT) AS sd, x
+       |  FROM flat
+       |),
+       |pcent0 AS (
+       |  SELECT m, CAST(vec_id AS INT) AS c, sd, x AS w FROM sflat WHERE vec_id < $K
+       |),
+       |$steps,
+       |fdist AS (
+       |  SELECT f.vec_id, f.m, c.c, ${sqlR6("sum(pow(f.x - c.w, 2))")} AS dist
+       |  FROM sflat f JOIN pcent$Iters c ON c.m = f.m AND c.sd = f.sd
+       |  GROUP BY 1, 2, 3
+       |), pqcodes AS (
+       |  SELECT vec_id, m, c AS code FROM (
+       |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+       |    FROM fdist)
+       |  WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq_codebooks" -> ((s, d) => codebooksFlat(s, d).orderBy("m", "c", "sd")),
+    "ann_pq_codes" -> ((s, d) => codes(s, d).orderBy("vec_id", "m")),
+    "ann_pq_topk" -> ((s, d) => adcTopK(s, d).orderBy("qid", "rank")),
+    "ann_pq_adc_recall" -> ((s, d) => adcRecall(s, d).orderBy("qid"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ann_pq_codebooks" ->
+      s"""WITH ${Similarity.flatSql},
+         |$pqChainSql
+         |SELECT m, c, sd, w FROM pcent$Iters ORDER BY m, c, sd""".stripMargin,
+    "ann_pq_codes" ->
+      s"""WITH ${Similarity.flatSql},
+         |$pqChainSql
+         |SELECT vec_id, m, code FROM pqcodes ORDER BY vec_id, m""".stripMargin,
+    "ann_pq_topk" ->
+      s"""WITH ${Similarity.flatSql},
+         |$pqChainSql,
+         |qdt AS (
+         |  SELECT f.vec_id AS qid, c.m, c.c AS code, ${sqlR6("sum(pow(f.x - c.w, 2))")} AS dist
+         |  FROM sflat f JOIN pcent$Iters c ON c.m = f.m AND c.sd = f.sd
+         |  WHERE f.vec_id < $NumQueries GROUP BY 1, 2, 3
+         |), ad AS (
+         |  SELECT t.qid, k.vec_id AS vid,
+         |         CAST(sum(${sqlFx("t.dist", 6)}) AS DOUBLE) / 1e6 AS adist
+         |  FROM pqcodes k JOIN qdt t ON t.m = k.m AND t.code = k.code
+         |  WHERE k.vec_id <> t.qid GROUP BY 1, 2
+         |)
+         |SELECT qid, vid AS neighbor_id, CAST(rn AS INT) AS rank, adist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vid) AS rn FROM ad)
+         |WHERE rn <= $TopK ORDER BY qid, rank""".stripMargin,
+    "ann_pq_adc_recall" ->
+      s"""WITH ${Similarity.flatSql},
+         |$pqChainSql,
+         |qdt AS (
+         |  SELECT f.vec_id AS qid, c.m, c.c AS code, ${sqlR6("sum(pow(f.x - c.w, 2))")} AS dist
+         |  FROM sflat f JOIN pcent$Iters c ON c.m = f.m AND c.sd = f.sd
+         |  WHERE f.vec_id < $NumQueries GROUP BY 1, 2, 3
+         |), ad AS (
+         |  SELECT t.qid, k.vec_id AS vid,
+         |         CAST(sum(${sqlFx("t.dist", 6)}) AS DOUBLE) / 1e6 AS adist
+         |  FROM pqcodes k JOIN qdt t ON t.m = k.m AND t.code = k.code
+         |  WHERE k.vec_id <> t.qid GROUP BY 1, 2
+         |), pq_topk AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY adist, vid) AS rn FROM ad)
+         |  WHERE rn <= $TopK
+         |), bfd AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vid, ${sqlR6("sum(pow(a.x - b.x, 2))")} AS dist
+         |  FROM flat a JOIN flat b ON b.d = a.d
+         |  WHERE a.vec_id < $NumQueries AND b.vec_id <> a.vec_id GROUP BY 1, 2
+         |), bf_topk AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rn FROM bfd)
+         |  WHERE rn <= $TopK
+         |), hits AS (
+         |  SELECT b.qid, CASE WHEN p.vid IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM bf_topk b LEFT JOIN pq_topk p ON p.qid = b.qid AND p.vid = b.vid
+         |)
+         |SELECT coalesce(CAST(qid AS BIGINT), -1) AS qid,
+         |       ${sqlR6("avg(hit)")} AS recall,
+         |       CAST(sum(hit) AS BIGINT) AS n_matched, count(*) AS n
+         |FROM hits GROUP BY ROLLUP (qid) ORDER BY 1""".stripMargin
+  )
+}

@@ -278,7 +278,7 @@ object Similarity {
     * rewrite inside mtime granularity preserving part lengths) could miss
     * invalidation and serve stale centroids (ADVICE r5).
     */
-  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
+  private[operators] def corpusFingerprint(spark: SparkSession, dir: String): String = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(path)
@@ -564,7 +564,7 @@ object Similarity {
 
   // ---------------- DuckDB oracle twins ----------------
 
-  private val flatSql =
+  private[operators] val flatSql =
     """flat AS (
       |  SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
       |         generate_subscripts(embedding, 1) - 1 AS d

@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expression for fused cosine similarity over two
   * ARRAY<DOUBLE> columns (SURVEY.md §7.3 escalation path (b): a custom
@@ -104,6 +104,150 @@ case class L2SqDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused product-quantization ENCODE kernel: for each subspace m, the id of
+  * the nearest codebook entry to the vector's m-th [[subDim]]-dim slice
+  * (squared L2, r6-rounded, (dist, id)-lexicographic tiebreak — the identical
+  * argmin the composed array_min-over-literals form computed).
+  *
+  * Why a custom expression (SURVEY §7.3 escalation (b)): the composed form is
+  * M·K separate literal-kernel trees in ONE projection — at 8×16 = 128
+  * inlined loops Janino overflows the JVM's 64 KB method limit and the whole
+  * stage falls back to interpreted eval. Here the codebook is a single flat
+  * reference object and the generated code is one compact triple loop that
+  * stays inside WholeStageCodegen — the shape that matters when the encode
+  * pass scans a 100-TB corpus.
+  *
+  * `entries` must be sorted by (m, c); every subspace must have ≥1 entry.
+  */
+case class PqCodes(child: Expression, subDim: Int, entries: Seq[(Int, Int, Seq[Double])])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val entryM: Array[Int] = entries.map(_._1).toArray
+  @transient private lazy val entryC: Array[Int] = entries.map(_._2).toArray
+  @transient private lazy val weights: Array[Double] = entries.flatMap(_._3).toArray
+  @transient private lazy val numSub: Int = entries.map(_._1).max + 1
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val out = new Array[Int](numSub)
+    val best = Array.fill(numSub)(Double.PositiveInfinity)
+    var e = 0
+    while (e < entryM.length) {
+      val m = entryM(e)
+      var acc = 0.0
+      var j = 0
+      while (j < subDim) {
+        val d = v.getDouble(m * subDim + j) - weights(e * subDim + j)
+        acc += d * d
+        j += 1
+      }
+      val r = math.floor(acc * 1e6 + 0.5) / 1e6
+      if (r < best(m)) { best(m) = r; out(m) = entryC(e) }
+      e += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("pqEntryM", entryM, "int[]")
+    val cRef = ctx.addReferenceObj("pqEntryC", entryC, "int[]")
+    val wRef = ctx.addReferenceObj("pqWeights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val best = ctx.freshName("best")
+      val e = ctx.freshName("e")
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val r = ctx.freshName("r")
+      s"""
+         |int[] $out = new int[$numSub];
+         |double[] $best = new double[$numSub];
+         |java.util.Arrays.fill($best, Double.POSITIVE_INFINITY);
+         |for (int $e = 0; $e < $mRef.length; $e++) {
+         |  int $m = $mRef[$e];
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $subDim; $j++) {
+         |    double $d = $a.getDouble($m * $subDim + $j) - $wRef[$e * $subDim + $j];
+         |    $acc += $d * $d;
+         |  }
+         |  double $r = java.lang.Math.floor($acc * 1e6 + 0.5) / 1e6;
+         |  if ($r < $best[$m]) { $best[$m] = $r; $out[$m] = $cRef[$e]; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused PQ distance-table kernel: the r6-rounded squared L2 between the
+  * vector's m-th slice and EVERY codebook entry, in entry order — the
+  * query-side ADC lookup table ([[PqCodes]]' sibling; same flat-codebook
+  * reference object, one compact loop instead of M·K literal trees).
+  */
+case class PqDists(child: Expression, subDim: Int, entries: Seq[(Int, Int, Seq[Double])])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  @transient private lazy val entryM: Array[Int] = entries.map(_._1).toArray
+  @transient private lazy val weights: Array[Double] = entries.flatMap(_._3).toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val out = new Array[Double](entryM.length)
+    var e = 0
+    while (e < entryM.length) {
+      val m = entryM(e)
+      var acc = 0.0
+      var j = 0
+      while (j < subDim) {
+        val d = v.getDouble(m * subDim + j) - weights(e * subDim + j)
+        acc += d * d
+        j += 1
+      }
+      out(e) = math.floor(acc * 1e6 + 0.5) / 1e6
+      e += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("pqEntryM", entryM, "int[]")
+    val wRef = ctx.addReferenceObj("pqWeights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val e = ctx.freshName("e")
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |double[] $out = new double[$mRef.length];
+         |for (int $e = 0; $e < $mRef.length; $e++) {
+         |  int $m = $mRef[$e];
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $subDim; $j++) {
+         |    double $d = $a.getDouble($m * $subDim + $j) - $wRef[$e * $subDim + $j];
+         |    $acc += $d * $d;
+         |  }
+         |  $out[$e] = java.lang.Math.floor($acc * 1e6 + 0.5) / 1e6;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column wrapper: fused cosine similarity of two ARRAY<DOUBLE> columns. */
   def cosine_sim(a: Column, b: Column): Column =
@@ -112,4 +256,13 @@ object VectorFunctions {
   /** Column wrapper: fused squared L2 distance of two ARRAY<DOUBLE> columns. */
   def l2_sq(a: Column, b: Column): Column =
     Bridge.column(L2SqDistance(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column wrapper: PQ encode — per-subspace nearest-codeword ids.
+    * `entries` = (m, c, subDim weights), sorted by (m, c). */
+  def pq_codes(v: Column, subDim: Int, entries: Seq[(Int, Int, Seq[Double])]): Column =
+    Bridge.column(PqCodes(Bridge.expression(v), subDim, entries.sortBy(t => (t._1, t._2))))
+
+  /** Column wrapper: PQ distance table — r6 L2² to every codebook entry. */
+  def pq_dists(v: Column, subDim: Int, entries: Seq[(Int, Int, Seq[Double])]): Column =
+    Bridge.column(PqDists(Bridge.expression(v), subDim, entries.sortBy(t => (t._1, t._2))))
 }

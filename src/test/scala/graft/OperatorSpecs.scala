@@ -582,3 +582,69 @@ class TextSpec extends SparkSpec {
     t.unpersist()
   }
 }
+
+class PqSpec extends SparkSpec {
+  import graft.operators.PqOps
+
+  test("PQ encode: M valid codes per vector, equal to a driver-side argmin replay") {
+    val cb = PqOps.codebooksFlat(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((m, c), rows) => (m, c, rows.sortBy(_._3).map(_._4)) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val codes = PqOps.codes(spark, sf)
+    val nVecs = graft.Tables.embeddings(spark, sf).count()
+    assert(codes.count() == nVecs * PqOps.M)
+
+    // driver-side replay of the fused kernel on a sample
+    val sample = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 40)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val got = codes.filter(col("vec_id") < 40).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    for ((vid, v) <- sample; m <- 0 until PqOps.M) {
+      val best = cb.filter(_._1 == m).map { case (_, c, w) =>
+        val d = (0 until PqOps.SubDim).map { j =>
+          val t = v(m * PqOps.SubDim + j) - w(j); t * t
+        }.sum
+        (math.floor(d * 1e6 + 0.5) / 1e6, c)
+      }.min
+      assert(got((vid, m)) == best._2, s"vec $vid subspace $m")
+    }
+  }
+
+  test("ADC top-k: k ascending-distance neighbors per query, self excluded, recall consistent") {
+    val tk = PqOps.adcTopK(spark, sf).cache()
+    val perQ = tk.groupBy("qid").count().agg(min("count"), max("count")).collect()(0)
+    assert(perQ.getLong(0) == PqOps.TopK && perQ.getLong(1) == PqOps.TopK)
+    assert(tk.filter(col("qid") === col("neighbor_id")).count() == 0)
+    // within each qid the rank order follows ascending adist
+    val bad = tk.withColumn("prev",
+        lag("adist", 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy("rank")))
+      .filter(col("prev").isNotNull && col("prev") > col("adist")).count()
+    assert(bad == 0)
+    tk.unpersist()
+
+    val r = PqOps.adcRecall(spark, sf).cache()
+    val grand = r.filter(col("qid") === -1).collect()
+    assert(grand.length == 1)
+    val rec = grand.head.getAs[Double]("recall")
+    assert(rec > 0.0 && rec <= 1.0)
+    assert(r.filter(col("qid") >= 0).filter(col("n") =!= PqOps.TopK).count() == 0)
+    r.unpersist()
+  }
+
+  test("PQ encode stays inside WholeStageCodegen (no Janino-overflow fallback)") {
+    val plan = PqOps.codes(spark, sf).queryExecution.executedPlan
+    val wscg = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    // the encode Generate must sit INSIDE a codegen stage, and that stage
+    // must actually compile (doCodeGen throws on Janino overflow)
+    assert(wscg.exists(_.exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])),
+      plan.toString.take(2000))
+    wscg.foreach(_.doCodeGen())
+  }
+}
