@@ -182,6 +182,87 @@ object PqOps {
   def adcRecall(spark: SparkSession, dir: String): DataFrame =
     Similarity.recallOf(bfL2TopK(spark, dir), adcTopK(spark, dir))
 
+  // ---------------- IVF-PQ: coarse cells + compressed-domain scoring ----------------
+
+  /** The shared IVF coarse quantizer (16 centroids, cached per corpus),
+    * collected back to literal form for plan folding.
+    */
+  private def centroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    Similarity.kmeansCentroidsFlat(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3).toSeq }
+      .toSeq.sortBy(_._1)
+
+  /** (r6 dist, cell) literal pairs — [[Similarity]]'s assignLit building
+    * block over the shared quantizer (16 kernels: codegen-safe).
+    */
+  private def cellPairs(cent: Seq[(Int, Seq[Double])]): Seq[Column] =
+    cent.map { case (c, w) =>
+      array(r6(l2_sq(col("v"), typedLit(w))), lit(c.toDouble))
+    }
+
+  /** IVF-PQ search — the billion-vector architecture (Jégou et al. §IV):
+    * the IVF coarse quantizer prunes the corpus to the query's
+    * [[Similarity.NProbe]] nearest cells, and the surviving candidates are
+    * ranked by PQ/ADC WITHOUT touching raw vectors. The corpus side carries
+    * only (cell, 8 codes) per vector — cell assignment and PQ encode fold
+    * into ONE literal projection over the single corpus scan; the query side
+    * broadcasts (probed cells + distance table). At 100 TB: candidate volume
+    * drops ~cells/nprobe-fold before any scoring, the scored scan reads
+    * ~8 B/vector, and nothing but (qid, vec_id, partial-sum) rows ever
+    * shuffle.
+    */
+  /** Corpus-side IVF cell assignment (vec_id, cell) — exposed for the spec's
+    * cell-membership invariant. */
+  def corpusCells(spark: SparkSession, dir: String): DataFrame = {
+    val cent = centroids(spark, dir)
+    emb(spark, dir).select(col("vec_id"),
+      array_min(array(cellPairs(cent): _*)).getItem(1).cast("int").as("cell"))
+  }
+
+  /** Query-side probed cells (qid, cell): the [[Similarity.NProbe]] nearest
+    * coarse cells per query. */
+  def probedCells(spark: SparkSession, dir: String): DataFrame = {
+    val cent = centroids(spark, dir)
+    emb(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"),
+        posexplode(slice(array_sort(array(cellPairs(cent): _*)), 1, Similarity.NProbe)))
+      .select(col("qid"), col("col").getItem(1).cast("int").as("cell"))
+  }
+
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val cent = centroids(spark, dir)
+    val cb = fitted(spark, dir).sortBy(t => (t._1, t._2))
+    val e = emb(spark, dir).select("vec_id", "v")
+    val corpus = e.select(col("vec_id"),
+        array_min(array(cellPairs(cent): _*)).getItem(1).cast("int").as("cell"),
+        posexplode(graft.plans.VectorFunctions.pq_codes(col("v"), SubDim, cb)))
+      .select(col("vec_id"), col("cell"), col("pos").cast("int").as("m"), col("col").as("code"))
+    val qcells = probedCells(spark, dir)
+    val dt = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"),
+        posexplode(graft.plans.VectorFunctions.pq_dists(col("v"), SubDim, cb)))
+      .select(col("qid"),
+        element_at(typedLit(cb.map(_._1)), col("pos") + 1).as("m"),
+        element_at(typedLit(cb.map(_._2)), col("pos") + 1).as("code"),
+        col("col").as("dist"))
+    val scored = corpus.join(broadcast(qcells), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(dt), Seq("qid", "m", "code"))
+      .groupBy("qid", "vec_id")
+      .agg((sum(fx(col("dist"), 6)).cast("double") / 1e6).as("adist"))
+    val w = Window.partitionBy("qid").orderBy(asc("adist"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"), col("adist"))
+  }
+
+  /** Recall@[[TopK]] of IVF-PQ vs exact L2 — read next to `ann_ivf_np_recall`
+    * (same cells, exact scoring) and `ann_pq_adc_recall` (full scan, ADC
+    * scoring), this row prices the two approximations separately.
+    */
+  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    Similarity.recallOf(bfL2TopK(spark, dir), ivfPqTopK(spark, dir))
+
   // ---------------- DuckDB oracle twins ----------------
 
   /** flat → sflat (subspace view) → pcent0..pcent[[Iters]] → codes — the
@@ -225,11 +306,78 @@ object PqOps {
        |)""".stripMargin
   }
 
+  /** Query-side ADC distance table as a CTE (qid, m, code, dist). */
+  private def qdtCte: String =
+    s"""qdt AS (
+       |  SELECT f.vec_id AS qid, c.m, c.c AS code, ${sqlR6("sum(pow(f.x - c.w, 2))")} AS dist
+       |  FROM sflat f JOIN pcent$Iters c ON c.m = f.m AND c.sd = f.sd
+       |  WHERE f.vec_id < $NumQueries GROUP BY 1, 2, 3
+       |)""".stripMargin
+
+  /** Exact-L2 ground-truth top-k CTEs (bfd → bf_topk). */
+  private def bfL2Ctes: String =
+    s"""bfd AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS vid, ${sqlR6("sum(pow(a.x - b.x, 2))")} AS dist
+       |  FROM flat a JOIN flat b ON b.d = a.d
+       |  WHERE a.vec_id < $NumQueries AND b.vec_id <> a.vec_id GROUP BY 1, 2
+       |), bf_topk AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rn FROM bfd)
+       |  WHERE rn <= $TopK
+       |)""".stripMargin
+
+  /** hits + per-qid/rollup recall tail against `bf_topk`. */
+  private def recallTailSql(apTopk: String): String =
+    s"""hits AS (
+       |  SELECT b.qid, CASE WHEN p.vid IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM bf_topk b LEFT JOIN $apTopk p ON p.qid = b.qid AND p.vid = b.vid
+       |)
+       |SELECT coalesce(CAST(qid AS BIGINT), -1) AS qid,
+       |       ${sqlR6("avg(hit)")} AS recall,
+       |       CAST(sum(hit) AS BIGINT) AS n_matched, count(*) AS n
+       |FROM hits GROUP BY ROLLUP (qid) ORDER BY 1""".stripMargin
+
+  /** Full-scan ADC scores (ad: qid, vid, adist). */
+  private def adFullCte: String =
+    s"""ad AS (
+       |  SELECT t.qid, k.vec_id AS vid,
+       |         CAST(sum(${sqlFx("t.dist", 6)}) AS DOUBLE) / 1e6 AS adist
+       |  FROM pqcodes k JOIN qdt t ON t.m = k.m AND t.code = k.code
+       |  WHERE k.vec_id <> t.qid GROUP BY 1, 2
+       |)""".stripMargin
+
+  /** Cell-pruned ADC scores: qcells (nprobe nearest IVF cells per query) →
+    * candidates from the shared bkt assignment → ADC sum.
+    */
+  private def adIvfPqCtes: String =
+    s"""qcells AS (
+       |  SELECT vec_id AS qid, c FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+       |    FROM bdist WHERE vec_id < $NumQueries)
+       |  WHERE rn <= ${Similarity.NProbe}
+       |), ad AS (
+       |  SELECT q.qid, b.vec_id AS vid,
+       |         CAST(sum(${sqlFx("t.dist", 6)}) AS DOUBLE) / 1e6 AS adist
+       |  FROM bkt b JOIN qcells q ON q.c = b.c
+       |  JOIN pqcodes k ON k.vec_id = b.vec_id
+       |  JOIN qdt t ON t.qid = q.qid AND t.m = k.m AND t.code = k.code
+       |  WHERE b.vec_id <> q.qid GROUP BY 1, 2
+       |)""".stripMargin
+
+  private val adTopkSql: String =
+    s"""ap_topk AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY adist, vid) AS rn FROM ad)
+       |  WHERE rn <= $TopK
+       |)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq_codebooks" -> ((s, d) => codebooksFlat(s, d).orderBy("m", "c", "sd")),
     "ann_pq_codes" -> ((s, d) => codes(s, d).orderBy("vec_id", "m")),
     "ann_pq_topk" -> ((s, d) => adcTopK(s, d).orderBy("qid", "rank")),
-    "ann_pq_adc_recall" -> ((s, d) => adcRecall(s, d).orderBy("qid"))
+    "ann_pq_adc_recall" -> ((s, d) => adcRecall(s, d).orderBy("qid")),
+    "ann_ivfpq_topk" -> ((s, d) => ivfPqTopK(s, d).orderBy("qid", "rank")),
+    "ann_ivfpq_recall" -> ((s, d) => ivfPqRecall(s, d).orderBy("qid"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -244,50 +392,36 @@ object PqOps {
     "ann_pq_topk" ->
       s"""WITH ${Similarity.flatSql},
          |$pqChainSql,
-         |qdt AS (
-         |  SELECT f.vec_id AS qid, c.m, c.c AS code, ${sqlR6("sum(pow(f.x - c.w, 2))")} AS dist
-         |  FROM sflat f JOIN pcent$Iters c ON c.m = f.m AND c.sd = f.sd
-         |  WHERE f.vec_id < $NumQueries GROUP BY 1, 2, 3
-         |), ad AS (
-         |  SELECT t.qid, k.vec_id AS vid,
-         |         CAST(sum(${sqlFx("t.dist", 6)}) AS DOUBLE) / 1e6 AS adist
-         |  FROM pqcodes k JOIN qdt t ON t.m = k.m AND t.code = k.code
-         |  WHERE k.vec_id <> t.qid GROUP BY 1, 2
-         |)
+         |$qdtCte,
+         |$adFullCte
          |SELECT qid, vid AS neighbor_id, CAST(rn AS INT) AS rank, adist
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vid) AS rn FROM ad)
          |WHERE rn <= $TopK ORDER BY qid, rank""".stripMargin,
     "ann_pq_adc_recall" ->
       s"""WITH ${Similarity.flatSql},
          |$pqChainSql,
-         |qdt AS (
-         |  SELECT f.vec_id AS qid, c.m, c.c AS code, ${sqlR6("sum(pow(f.x - c.w, 2))")} AS dist
-         |  FROM sflat f JOIN pcent$Iters c ON c.m = f.m AND c.sd = f.sd
-         |  WHERE f.vec_id < $NumQueries GROUP BY 1, 2, 3
-         |), ad AS (
-         |  SELECT t.qid, k.vec_id AS vid,
-         |         CAST(sum(${sqlFx("t.dist", 6)}) AS DOUBLE) / 1e6 AS adist
-         |  FROM pqcodes k JOIN qdt t ON t.m = k.m AND t.code = k.code
-         |  WHERE k.vec_id <> t.qid GROUP BY 1, 2
-         |), pq_topk AS (
-         |  SELECT qid, vid FROM (
-         |    SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY adist, vid) AS rn FROM ad)
-         |  WHERE rn <= $TopK
-         |), bfd AS (
-         |  SELECT a.vec_id AS qid, b.vec_id AS vid, ${sqlR6("sum(pow(a.x - b.x, 2))")} AS dist
-         |  FROM flat a JOIN flat b ON b.d = a.d
-         |  WHERE a.vec_id < $NumQueries AND b.vec_id <> a.vec_id GROUP BY 1, 2
-         |), bf_topk AS (
-         |  SELECT qid, vid FROM (
-         |    SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rn FROM bfd)
-         |  WHERE rn <= $TopK
-         |), hits AS (
-         |  SELECT b.qid, CASE WHEN p.vid IS NULL THEN 0 ELSE 1 END AS hit
-         |  FROM bf_topk b LEFT JOIN pq_topk p ON p.qid = b.qid AND p.vid = b.vid
-         |)
-         |SELECT coalesce(CAST(qid AS BIGINT), -1) AS qid,
-         |       ${sqlR6("avg(hit)")} AS recall,
-         |       CAST(sum(hit) AS BIGINT) AS n_matched, count(*) AS n
-         |FROM hits GROUP BY ROLLUP (qid) ORDER BY 1""".stripMargin
+         |$qdtCte,
+         |$adFullCte,
+         |$adTopkSql,
+         |$bfL2Ctes,
+         |${recallTailSql("ap_topk")}""".stripMargin,
+    "ann_ivfpq_topk" ->
+      s"""WITH ${Similarity.flatSql},
+         |${Similarity.ivfBucketCtes},
+         |$pqChainSql,
+         |$qdtCte,
+         |$adIvfPqCtes
+         |SELECT qid, vid AS neighbor_id, CAST(rn AS INT) AS rank, adist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vid) AS rn FROM ad)
+         |WHERE rn <= $TopK ORDER BY qid, rank""".stripMargin,
+    "ann_ivfpq_recall" ->
+      s"""WITH ${Similarity.flatSql},
+         |${Similarity.ivfBucketCtes},
+         |$pqChainSql,
+         |$qdtCte,
+         |$adIvfPqCtes,
+         |$adTopkSql,
+         |$bfL2Ctes,
+         |${recallTailSql("ap_topk")}""".stripMargin
   )
 }

@@ -682,7 +682,7 @@ object Similarity {
        |FROM hits GROUP BY ROLLUP (qid) ORDER BY 1""".stripMargin
 
   /** kmeans chain → bdist → bkt(vec_id, c) — the IVF bucket chain as CTEs. */
-  private def ivfBucketCtes: String =
+  private[operators] def ivfBucketCtes: String =
     s"""${kmeansSql(KMeansIters)},
        |bdist AS (
        |  SELECT f.vec_id, c.c, ${sqlR6("sum(pow(f.x - c.w, 2))")} AS dist
@@ -694,7 +694,7 @@ object Similarity {
        |)""".stripMargin
 
   /** k-means iteration chain as CTEs: cent0 … cent$iters, asg(i) per step. */
-  private def kmeansSql(iters: Int): String = {
+  private[operators] def kmeansSql(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""dist$i AS (
          |  SELECT f.vec_id, c.c, ${sqlR6("sum(pow(f.x - c.w, 2))")} AS dist

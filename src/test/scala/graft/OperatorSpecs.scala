@@ -648,3 +648,35 @@ class PqSpec extends SparkSpec {
     wscg.foreach(_.doCodeGen())
   }
 }
+
+class IvfPqSpec extends SparkSpec {
+  import graft.operators.PqOps
+
+  test("every IVF-PQ neighbor lies in one of its query's probed cells") {
+    // NOTE recall is deliberately NOT asserted monotone vs the full-scan ADC
+    // pass: pruning cells removes ADC false-positives too, so the pruned
+    // recall can exceed the full-scan one (observed at sf0.001: 0.277 vs
+    // 0.273). The structural invariant is cell membership.
+    val cells = PqOps.corpusCells(spark, sf).withColumnRenamed("vec_id", "neighbor_id")
+    val probed = PqOps.probedCells(spark, sf)
+    val escaped = PqOps.ivfPqTopK(spark, sf)
+      .join(cells, "neighbor_id")
+      .join(probed.withColumnRenamed("cell", "probed_cell"),
+        Seq("qid"), "left")
+      .groupBy("qid", "neighbor_id", "cell")
+      .agg(max(when(col("cell") === col("probed_cell"), 1).otherwise(0)).as("in_probed"))
+      .filter(col("in_probed") === 0)
+    assert(escaped.count() == 0)
+  }
+
+  test("IVF-PQ top-k ranks ascending within each query and excludes self") {
+    val tk = PqOps.ivfPqTopK(spark, sf).cache()
+    assert(tk.filter(col("qid") === col("neighbor_id")).count() == 0)
+    val bad = tk.withColumn("prev",
+        lag("adist", 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy("rank")))
+      .filter(col("prev").isNotNull && col("prev") > col("adist")).count()
+    assert(bad == 0)
+    tk.unpersist()
+  }
+}
