@@ -48,13 +48,24 @@ object CorpusQc {
       (h * 69069L + at(hws, i + j)) % M31
     }
 
-  /** All n-gram digests of a doc (positions 0..nw−n; `greatest` guard keeps a
-    * too-short doc on one deterministic fake gram instead of a descending
-    * sequence — both engines compute the identical value via coalesce(…, 0)).
+  /** (doc_id, g): one row per n-gram position (positions 0..nw−n; `greatest`
+    * guard keeps a too-short doc on one deterministic fake gram instead of a
+    * descending sequence — both engines compute the identical value via
+    * coalesce(…, 0)).
+    *
+    * `hw` is materialized as a COLUMN in its own projection before the
+    * position transform references it: inlining the `hw` expression into
+    * every `at()` call would recompute the per-word md5 sweep once per
+    * position per gram word — O(words²) md5 calls per doc, measured as a
+    * 50× query blowup at sf0.1 (57 s → 1 s class). CollapseProject leaves
+    * the split alone because the produced attribute is expensive and
+    * multiply-referenced (the [[TextOps.fingerprint]] discipline).
     */
-  private def gramArr(n: Int): Column =
-    transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-      i => gramDigest(hw, i, n))
+  private def grams(spark: SparkSession, dir: String, n: Int): DataFrame =
+    docs(spark, dir).select(col("doc_id"), hw.as("hw"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), greatest(size(col("hw")) - n, lit(0))),
+          i => gramDigest(col("hw"), i, n))).as("g"))
 
   private def gramDigestSql(i: String, n: Int): String =
     (2 to n).foldLeft(s"coalesce(hw[$i + 1], 0)") { (h, j) =>
@@ -94,7 +105,7 @@ object CorpusQc {
     */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     def profile(n: Int, p: String): DataFrame =
-      docs(spark, dir).select(col("doc_id"), explode(gramArr(n)).as("g"))
+      grams(spark, dir, n)
         .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
         .groupBy("doc_id")
         .agg(sum(col("cnt")).as(s"n_${p}grams"),
@@ -136,10 +147,9 @@ object CorpusQc {
     * text movement, output only flagged docs.
     */
   def decontam(spark: SparkSession, dir: String): DataFrame = {
-    val grams = docs(spark, dir)
-      .select(col("doc_id"), explode(gramArr(DecontamN)).as("g"))
-    val evalG = grams.filter(col("doc_id") % EvalMod === 0).select("g").distinct()
-    val trainHits = grams.filter(col("doc_id") % EvalMod =!= 0)
+    val g = grams(spark, dir, DecontamN)
+    val evalG = g.filter(col("doc_id") % EvalMod === 0).select("g").distinct()
+    val trainHits = g.filter(col("doc_id") % EvalMod =!= 0)
       .join(broadcast(evalG), "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
     val trainBase = docs(spark, dir).filter(col("doc_id") % EvalMod =!= 0)
