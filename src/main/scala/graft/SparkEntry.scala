@@ -33,6 +33,7 @@ object SparkEntry {
       (PqOps.queries, PqOps.oracles),
       (graft.sources.Bucketed.queries, graft.sources.Bucketed.oracles),
       (graft.sources.Partitioned.queries, graft.sources.Partitioned.oracles),
+      (graft.sources.Compaction.queries, graft.sources.Compaction.oracles),
       (TypedOps.queries, TypedOps.oracles),
       (StatefulOps.queries, StatefulOps.oracles),
       (TwsOps.queries, TwsOps.oracles)

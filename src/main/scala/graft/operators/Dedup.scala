@@ -508,8 +508,42 @@ object Dedup {
        |  JOIN sizes nb ON nb.doc_id = s.doc_b
        |)""".stripMargin
 
+  /** Cluster-canonical dedup ACTION view — the pass that turns near-dup
+    * clustering into a corpus decision: every doc maps to its cluster
+    * representative (the propagated min-label IS the min doc_id of the
+    * component), singletons keep themselves. The "fuzzy dedup keeps one
+    * representative per connected component" convention of LLM corpus
+    * pipelines; downstream filters on `is_kept`.
+    */
+  def canonical(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(duplicateClusters(spark, dir).select("doc_id", "cluster_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("keeper_id"),
+        (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("is_kept"))
+
+  /** edges → nodes → reach → clusters(doc_id, cluster_id): the transitive-
+    * closure CTE block shared by the cluster and canonical oracles.
+    */
+  private def clusterCtesSql: String =
+    s""",
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= ${sqlD(ClusterJaccard)}
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM jac WHERE jaccard >= ${sqlD(ClusterJaccard)}
+       |), nodes AS (
+       |  SELECT DISTINCT src AS id FROM edges
+       |), reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON reach.id = e.src
+       |), clusters AS (
+       |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+       |)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => exact(s, d).orderBy("doc_id")),
+    "dedup_canonical" -> ((s, d) => canonical(s, d).orderBy("doc_id")),
     "dedup_minhash_sig" -> ((s, d) => minhashBands(s, d).orderBy("doc_id", "band")),
     "dedup_minhash_pairs" -> ((s, d) => minhashPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d).orderBy("doc_a", "doc_b")),
@@ -551,25 +585,21 @@ object Dedup {
     // member is the component's canonical id — the same fixpoint the Spark
     // label propagation converges to
     "dedup_clusters" -> (minhashPairsSqlChain.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      s""",
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= ${sqlD(ClusterJaccard)}
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM jac WHERE jaccard >= ${sqlD(ClusterJaccard)}
-         |), nodes AS (
-         |  SELECT DISTINCT src AS id FROM edges
-         |), reach AS (
-         |  SELECT id, id AS r FROM nodes
-         |  UNION
-         |  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON reach.id = e.src
-         |), clusters AS (
-         |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
-         |)
+      clusterCtesSql +
+      s"""
          |SELECT c.doc_id, c.cluster_id, cnt.cluster_size
          |FROM clusters c
          |JOIN (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1) cnt
          |  USING (cluster_id)
          |ORDER BY doc_id""".stripMargin),
+    "dedup_canonical" -> (minhashPairsSqlChain.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      clusterCtesSql +
+      s"""
+         |SELECT d.doc_id,
+         |       coalesce(c.cluster_id, d.doc_id) AS keeper_id,
+         |       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_kept
+         |FROM documents d LEFT JOIN clusters c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin),
     "dedup_simhash" -> (simhashSqlChain +
       " SELECT doc_id, simhash FROM fp ORDER BY doc_id"),
     "dedup_simhash_pairs" -> (simhashSqlChain +

@@ -1,0 +1,96 @@
+package graft.sources
+
+import graft.Tables
+import graft.functions.Num._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction — the table-maintenance pass every long-lived
+  * 100-TB table needs: streaming ingest and wide writes leave each date
+  * partition fragmented into many task-sized files, and scan cost grows with
+  * file COUNT (open/footer/seek per file, listing pressure on the metastore)
+  * long before it grows with bytes. Compaction rewrites each partition's
+  * fragments into one right-sized file without changing a single row.
+  *
+  * Here: the fragmented layout writes the events table date-partitioned from
+  * [[FragmentTasks]] user-hashed tasks, so every date directory holds one
+  * file per task (the classic ingest pattern — dates × writers files). The
+  * compacted layout re-reads it and `repartition(event_date)` routes each
+  * date to exactly one task before the same partitioned write → exactly one
+  * file per date directory. Both layouts are write-once per (location,
+  * source) like the other pre-organized shapes; CompactionSpec asserts the
+  * before/after file counts and row preservation, and the registered query's
+  * oracle recomputes the same aggregate from the RAW table — proving the
+  * rewrite is pure layout, never semantics.
+  *
+  * At 100 TB the only changes are knobs: compact within partitions to a
+  * target file SIZE (several tasks per date, each writing ~1 GB) instead of
+  * one file, and schedule by partition age instead of rewriting everything.
+  */
+object Compaction {
+  val FragmentTasks = 8
+
+  def fragmentedLocation(spark: SparkSession) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_events_fragmented")
+
+  def compactedLocation(spark: SparkSession) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_events_compacted")
+
+  private def writeFragmented(spark: SparkSession, dir: String): Unit =
+    Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+      .repartition(FragmentTasks, col("user_id"))
+      .write.partitionBy("event_date")
+      .mode("overwrite").parquet(fragmentedLocation(spark).toString)
+
+  private def writeCompacted(spark: SparkSession): Unit =
+    spark.read.parquet(fragmentedLocation(spark).toString)
+      .repartition(col("event_date"))
+      .write.partitionBy("event_date")
+      .mode("overwrite").parquet(compactedLocation(spark).toString)
+
+  private def ensureLayouts(spark: SparkSession, dir: String): Unit = {
+    WriteOnce.ensure(fragmentedLocation(spark).toString, dir)(writeFragmented(spark, dir))
+    WriteOnce.ensure(compactedLocation(spark).toString, dir)(writeCompacted(spark))
+  }
+
+  /** (layout, event_date, n_files, n_rows) — the before/after evidence. */
+  def fileStats(spark: SparkSession, dir: String): DataFrame = {
+    ensureLayouts(spark, dir)
+    def statsOf(name: String, location: String): DataFrame =
+      spark.read.parquet(location)
+        .select(col("event_date"), input_file_name().as("f"))
+        .groupBy(col("event_date"))
+        .agg(countDistinct(col("f")).as("n_files"), count(lit(1)).as("n_rows"))
+        .withColumn("layout", lit(name))
+    statsOf("fragmented", fragmentedLocation(spark).toString)
+      .unionByName(statsOf("compacted", compactedLocation(spark).toString))
+      .select("layout", "event_date", "n_files", "n_rows")
+  }
+
+  /** Daily aggregate off the COMPACTED layout; the oracle recomputes it from
+    * the raw events table, so equality proves compaction preserved content.
+    */
+  def compactedDailyAgg(spark: SparkSession, dir: String): DataFrame = {
+    ensureLayouts(spark, dir)
+    spark.read.parquet(compactedLocation(spark).toString)
+      .groupBy("event_date", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        r6(sum(floor(col("value") * 1e6 + 0.5).cast("long")).cast("double") / 1e6).as("sum_value"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_compacted_scan" -> ((s, d) =>
+      compactedDailyAgg(s, d).orderBy("event_date", "event_type"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "events_compacted_scan" ->
+      s"""SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n_events,
+         |       ${sqlR6("CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}
