@@ -443,6 +443,71 @@ object Similarity {
         r6(min(col("x"))).as("min_x"),
         r6(max(col("x"))).as("max_x"))
 
+  /** Power-iteration steps for [[pcaTop]]. */
+  val PcaIters = 8
+
+  /** Top principal component of the embedding corpus + its explained-variance
+    * ratio — the spectral step after [[dimStats]]' per-dim moments: which
+    * direction carries the corpus' variance (feeds whitening rotations / OPQ
+    * and tells an operator whether the LSH/IVF keyspace fights an anisotropic
+    * cloud). The DISTRIBUTED work is the second-moment (covariance)
+    * aggregation — one double-posexplode producing Dim² = 4,096 (d1, d2)
+    * partial products per vector that collapse map-side, so shuffle volume is
+    * #partitions × Dim² regardless of corpus size (at 100 TB this moment agg
+    * IS the cost; the same shape Spark MLlib's PCA uses). The 64×64 solve is
+    * then a driver-side constant-size fold like the centroid literals:
+    * [[PcaIters]] power-iteration steps from the uniform unit vector, each
+    * mat-vec and norm quantized to LONGs at 1e-9 before summing (the
+    * [[graft.functions.Num.fx]] discipline) so the DuckDB oracle replays the
+    * identical arithmetic order-independently; sqrt and division are exactly
+    * specified by IEEE754, so iterates match bit-for-bit after each r6.
+    *
+    * Output: one row per dimension (mean, loading) with the eigenvalue and
+    * explained-variance ratio replicated — defined as "the [[PcaIters]]-step
+    * power iterate", deterministic regardless of convergence.
+    */
+  def pcaTop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mu: Array[Double] = dimStats(spark, dir).select("dim", "mean").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    val muLit = typedLit(mu.toSeq)
+    val flat = emb(spark, dir)
+      .select(posexplode(col("v")).as(Seq("d1", "x1")), col("v"))
+      .select(col("d1"), (col("x1") - element_at(muLit, col("d1") + 1)).as("xc1"),
+        posexplode(col("v")))
+      .select(col("d1"), col("xc1"), col("pos").as("d2"),
+        (col("col") - element_at(muLit, col("pos") + 1)).as("xc2"))
+    val cov = Array.ofDim[Double](Dim, Dim)
+    flat.groupBy("d1", "d2").agg(r6(avg(col("xc1") * col("xc2"))).as("c"))
+      .collect().foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+
+    // driver-side constant-size solve, fx9-quantized mat-vec and norms so the
+    // SQL twin's arbitrary-order sums agree exactly
+    def matVec(v: Array[Double]): Array[Double] =
+      Array.tabulate(Dim) { d1 =>
+        var acc = 0L
+        var d2 = 0
+        while (d2 < Dim) { acc += math.floor(cov(d1)(d2) * v(d2) * 1e9 + 0.5).toLong; d2 += 1 }
+        acc.toDouble / 1e9
+      }
+    def fxDot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => math.floor(a(i) * b(i) * 1e9 + 0.5).toLong).sum.toDouble / 1e9
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+    var v = Array.fill(Dim)(0.125) // 1/sqrt(64): exact in binary
+    for (_ <- 1 to PcaIters) {
+      val w = matVec(v)
+      val nrm = math.sqrt(fxDot(w, w))
+      v = w.map(x => r6d(x / nrm))
+    }
+    val w9 = matVec(v)
+    val lambda = fxDot(v, w9)
+    val trace = (0 until Dim).map(d => math.floor(cov(d)(d) * 1e9 + 0.5).toLong).sum.toDouble / 1e9
+    val ratio = r6d(lambda / trace)
+    (0 until Dim).map(d => (d, mu(d), v(d), r6d(lambda), ratio))
+      .toDF("d", "mean", "loading", "eigenvalue", "explained_ratio")
+  }
+
   /** One-pass nprobe sweep: recall@k for every probe width 1..[[NProbe]] from
     * a SINGLE k-means fit and a SINGLE brute-force pass — the tuning artifact
     * an operator actually reads ("what does each extra probe buy?"). Query
@@ -731,7 +796,8 @@ object Similarity {
     "ann_lsh_cand_stats" -> ((s, d) => lshCandStats(s, d).orderBy("n_tables", "n_planes")),
     "ann_ivf_recall_sweep" -> ((s, d) => ivfRecallSweep(s, d).orderBy("nprobe")),
     "emb_dimstats" -> ((s, d) => dimStats(s, d).orderBy("dim")),
-    "emb_whitened_check" -> ((s, d) => whitenedCheck(s, d).orderBy("dim"))
+    "emb_whitened_check" -> ((s, d) => whitenedCheck(s, d).orderBy("dim")),
+    "emb_pca_top" -> ((s, d) => pcaTop(s, d).orderBy("d"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -909,6 +975,47 @@ object Similarity {
          |       ${sqlR6("avg((f.x - s.mean) / (s.std_samp + 1.0e-8))")} AS mean_w,
          |       ${sqlR6("stddev_samp((f.x - s.mean) / (s.std_samp + 1.0e-8))")} AS std_w
          |FROM flat f JOIN stats s ON s.dim = f.dim
-         |GROUP BY f.dim ORDER BY f.dim""".stripMargin
+         |GROUP BY f.dim ORDER BY f.dim""".stripMargin,
+    // every chain CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and v_i references w_i twice (value + norm) — inlining
+    // doubles the tree per iteration, re-running the covariance join 2^Iters
+    // times (measured: minutes instead of milliseconds)
+    "emb_pca_top" -> {
+      val iters = (1 to PcaIters).map { i =>
+        s"""w$i AS MATERIALIZED (
+           |  SELECT c.d1 AS d, CAST(sum(CAST(floor(c.c * v.x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS w
+           |  FROM cov c JOIN v${i - 1} v ON v.d = c.d2 GROUP BY 1
+           |), n$i AS MATERIALIZED (
+           |  SELECT sqrt(CAST(sum(CAST(floor(w * w * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9) AS nrm FROM w$i
+           |), v$i AS MATERIALIZED (
+           |  SELECT d, ${sqlR6("w / nrm")} AS x FROM w$i, n$i
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $flatSql,
+         |mu AS (SELECT d, ${sqlR6("avg(x)")} AS mu FROM flat GROUP BY d),
+         |cf AS (SELECT f.vec_id, f.d, f.x - m.mu AS xc FROM flat f JOIN mu m ON m.d = f.d),
+         |cov AS MATERIALIZED (
+         |  SELECT a.d AS d1, b.d AS d2, ${sqlR6("avg(a.xc * b.xc)")} AS c
+         |  FROM cf a JOIN cf b ON b.vec_id = a.vec_id GROUP BY 1, 2
+         |),
+         |v0 AS (SELECT CAST(t.i AS BIGINT) AS d, 0.125e0 AS x FROM range(0, $Dim) t(i)),
+         |$iters,
+         |wf AS (
+         |  SELECT c.d1 AS d, CAST(sum(CAST(floor(c.c * v.x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS w
+         |  FROM cov c JOIN v$PcaIters v ON v.d = c.d2 GROUP BY 1
+         |),
+         |lam AS (
+         |  SELECT CAST(sum(CAST(floor(v.x * w.w * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS l
+         |  FROM v$PcaIters v JOIN wf w ON w.d = v.d
+         |),
+         |tr AS (
+         |  SELECT CAST(sum(CAST(floor(c * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS t
+         |  FROM cov WHERE d1 = d2
+         |)
+         |SELECT CAST(m.d AS INT) AS d, m.mu AS mean, v.x AS loading,
+         |       ${sqlR6("lam.l")} AS eigenvalue, ${sqlR6("lam.l / tr.t")} AS explained_ratio
+         |FROM mu m JOIN v$PcaIters v ON v.d = m.d, lam, tr
+         |ORDER BY d""".stripMargin
+    }
   )
 }
