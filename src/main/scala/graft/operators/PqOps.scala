@@ -230,31 +230,8 @@ object PqOps {
       .select(col("qid"), col("col").getItem(1).cast("int").as("cell"))
   }
 
-  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val cent = centroids(spark, dir)
-    val cb = fitted(spark, dir).sortBy(t => (t._1, t._2))
-    val e = emb(spark, dir).select("vec_id", "v")
-    val corpus = e.select(col("vec_id"),
-        array_min(array(cellPairs(cent): _*)).getItem(1).cast("int").as("cell"),
-        posexplode(graft.plans.VectorFunctions.pq_codes(col("v"), SubDim, cb)))
-      .select(col("vec_id"), col("cell"), col("pos").cast("int").as("m"), col("col").as("code"))
-    val qcells = probedCells(spark, dir)
-    val dt = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"),
-        posexplode(graft.plans.VectorFunctions.pq_dists(col("v"), SubDim, cb)))
-      .select(col("qid"),
-        element_at(typedLit(cb.map(_._1)), col("pos") + 1).as("m"),
-        element_at(typedLit(cb.map(_._2)), col("pos") + 1).as("code"),
-        col("col").as("dist"))
-    val scored = corpus.join(broadcast(qcells), "cell")
-      .filter(col("vec_id") =!= col("qid"))
-      .join(broadcast(dt), Seq("qid", "m", "code"))
-      .groupBy("qid", "vec_id")
-      .agg((sum(fx(col("dist"), 6)).cast("double") / 1e6).as("adist"))
-    val w = Window.partitionBy("qid").orderBy(asc("adist"), asc("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
-      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"), col("adist"))
-  }
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopKWidth(spark, dir, TopK)
 
   /** Recall@[[TopK]] of IVF-PQ vs exact L2 — read next to `ann_ivf_np_recall`
     * (same cells, exact scoring) and `ann_pq_adc_recall` (full scan, ADC
@@ -262,6 +239,63 @@ object PqOps {
     */
   def ivfPqRecall(spark: SparkSession, dir: String): DataFrame =
     Similarity.recallOf(bfL2TopK(spark, dir), ivfPqTopK(spark, dir))
+
+  /** ADC shortlist width for the exact re-rank stage. */
+  val RerankWidth = 50
+
+  /** The FULL three-stage production ANN pipeline: IVF cells prune, ADC ranks
+    * the survivors in compressed domain, and only the top [[RerankWidth]]
+    * shortlist touches raw vectors for an exact re-rank. At 100 TB the raw
+    * vector fetch is RerankWidth rows per query instead of a corpus scan —
+    * this is why PQ's lossy ordering is acceptable: the re-rank repairs
+    * ordering mistakes INSIDE the shortlist, so end recall is bounded by
+    * shortlist membership, not by ADC's ranking fidelity.
+    */
+  def ivfPqRerankTopK(spark: SparkSession, dir: String): DataFrame = {
+    val short = ivfPqTopKWidth(spark, dir, RerankWidth)
+      .select(col("qid"), col("neighbor_id").as("vec_id"))
+    val e = emb(spark, dir).select(col("vec_id"), col("v"))
+    val q = emb(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = short.join(e, "vec_id").join(broadcast(q), "qid")
+      .withColumn("dist", r6(l2_sq(col("qv"), col("v"))))
+    val rw = Window.partitionBy("qid").orderBy(asc("dist"), asc("vec_id"))
+    exact.withColumn("rank", row_number().over(rw)).filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"), col("dist"))
+  }
+
+  /** [[ivfPqTopK]] with a parameterized cut — shared by search and re-rank. */
+  private def ivfPqTopKWidth(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val cent = centroids(spark, dir)
+    val cb = fitted(spark, dir).sortBy(t => (t._1, t._2))
+    val e = emb(spark, dir).select("vec_id", "v")
+    val corpus = e.select(col("vec_id"),
+        array_min(array(cellPairs(cent): _*)).getItem(1).cast("int").as("cell"),
+        posexplode(graft.plans.VectorFunctions.pq_codes(col("v"), SubDim, cb)))
+      .select(col("vec_id"), col("cell"), col("pos").cast("int").as("m"), col("col").as("code"))
+    val dt = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"),
+        posexplode(graft.plans.VectorFunctions.pq_dists(col("v"), SubDim, cb)))
+      .select(col("qid"),
+        element_at(typedLit(cb.map(_._1)), col("pos") + 1).as("m"),
+        element_at(typedLit(cb.map(_._2)), col("pos") + 1).as("code"),
+        col("col").as("dist"))
+    val scored = corpus.join(broadcast(probedCells(spark, dir)), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(dt), Seq("qid", "m", "code"))
+      .groupBy("qid", "vec_id")
+      .agg((sum(fx(col("dist"), 6)).cast("double") / 1e6).as("adist"))
+    val w = Window.partitionBy("qid").orderBy(asc("adist"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"), col("adist"))
+  }
+
+  /** Recall@[[TopK]] after the exact re-rank — the end-to-end pipeline
+    * number; the gap to `ann_ivfpq_recall` is what RerankWidth raw-vector
+    * fetches per query buy back.
+    */
+  def ivfPqRerankRecall(spark: SparkSession, dir: String): DataFrame =
+    Similarity.recallOf(bfL2TopK(spark, dir), ivfPqRerankTopK(spark, dir))
 
   // ---------------- DuckDB oracle twins ----------------
 
@@ -377,7 +411,8 @@ object PqOps {
     "ann_pq_topk" -> ((s, d) => adcTopK(s, d).orderBy("qid", "rank")),
     "ann_pq_adc_recall" -> ((s, d) => adcRecall(s, d).orderBy("qid")),
     "ann_ivfpq_topk" -> ((s, d) => ivfPqTopK(s, d).orderBy("qid", "rank")),
-    "ann_ivfpq_recall" -> ((s, d) => ivfPqRecall(s, d).orderBy("qid"))
+    "ann_ivfpq_recall" -> ((s, d) => ivfPqRecall(s, d).orderBy("qid")),
+    "ann_ivfpq_rerank_recall" -> ((s, d) => ivfPqRerankRecall(s, d).orderBy("qid"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -421,6 +456,29 @@ object PqOps {
          |$qdtCte,
          |$adIvfPqCtes,
          |$adTopkSql,
+         |$bfL2Ctes,
+         |${recallTailSql("ap_topk")}""".stripMargin,
+    "ann_ivfpq_rerank_recall" ->
+      s"""WITH ${Similarity.flatSql},
+         |${Similarity.ivfBucketCtes},
+         |$pqChainSql,
+         |$qdtCte,
+         |$adIvfPqCtes,
+         |short AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY adist, vid) AS rn FROM ad)
+         |  WHERE rn <= $RerankWidth
+         |), rrd AS (
+         |  SELECT s.qid, s.vid, ${sqlR6("sum(pow(a.x - b.x, 2))")} AS dist
+         |  FROM short s
+         |  JOIN flat a ON a.vec_id = s.qid
+         |  JOIN flat b ON b.vec_id = s.vid AND b.d = a.d
+         |  GROUP BY 1, 2
+         |), ap_topk AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rn FROM rrd)
+         |  WHERE rn <= $TopK
+         |),
          |$bfL2Ctes,
          |${recallTailSql("ap_topk")}""".stripMargin
   )

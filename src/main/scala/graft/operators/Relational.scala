@@ -340,9 +340,37 @@ object Relational {
         r6(exactSum(col("value"))).as("session_value"))
   }
 
+  /** Schema-on-read over the semi-structured `props` JSON column — the
+    * extract-then-aggregate pass every event pipeline runs on its property
+    * bag. `get_json_object` is codegen'd and the extraction is a pure
+    * map-side projection: raw JSON strings never shuffle, only the
+    * (event_type, k) pairs aggregate. Missing/malformed keys surface as
+    * NULLs and are COUNTED, not dropped — ingest robustness is part of the
+    * semantics. avg over integer k is order-safe without the fx discipline:
+    * integer-valued doubles sum exactly below 2^53 in any order.
+    */
+  def propsJsonStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        r6(avg(col("k"))).as("avg_k"))
+
+  def propsJsonStatsOracle: String =
+    s"""SELECT event_type, count(*) AS n_events,
+       |       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+       |       min(k) AS min_k, max(k) AS max_k,
+       |       ${sqlR6("avg(k)")} AS avg_k
+       |FROM (SELECT event_type, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------- DuckDB oracle twins ----------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_props_json" -> ((s, d) => propsJsonStats(s, d).orderBy("event_type")),
     "tpch_q1" -> ((s, d) => q1(s, d).orderBy("l_returnflag", "l_linestatus")),
     "tpch_q3" -> ((s, d) => q3(s, d)),
     "tpch_q5" -> ((s, d) => q5(s, d).orderBy("r_name", "n_name")),
@@ -360,6 +388,7 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_props_json" -> propsJsonStatsOracle,
     "tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sqlExactSum("l_quantity")} AS sum_qty,
