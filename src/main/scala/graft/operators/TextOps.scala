@@ -24,6 +24,34 @@ object TextOps {
   private def stopHits(ws: Column, stops: Seq[String]): Column =
     size(filter(ws, w => stops.map(s => w === s).reduce(_ || _))).cast("long")
 
+  /** The composite quality score as a bare column over `text` — shared by the
+    * batch scorer and the single-projection streaming ingest gate. */
+  private[graft] def qualityScoreCol: Column = {
+    val nWords = size(words).cast("double")
+    val lenC = length(col("text")).cast("double")
+    val punct = regexp_count(col("text"), lit("[.,;:!?]")).cast("double") / lenC
+    val digit = regexp_count(col("text"), lit("[0-9]")).cast("double") / lenC
+    r6(greatest(lit(0.0), least(lit(1.0),
+      lit(0.25) * log(lit(1.0) + nWords) - lit(2.0) * punct - lit(2.0) * digit)))
+  }
+
+  /** The language-ID argmax as a bare column over `text` — same vote and
+    * tiebreak as [[langIdOf]]. */
+  private[graft] def predLangCol: Column = {
+    val cEn = stopHits(words, Seq("the", "a", "and", "of"))
+    val cDe = stopHits(words, Seq("der", "die", "das", "und"))
+    val cEs = stopHits(words, Seq("el", "los", "las", "y"))
+    val cFr = stopHits(words, Seq("le", "les", "et", "ou"))
+    when(cEn + cDe + cEs + cFr === 0, "und")
+      .when(cEn >= cDe && cEn >= cEs && cEn >= cFr, "en")
+      .when(cDe >= cEs && cDe >= cFr, "de")
+      .when(cEs >= cFr, "es")
+      .otherwise("fr")
+  }
+
+  /** Word count as a bare column over `text`. */
+  private[graft] def nWordsCol: Column = size(words).cast("long")
+
   /** Token counting: whitespace words plus a BPE-ish regex token count. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
@@ -34,45 +62,45 @@ object TextOps {
       length(col("text")).cast("long").as("len_chars"),
       col("n_chars"))
 
-  /** Quality scoring: length/punctuation/digit/stopword ratios + a composite. */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
+  /** Quality scoring: length/punctuation/digit/stopword ratios + a composite.
+    * The frame-parameterized form works on any docs-shaped input — batch scan
+    * or streaming micro-batch ([[graft.streaming.CurationStream]]).
+    */
+  def qualityOf(in: DataFrame): DataFrame = {
     val nWords = size(words).cast("double")
     val lenC = length(col("text")).cast("double")
     val punct = regexp_count(col("text"), lit("[.,;:!?]")).cast("double") / lenC
     val digit = regexp_count(col("text"), lit("[0-9]")).cast("double") / lenC
     val stopR = stopHits(words, Seq("the", "a", "and", "of")).cast("double") / nWords
     val awl = length(regexp_replace(col("text"), "\\s", "")).cast("double") / nWords
-    val score = greatest(lit(0.0), least(lit(1.0),
-      lit(0.25) * log(lit(1.0) + nWords) - lit(2.0) * punct - lit(2.0) * digit))
-    docs(spark, dir).select(
+    in.select(
       col("doc_id"), col("lang"), col("source"),
-      size(words).cast("long").as("n_words"),
+      nWordsCol.as("n_words"),
       r6(awl).as("avg_word_len"),
       r6(punct).as("punct_ratio"),
       r6(digit).as("digit_ratio"),
       r6(stopR).as("stopword_ratio"),
-      r6(score).as("quality_score"))
+      qualityScoreCol.as("quality_score"))
   }
 
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    qualityOf(docs(spark, dir))
+
   /** N-gram-heuristic language ID: stopword votes per language, deterministic
-    * argmax priority en > de > es > fr, else 'und'.
+    * argmax priority en > de > es > fr, else 'und'. Frame-parameterized like
+    * [[qualityOf]].
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val cEn = stopHits(words, Seq("the", "a", "and", "of"))
-    val cDe = stopHits(words, Seq("der", "die", "das", "und"))
-    val cEs = stopHits(words, Seq("el", "los", "las", "y"))
-    val cFr = stopHits(words, Seq("le", "les", "et", "ou"))
-    docs(spark, dir)
-      .select(col("doc_id"), col("lang"), cEn.as("c_en"), cDe.as("c_de"),
-        cEs.as("c_es"), cFr.as("c_fr"))
-      .withColumn("pred_lang",
-        when(col("c_en") + col("c_de") + col("c_es") + col("c_fr") === 0, "und")
-          .when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") && col("c_en") >= col("c_fr"), "en")
-          .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr"), "de")
-          .when(col("c_es") >= col("c_fr"), "es")
-          .otherwise("fr"))
+  def langIdOf(in: DataFrame): DataFrame =
+    in.select(col("doc_id"), col("lang"),
+        stopHits(words, Seq("the", "a", "and", "of")).as("c_en"),
+        stopHits(words, Seq("der", "die", "das", "und")).as("c_de"),
+        stopHits(words, Seq("el", "los", "las", "y")).as("c_es"),
+        stopHits(words, Seq("le", "les", "et", "ou")).as("c_fr"),
+        predLangCol.as("pred_lang"))
       .withColumn("matches_tag", col("pred_lang") === col("lang"))
-  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdOf(docs(spark, dir))
 
   /** Document fingerprinting: md5 of the normalized text plus the minimum
     * word-3-shingle digest (a 1-permutation minhash / rolling-hash stand-in).
