@@ -367,10 +367,35 @@ object Relational {
        |FROM (SELECT event_type, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CUBE over (event_type, event_date): all four grouping combinations in
+    * ONE pass — the OLAP report shape next to [[revenueRollup]]'s ROLLUP.
+    * Spark expands the cube into a union of grouping sets BEFORE the
+    * aggregation, so the scan still runs once and partial aggs collapse
+    * map-side per grouping set; `grouping_id` disambiguates NULL-as-total
+    * from NULL-as-value in both engines.
+    */
+  def eventsCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+      .cube("event_type", "event_date")
+      .agg(count(lit(1)).as("n_events"),
+        exactSum(col("value")).as("sum_value"),
+        grouping_id().cast("long").as("gid"))
+
+  def eventsCubeOracle: String =
+    s"""SELECT event_type, CAST(ts AS DATE) AS event_date,
+       |       count(*) AS n_events,
+       |       ${sqlExactSum("value")} AS sum_value,
+       |       CAST(grouping(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid
+       |FROM events
+       |GROUP BY CUBE (event_type, CAST(ts AS DATE))
+       |ORDER BY gid, event_type, event_date""".stripMargin
+
   // ---------------- DuckDB oracle twins ----------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_props_json" -> ((s, d) => propsJsonStats(s, d).orderBy("event_type")),
+    "events_cube" -> ((s, d) => eventsCube(s, d).orderBy("gid", "event_type", "event_date")),
     "tpch_q1" -> ((s, d) => q1(s, d).orderBy("l_returnflag", "l_linestatus")),
     "tpch_q3" -> ((s, d) => q3(s, d)),
     "tpch_q5" -> ((s, d) => q5(s, d).orderBy("r_name", "n_name")),
@@ -389,6 +414,7 @@ object Relational {
 
   def oracles: Map[String, String] = Map(
     "events_props_json" -> propsJsonStatsOracle,
+    "events_cube" -> eventsCubeOracle,
     "tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sqlExactSum("l_quantity")} AS sum_qty,
