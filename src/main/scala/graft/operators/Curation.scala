@@ -44,8 +44,30 @@ object Curation {
       .select("doc_id", "lang", "source", "n_words", "quality_score")
   }
 
+  /** The training MANIFEST a downstream job actually consumes: curated text
+    * metadata joined with each doc's embedding norm and IVF cell (doc_id and
+    * vec_id are aligned in the fixtures, as they would be by construction in
+    * a pipeline that embeds what it curates). The cell column is what
+    * cluster-balanced batch sampling keys on; the norm is the cheap
+    * re-normalization check before similarity search. Composition-wise this
+    * is the text stack (quality ∘ langid ∘ dedup) MEETING the vector stack
+    * (quantizer) in one output — the cross-modal join is on the id, vectors
+    * themselves never move.
+    */
+  def trainingManifest(spark: SparkSession, dir: String): DataFrame = {
+    val cells = PqOps.corpusCells(spark, dir)
+      .withColumnRenamed("vec_id", "doc_id")
+    val norms = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("doc_id"),
+        r6(sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))).as("emb_norm"))
+    curated(spark, dir).join(cells, "doc_id").join(norms, "doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "docs_curated" -> ((s, d) => curated(s, d).orderBy("doc_id"))
+    "docs_curated" -> ((s, d) => curated(s, d).orderBy("doc_id")),
+    "docs_training_manifest" -> ((s, d) => trainingManifest(s, d).orderBy("doc_id"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -64,6 +86,30 @@ object Curation {
          |FROM qy
          |JOIN lg USING (doc_id)
          |JOIN exd USING (doc_id)
+         |WHERE qy.quality_score >= ${sqlD(QualityMin)}
+         |  AND lg.matches_tag AND NOT exd.is_dup
+         |  AND qy.doc_id NOT IN (SELECT doc_id FROM demote)
+         |ORDER BY qy.doc_id""".stripMargin),
+    "docs_training_manifest" -> (Dedup.minhashPairsSqlChain +
+      s""",
+         |${TextOps.qualityCteSql("qy")},
+         |${TextOps.langMatchCteSql("lg")},
+         |exd AS (
+         |  SELECT doc_id,
+         |         doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+         |  FROM documents
+         |), demote AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= ${sqlD(Dedup.ClusterJaccard)}
+         |),
+         |${Similarity.flatSql},
+         |${Similarity.ivfBucketCtes}
+         |SELECT qy.doc_id, qy.lang, qy.source, qy.n_words, qy.quality_score,
+         |       b.c AS cell, ${sqlR6("n.nrm")} AS emb_norm
+         |FROM qy
+         |JOIN lg USING (doc_id)
+         |JOIN exd USING (doc_id)
+         |JOIN bkt b ON b.vec_id = qy.doc_id
+         |JOIN norms n ON n.vec_id = qy.doc_id
          |WHERE qy.quality_score >= ${sqlD(QualityMin)}
          |  AND lg.matches_tag AND NOT exd.is_dup
          |  AND qy.doc_id NOT IN (SELECT doc_id FROM demote)
