@@ -62,7 +62,7 @@ object ZOrder {
   /** Morton key of (user_id mod 16, 2-day bucket since [[EpochDayOrigin]]):
     * user bits on even positions, day bits on odd.
     */
-  private def mortonKey: Column = {
+  private[graft] def mortonKey: Column = {
     val bUser = pmod(col("user_id"), lit(1L << Bits))
     val day = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long") - EpochDayOrigin
     val bDay = pmod(floor(day / 2).cast("long"), lit(1L << Bits))

@@ -71,4 +71,58 @@ object EngineProperties extends Properties("graft") {
           acPrev.drop(1).zip(ac.dropRight(1)).forall { case (p, a) => p == a }
         decreasing && lagged && ac.forall(a => a > 0.0 && a < 1.0)
     }
+
+  // The Morton column computes the exact bit-interleave of (user mod 16,
+  // 2-day bucket): injective on the 16x16 grid by construction
+  property("zorder.morton.bit.interleave") =
+    forAll(Gen.choose(0L, 15L), Gen.choose(0L, 15L)) { (u, b) =>
+      def spread(x: Long): Long = (0 until 4).map(i => ((x >> i) & 1L) << (2 * i)).sum
+      val expected = spread(u) | (spread(b) << 1)
+      // a timestamp one hour into day bucket b (2 days per bucket)
+      val ts = new java.sql.Timestamp(
+        ((graft.sources.ZOrder.EpochDayOrigin + 2 * b) * 86400L + 3600L) * 1000L)
+      val sess = spark
+      import sess.implicits._
+      val got = Seq((u, ts)).toDF("user_id", "ts")
+        .select(graft.sources.ZOrder.mortonKey.as("z")).collect()(0).getLong(0)
+      got == expected
+    }
+
+  // PqCodes is the per-subspace argmin of PqDists with the (dist, c)
+  // tiebreak, and PqDists replays the r6-rounded sequential L2 fold - for
+  // ARBITRARY codebooks and vectors, not just the fitted fixture ones
+  property("pq.codes.argmin.of.dists") =
+    forAllNoShrink(Gen.choose(0L, 1L << 40)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val m = 4; val subDim = 3; val k = 5
+      def v3(n: Int) = Seq.fill(n)(math.floor(rnd.nextDouble() * 2000 - 1000) / 1000.0)
+      val entries = for (mm <- 0 until m; c <- 0 until k) yield (mm, c, v3(subDim))
+      val vecs = Seq.fill(6)(v3(m * subDim))
+      val sess = spark
+      import sess.implicits._
+      val out = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+        .select(col("id"),
+          graft.plans.VectorFunctions.pq_codes(col("v"), subDim, entries).as("codes"),
+          graft.plans.VectorFunctions.pq_dists(col("v"), subDim, entries).as("dists"))
+        .collect()
+      out.forall { r =>
+        val id = r.getLong(0).toInt
+        val codes = r.getSeq[Int](1)
+        val dists = r.getSeq[Double](2)
+        val refOk = entries.zipWithIndex.forall { case ((mm, _, w), idx) =>
+          var acc = 0.0
+          for (j <- 0 until subDim) {
+            val d = vecs(id)(mm * subDim + j) - w(j); acc += d * d
+          }
+          dists(idx) == math.floor(acc * 1e6 + 0.5) / 1e6
+        }
+        val argminOk = (0 until m).forall { mm =>
+          val best = entries.zipWithIndex.collect {
+            case ((em, c, _), idx) if em == mm => (dists(idx), c)
+          }.min
+          codes(mm) == best._2
+        }
+        refOk && argminOk
+      }
+    }
 }
