@@ -61,8 +61,8 @@ object PqOps {
     * 64 KB method limit and the whole encode stage fell back to interpreted
     * eval — the custom expression is one compact codegen'd triple loop.
     */
-  private def codesArray(cb: Codebook): Column =
-    graft.plans.VectorFunctions.pq_codes(col("v"), SubDim, cb)
+  private def codesArray(cb: Codebook, subDim: Int = SubDim): Column =
+    graft.plans.VectorFunctions.pq_codes(col("v"), subDim, cb)
 
   /** Lloyd fit of all [[M]] codebooks at once: seed with the first [[K]]
     * vectors' subvectors, then per iteration ONE distributed aggregation
@@ -72,19 +72,20 @@ object PqOps {
     * vector simply drop out of the next round's literals (both engines drop
     * them identically).
     */
-  private def lloydPq(e: DataFrame): Codebook = {
+  private def lloydPq(e: DataFrame, numSub: Int = M): Codebook = {
+    val subDim = Dim / numSub
     var cb: Codebook = e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("c"), col("v")).collect()
       .flatMap { r =>
         val c = r.getInt(0); val v = r.getSeq[Double](1)
-        (0 until M).map(m => (m, c, v.slice(m * SubDim, (m + 1) * SubDim).toSeq))
+        (0 until numSub).map(m => (m, c, v.slice(m * subDim, (m + 1) * subDim).toSeq))
       }.toSeq.sortBy(t => (t._1, t._2))
     for (_ <- 1 to Iters) {
-      cb = e.select(codesArray(cb).as("codes"), posexplode(col("v")))
-        .select(expr(s"pos div $SubDim").cast("int").as("m"),
-          pmod(col("pos"), lit(SubDim)).cast("int").as("sd"),
+      cb = e.select(codesArray(cb, subDim).as("codes"), posexplode(col("v")))
+        .select(expr(s"pos div $subDim").cast("int").as("m"),
+          pmod(col("pos"), lit(subDim)).cast("int").as("sd"),
           col("col").as("x"),
-          element_at(col("codes"), expr(s"pos div $SubDim").cast("int") + 1).as("c"))
+          element_at(col("codes"), expr(s"pos div $subDim").cast("int") + 1).as("c"))
         .groupBy("m", "c", "sd").agg(r6(avg(col("x"))).as("w"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
         .groupBy(t => (t._1, t._2))
@@ -103,23 +104,28 @@ object PqOps {
   private val codebookLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private def codebookFor(spark: SparkSession, dir: String)(fit: => Codebook): Codebook = {
-    val fp = Similarity.corpusFingerprint(spark, dir)
-    val lock = codebookLocks.computeIfAbsent(dir, _ => new Object)
+  /** `key` is `dir#m=<subspaces>` so each operating point caches its own fit
+    * (the fingerprint still comes from the DIR the key embeds). */
+  private def codebookFor(spark: SparkSession, key: String)(fit: => Codebook): Codebook = {
+    val fp = Similarity.corpusFingerprint(spark, key.takeWhile(_ != '#'))
+    val lock = codebookLocks.computeIfAbsent(key, _ => new Object)
     lock.synchronized {
-      val prev = codebookCache.get(dir)
+      val prev = codebookCache.get(key)
       if (prev != null && prev._1 == fp) prev._2
-      else { val c = fit; codebookCache.put(dir, (fp, c)); c }
+      else { val c = fit; codebookCache.put(key, (fp, c)); c }
     }
   }
 
-  private def fitted(spark: SparkSession, dir: String): Codebook =
-    codebookFor(spark, dir) {
+  private def fittedM(spark: SparkSession, dir: String, numSub: Int): Codebook =
+    codebookFor(spark, s"$dir#m=$numSub") {
       val (e, ids) = graft.functions.Checkpoints.tracked(
         emb(spark, dir).select("vec_id", "v"))
-      try lloydPq(e)
+      try lloydPq(e, numSub)
       finally graft.functions.Checkpoints.release(e, ids, blocking = true)
     }
+
+  private def fitted(spark: SparkSession, dir: String): Codebook =
+    fittedM(spark, dir, M)
 
   /** The fitted codebooks, flat: (m, c, sd, w). */
   def codebooksFlat(spark: SparkSession, dir: String): DataFrame = {
@@ -145,16 +151,28 @@ object PqOps {
     * partial sums collapse map-side (8 rows → 1), so the shuffle carries one
     * row per scored pair, not per subspace.
     */
-  def adcTopK(spark: SparkSession, dir: String): DataFrame = {
-    val cb = fitted(spark, dir).sortBy(t => (t._1, t._2))
+  def adcTopK(spark: SparkSession, dir: String): DataFrame =
+    adcTopKM(spark, dir, M)
+
+  /** Parameterized operating point: `numSub` subquantizers of Dim/numSub dims
+    * each. More subspaces = finer quantization = higher recall at less
+    * compression — the trade `ann_pq16_recall` measures against the M=8 row
+    * (the same measured-tuning-surface stance as the LSH keyspace ladder).
+    */
+  def adcTopKM(spark: SparkSession, dir: String, numSub: Int): DataFrame = {
+    val subDim = Dim / numSub
+    val cb = fittedM(spark, dir, numSub).sortBy(t => (t._1, t._2))
     val dt = emb(spark, dir).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"),
-        posexplode(graft.plans.VectorFunctions.pq_dists(col("v"), SubDim, cb)))
+        posexplode(graft.plans.VectorFunctions.pq_dists(col("v"), subDim, cb)))
       .select(col("qid"),
         element_at(typedLit(cb.map(_._1)), col("pos") + 1).as("m"),
         element_at(typedLit(cb.map(_._2)), col("pos") + 1).as("code"),
         col("col").as("dist"))
-    val scored = codes(spark, dir).join(broadcast(dt), Seq("m", "code"))
+    val corpusCodes = emb(spark, dir)
+      .select(col("vec_id"), posexplode(codesArray(cb, subDim)))
+      .select(col("vec_id"), col("pos").cast("int").as("m"), col("col").as("code"))
+    val scored = corpusCodes.join(broadcast(dt), Seq("m", "code"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy("qid", "vec_id")
       .agg((sum(fx(col("dist"), 6)).cast("double") / 1e6).as("adist"))
@@ -162,6 +180,9 @@ object PqOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"), col("adist"))
   }
+
+  /** Second PQ operating point: 16 subquantizers of 4 dims (16 B/vector). */
+  val M16 = 16
 
   /** Exact-L2 ground truth for the ADC ranking (PQ approximates L2², so its
     * honest baseline is the exact L2² top-k, not the cosine one).
@@ -181,6 +202,10 @@ object PqOps {
   /** Recall@[[TopK]] of the 32×-compressed ADC ranking vs exact L2. */
   def adcRecall(spark: SparkSession, dir: String): DataFrame =
     Similarity.recallOf(bfL2TopK(spark, dir), adcTopK(spark, dir))
+
+  /** Recall at the finer [[M16]] operating point (16 B/vector vs 8). */
+  def adc16Recall(spark: SparkSession, dir: String): DataFrame =
+    Similarity.recallOf(bfL2TopK(spark, dir), adcTopKM(spark, dir, M16))
 
   // ---------------- IVF-PQ: coarse cells + compressed-domain scoring ----------------
 
@@ -303,7 +328,9 @@ object PqOps {
     * per-subspace k-means chain; [[Similarity]]'s kmeansSql with the
     * subspace id as one more key everywhere.
     */
-  private def pqChainSql: String = {
+  private def pqChainSql: String = pqChainSqlFor(SubDim)
+
+  private def pqChainSqlFor(subDim: Int): String = {
     val steps = (1 to Iters).map { i =>
       s"""pdist$i AS (
          |  SELECT f.vec_id, f.m, c.c, ${sqlR6("sum(pow(f.x - c.w, 2))")} AS dist
@@ -321,7 +348,7 @@ object PqOps {
          |)""".stripMargin
     }.mkString(",\n")
     s"""sflat AS (
-       |  SELECT vec_id, CAST(d // $SubDim AS INT) AS m, CAST(d % $SubDim AS INT) AS sd, x
+       |  SELECT vec_id, CAST(d // $subDim AS INT) AS m, CAST(d % $subDim AS INT) AS sd, x
        |  FROM flat
        |),
        |pcent0 AS (
@@ -410,6 +437,7 @@ object PqOps {
     "ann_pq_codes" -> ((s, d) => codes(s, d).orderBy("vec_id", "m")),
     "ann_pq_topk" -> ((s, d) => adcTopK(s, d).orderBy("qid", "rank")),
     "ann_pq_adc_recall" -> ((s, d) => adcRecall(s, d).orderBy("qid")),
+    "ann_pq16_recall" -> ((s, d) => adc16Recall(s, d).orderBy("qid")),
     "ann_ivfpq_topk" -> ((s, d) => ivfPqTopK(s, d).orderBy("qid", "rank")),
     "ann_ivfpq_recall" -> ((s, d) => ivfPqRecall(s, d).orderBy("qid")),
     "ann_ivfpq_rerank_recall" -> ((s, d) => ivfPqRerankRecall(s, d).orderBy("qid"))
@@ -435,6 +463,14 @@ object PqOps {
     "ann_pq_adc_recall" ->
       s"""WITH ${Similarity.flatSql},
          |$pqChainSql,
+         |$qdtCte,
+         |$adFullCte,
+         |$adTopkSql,
+         |$bfL2Ctes,
+         |${recallTailSql("ap_topk")}""".stripMargin,
+    "ann_pq16_recall" ->
+      s"""WITH ${Similarity.flatSql},
+         |${pqChainSqlFor(Dim / M16)},
          |$qdtCte,
          |$adFullCte,
          |$adTopkSql,
