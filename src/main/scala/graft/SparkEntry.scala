@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
-import graft.streaming.{StatefulOps, StreamingOps, TwsOps}
+import graft.streaming.{CurationStream, StatefulOps, StreamingOps, TwsOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +28,7 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracles),
       (TrendFit.queries, TrendFit.oracles),
       (StreamingOps.queries, StreamingOps.oracles),
+      (CurationStream.queries, CurationStream.oracles),
       (Curation.queries, Curation.oracles),
       (CorpusQc.queries, CorpusQc.oracles),
       (PqOps.queries, PqOps.oracles),

@@ -276,7 +276,7 @@ object TextOps {
   /** CTE `<name>(doc_id, lang, source, n_words, quality_score)` — the score
     * arithmetic of [[quality]], shared with the corpus-curation oracle.
     */
-  private[operators] def qualityCteSql(name: String): String =
+  private[graft] def qualityCteSql(name: String): String =
     s"""$name AS (
        |  SELECT doc_id, lang, source, n_words,
        |         ${sqlR6("greatest(0.0e0, least(1.0e0, 0.25e0 * ln(1.0e0 + CAST(n_words AS DOUBLE)) - 2.0e0 * (n_punct / len_c) - 2.0e0 * (n_digit / len_c)))")} AS quality_score
@@ -291,7 +291,7 @@ object TextOps {
   /** CTE `<name>(doc_id, matches_tag)` — the language-ID vote of [[langId]],
     * shared with the corpus-curation oracle.
     */
-  private[operators] def langMatchCteSql(name: String): String =
+  private[graft] def langMatchCteSql(name: String): String =
     s"""$name AS (
        |  SELECT doc_id,
        |         (CASE WHEN c_en + c_de + c_es + c_fr = 0 THEN 'und'

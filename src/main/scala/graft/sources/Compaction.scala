@@ -15,20 +15,39 @@ import org.apache.spark.sql.functions._
   * Here: the fragmented layout writes the events table date-partitioned from
   * [[FragmentTasks]] user-hashed tasks, so every date directory holds one
   * file per task (the classic ingest pattern — dates × writers files). The
-  * compacted layout re-reads it and `repartition(event_date)` routes each
-  * date to exactly one task before the same partitioned write → exactly one
-  * file per date directory. Both layouts are write-once per (location,
-  * source) like the other pre-organized shapes; CompactionSpec asserts the
-  * before/after file counts and row preservation, and the registered query's
-  * oracle recomputes the same aggregate from the RAW table — proving the
-  * rewrite is pure layout, never semantics.
+  * compacted layout re-reads it and compacts to a file-SIZE target, not a
+  * file count: one stats pass sizes the table, then
+  * `repartitionByRange(ceil(rows / target), event_date, event_id)` cuts it
+  * into equal-frequency chunks in (date, id) order before the same
+  * partitioned write. Every task holds ~target rows, so every output file
+  * is bounded by the target band regardless of how hot a date is — a date
+  * with 10× the target rows gets ~10 parallel tasks and ~10 right-sized
+  * files (the r6 one-task-per-date form made exactly that date a one-task
+  * straggler writing one multi-GB file). Range order keeps same-date rows
+  * contiguous, so per-date file counts stay ~ceil(date_rows / target); a
+  * chunk straddling a date boundary writes one smaller file on each side,
+  * which only UNDERSHOOTS the band. Both layouts are write-once per
+  * (location, source) like the other pre-organized shapes; CompactionSpec
+  * asserts the size band, the hot-date split, and row preservation, and the
+  * registered query's oracle recomputes the same aggregate from the RAW
+  * table — proving the rewrite is pure layout, never semantics.
   *
-  * At 100 TB the only changes are knobs: compact within partitions to a
-  * target file SIZE (several tasks per date, each writing ~1 GB) instead of
-  * one file, and schedule by partition age instead of rewriting everything.
+  * At 100 TB the remaining knob changes are trivial: the target counts
+  * BYTES from the file listing instead of rows (same one stats pass), and
+  * scheduling rewrites by partition age instead of rewriting everything.
   */
 object Compaction {
   val FragmentTasks = 8
+
+  /** Target rows per compacted file — the row-count stand-in for the ~1 GB
+    * byte target a production compactor sizes against.
+    */
+  val TargetFileRows = 2000L
+
+  /** Upper band multiplier the spec asserts: range chunks are equal-frequency
+    * up to sampling error, so no file should exceed target × band.
+    */
+  val SizeBand = 1.6
 
   def fragmentedLocation(spark: SparkSession) =
     new org.apache.hadoop.fs.Path(
@@ -45,11 +64,22 @@ object Compaction {
       .write.partitionBy("event_date")
       .mode("overwrite").parquet(fragmentedLocation(spark).toString)
 
-  private def writeCompacted(spark: SparkSession): Unit =
-    spark.read.parquet(fragmentedLocation(spark).toString)
-      .repartition(col("event_date"))
+  /** The size-targeted compaction pass itself, reusable at any target: one
+    * count as the stats pass, then equal-frequency range chunks in
+    * (event_date, event_id) order so files are right-sized AND same-date
+    * rows stay contiguous.
+    */
+  private[graft] def compactTo(frag: DataFrame, location: String, targetRows: Long): Unit = {
+    val total = frag.count()
+    val nChunks = math.max(1L, (total + targetRows - 1) / targetRows).toInt
+    frag.repartitionByRange(nChunks, col("event_date"), col("event_id"))
       .write.partitionBy("event_date")
-      .mode("overwrite").parquet(compactedLocation(spark).toString)
+      .mode("overwrite").parquet(location)
+  }
+
+  private def writeCompacted(spark: SparkSession): Unit =
+    compactTo(spark.read.parquet(fragmentedLocation(spark).toString),
+      compactedLocation(spark).toString, TargetFileRows)
 
   private def ensureLayouts(spark: SparkSession, dir: String): Unit = {
     WriteOnce.ensure(fragmentedLocation(spark).toString, dir)(writeFragmented(spark, dir))
@@ -69,6 +99,16 @@ object Compaction {
       .unionByName(statsOf("compacted", compactedLocation(spark).toString))
       .select("layout", "event_date", "n_files", "n_rows")
   }
+
+  /** (event_date, file, n_rows) over a compacted location — the per-FILE
+    * evidence the size-band assertions read (file name projected BEFORE the
+    * aggregate; `input_file_name()` can't sit inside one).
+    */
+  private[graft] def perFileRows(spark: SparkSession, location: String): DataFrame =
+    spark.read.parquet(location)
+      .select(col("event_date"), input_file_name().as("f"))
+      .groupBy("event_date", "f")
+      .agg(count(lit(1)).as("n_rows"))
 
   /** Daily aggregate off the COMPACTED layout; the oracle recomputes it from
     * the raw events table, so equality proves compaction preserved content.

@@ -15,15 +15,29 @@ import org.apache.spark.sql.functions._
   * dimensions skips every file whose bounding box misses the query box —
   * the mechanism behind Delta/Iceberg `OPTIMIZE ZORDER BY`.
   *
+  * Each dimension is quantized to equal-cardinality RANKS derived from its
+  * own quantiles (one stats pass, boundaries folded into the key as plan
+  * literals — the same constant-folding stance as the IVF centroids). That
+  * is what production z-ordering does, and it is load-bearing twice over:
+  * (a) balance — a fixed grid (the r6 `user mod 16` / fixed-epoch-origin
+  * form) silently collapses under skew, piling 90% of rows into a few key
+  * cells, while rank buckets hold ~1/16 of the rows each under ANY
+  * distribution; (b) monotonicity — `mod` ALIASES distant values into the
+  * same bucket (user 3 and user 515 were indistinguishable to the key), so
+  * file boxes in value space stay full-width and nothing skips. ZOrderSpec
+  * measures exactly this on a deliberately skewed user distribution, with
+  * the r6 fixed-grid key kept as [[fixedGridKey]] for the comparison.
+  *
   * The z-key is pure layout: it never appears in results, and the registered
   * query's oracle recomputes the same aggregate from the RAW events table.
-  * ZOrderSpec quantifies the win on the fixture: for a (user-range ∧
+  * ZOrderSpec also quantifies the uniform-fixture win: for a (user-range ∧
   * time-range) predicate, strictly fewer z-ordered files intersect the query
   * box than ts-range-sorted files (whose user bounds are all full-width).
   *
-  * At 100 TB the knobs change, not the shape: more bits per dimension,
-  * file count from a size target, and composition with date partitioning
-  * (partition coarse, z-order within each partition).
+  * At 100 TB the knobs change, not the shape: more bits per dimension, file
+  * count from a size target, approximate quantiles (the stats pass here uses
+  * exact ones; `approxQuantile`'s relativeError knob is the scale path), and
+  * composition with date partitioning (partition coarse, z-order within).
   */
 object ZOrder {
   val NumFiles = 8
@@ -36,16 +50,9 @@ object ZOrder {
     * no user segmentation, measured worse than the plain range layout). With
     * 4 bits each the key's high bits ALTERNATE (day₃ user₃ day₂ user₂ …), so
     * 8 files split day in half, user in half, day in quarters — genuine
-    * rectangles. Production z-ordering gets the same balance by quantizing
-    * every dimension to equal-cardinality RANKS from column stats.
+    * rectangles. Rank quantization makes the balance hold per BUCKET too.
     */
   val Bits = 4
-
-  /** Epoch day of 2024-01-01 — the fixed quantization origin (a layout
-    * constant, so the key needs no data-dependent statistics pass; prod
-    * derives the origin/scale from table stats instead).
-    */
-  val EpochDayOrigin = 19723L
 
   def location(spark: SparkSession) =
     new org.apache.hadoop.fs.Path(
@@ -59,26 +66,76 @@ object ZOrder {
     (m1.bitwiseOR(shiftleft(m1, 1))).bitwiseAND(lit(0x55L))
   }
 
-  /** Morton key of (user_id mod 16, 2-day bucket since [[EpochDayOrigin]]):
-    * user bits on even positions, day bits on odd.
+  /** The pure bit-interleave of two 4-bit bucket indices: first dimension on
+    * even bit positions, second on odd (property-tested in isolation).
     */
-  private[graft] def mortonKey: Column = {
-    val bUser = pmod(col("user_id"), lit(1L << Bits))
-    val day = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long") - EpochDayOrigin
-    val bDay = pmod(floor(day / 2).cast("long"), lit(1L << Bits))
-    spread4(bUser).bitwiseOR(shiftleft(spread4(bDay), 1))
+  private[graft] def mortonInterleave(b0: Column, b1: Column): Column =
+    spread4(b0).bitwiseOR(shiftleft(spread4(b1), 1))
+
+  /** Equal-cardinality rank bucket: index = #boundaries STRICTLY below the
+    * value, with the 2^Bits−1 interior quantile boundaries folded as
+    * literals. Monotone in the value (no aliasing) and balanced under any
+    * distribution. Strict comparison matters: it pins the minimum value to
+    * rank 0, so a dimension whose query boxes start at the low end (user 0-3
+    * here) stays aligned with the power-of-two bit boundaries of the Morton
+    * key — `≤` shifted every rank up by one and the fixture box straddled
+    * the quarter boundary (381 vs 250 must-open rows).
+    */
+  private[graft] def rankBucket(c: Column, bounds: Seq[Double]): Column =
+    bounds.map(b => when(c > lit(b), lit(1L)).otherwise(lit(0L))).reduceLeft(_ + _)
+
+  /** One stats pass: the interior quantile boundaries of both dimensions
+    * (a bounded 2×15-double collect, like the IVF centroid fold).
+    */
+  private def dimBounds(df: DataFrame): (Seq[Double], Seq[Double]) = {
+    val probs = (1 until (1 << Bits)).map(_.toDouble / (1 << Bits)).toArray
+    val qs = df
+      .select(col("user_id").cast("double").as("u"),
+        unix_micros(col("ts")).cast("double").as("t"))
+      .stat.approxQuantile(Array("u", "t"), probs, 0.0)
+    (qs(0).toSeq, qs(1).toSeq)
+  }
+
+  /** Write `df` z-ordered on (user_id, ts) into `location`: rank-quantize
+    * both dimensions from their own stats, Morton-interleave, range-cut into
+    * `nFiles` equal-frequency chunks, sort within. Cuts are on the zkey
+    * ALONE so every file covers whole key cells and its bounding box stays
+    * cell-aligned — adding a tiebreak column to the cut was measured to
+    * widen boxes (files straddle cells mid-cut: 375 vs 250 must-open rows
+    * on the fixture box). Rank balance already caps a cell at ~1/256 of the
+    * rows; if a table ever concentrated past that, the fix is more Bits,
+    * not a looser cut.
+    */
+  private[graft] def zOrderTo(df: DataFrame, location: String, nFiles: Int): Unit = {
+    val (uBounds, tBounds) = dimBounds(df)
+    df.withColumn("zkey", mortonInterleave(
+        rankBucket(col("user_id").cast("double"), uBounds),
+        rankBucket(unix_micros(col("ts")).cast("double"), tBounds)))
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions("zkey", "event_id")
+      .drop("zkey")
+      .write.mode("overwrite").parquet(location)
   }
 
   private def writeZOrdered(spark: SparkSession, dir: String): Unit =
-    Tables.events(spark, dir)
-      .withColumn("zkey", mortonKey)
-      .repartitionByRange(NumFiles, col("zkey"))
-      .sortWithinPartitions("zkey", "event_id")
-      .drop("zkey")
-      .write.mode("overwrite").parquet(location(spark).toString)
+    zOrderTo(Tables.events(spark, dir), location(spark).toString, NumFiles)
 
   def ensureZOrdered(spark: SparkSession, dir: String): Unit =
     WriteOnce.ensure(location(spark).toString, dir)(writeZOrdered(spark, dir))
+
+  /** The r6 FIXED-GRID key (user mod 16, 2-day bucket from a constant epoch
+    * origin) — kept only as ZOrderSpec's degenerate comparator: under a
+    * skewed or shifted distribution `mod` aliases distant users into one
+    * bucket and the constant origin wastes bucket range, so file boxes stay
+    * near-full-width and the layout stops skipping. Not used by any layout.
+    */
+  private[graft] def fixedGridKey: Column = {
+    val epochDayOrigin = 19723L // epoch day of 2024-01-01
+    val bUser = pmod(col("user_id"), lit(1L << Bits))
+    val day = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long") - epochDayOrigin
+    val bDay = pmod(floor(day / 2).cast("long"), lit(1L << Bits))
+    mortonInterleave(bUser, bDay)
+  }
 
   /** Per-file bounding boxes over BOTH predicate dimensions. */
   def fileStats(spark: SparkSession, dir: String): DataFrame = {

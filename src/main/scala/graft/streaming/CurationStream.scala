@@ -1,8 +1,10 @@
 package graft.streaming
 
 import graft.operators.{Curation, TextOps}
+import graft.functions.Num.sqlD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 /** Streaming corpus-curation ingest — the incremental twin of
@@ -54,4 +56,59 @@ object CurationStream {
       .filter(col("quality_score") >= Curation.QualityMin && col("matches_tag"))
       .select("doc_id", "lang", "source", "n_words", "quality_score", "fp")
       .dropDuplicates("fp")
+
+  /** Driver-visible streaming run of [[curatedIngest]] (the
+    * `stream_tumbling_agg` pattern at [[StreamingOps.streamTumbling]]): the
+    * documents parquet is consumed INCREMENTALLY by the file source, the
+    * per-doc gates run as one projection per micro-batch, fingerprint
+    * dedup state suppresses replays, and `Trigger.AvailableNow` drains the
+    * backlog into a memory sink returned as a batch frame.
+    *
+    * Determinism: `dropDuplicates` keeps whichever gate-passing group member
+    * reaches the state store first — at scale that race is real and accepted
+    * (exact replays carry identical payloads). The registered projection is
+    * exactly the columns that are INVARIANT to that race: `fp`, `n_words`,
+    * `quality_score` are functions of the (identical) text, and `lang` is
+    * pinned by the gate itself — a passer satisfies `lang = predLang(text)`,
+    * so every passer in an fp group carries the SAME lang. `doc_id` and
+    * `source` are genuinely keeper-dependent and deliberately excluded (the
+    * deterministic-keeper form is the batch side's job:
+    * [[graft.operators.Dedup]] canonical selection keeps min doc_id).
+    */
+  def streamCuratedIngest(spark: SparkSession, dir: String): DataFrame = {
+    val sink = "stream_curated_sink"
+    spark.catalog.dropTempView(sink)
+    val q = curatedIngest(docsStream(spark, dir)).writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).select("fp", "lang", "n_words", "quality_score")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_curated_ingest" -> ((s, d) => streamCuratedIngest(s, d).orderBy("fp"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    // batch replay of the gate set: one row per fingerprint among passers —
+    // DISTINCT is sound because (lang, n_words, quality_score) are equal
+    // across an fp group's passers (see streamCuratedIngest doc)
+    "stream_curated_ingest" ->
+      s"""WITH ${TextOps.qualityCteSql("qy")},
+         |${TextOps.langMatchCteSql("lg")},
+         |fps AS (
+         |  SELECT doc_id,
+         |         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents
+         |)
+         |SELECT DISTINCT f.fp, qy.lang, qy.n_words, qy.quality_score
+         |FROM qy
+         |JOIN lg USING (doc_id)
+         |JOIN fps f USING (doc_id)
+         |WHERE qy.quality_score >= ${sqlD(Curation.QualityMin)} AND lg.matches_tag
+         |ORDER BY fp""".stripMargin
+  )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 class CompactionSpec extends SparkSpec {
 
-  test("compaction: fragmented dates hold many files, compacted exactly one, rows preserved") {
+  test("compaction: fragments collapse into size-banded files, rows preserved") {
     val stats = Compaction.fileStats(spark, sf).cache()
     val frag = stats.filter(col("layout") === "fragmented")
     val comp = stats.filter(col("layout") === "compacted")
@@ -13,8 +13,14 @@ class CompactionSpec extends SparkSpec {
     // the fragmented layout actually exhibits the small-files problem
     assert(frag.filter(col("n_files") > 1).count() > 0,
       "fragmented layout produced no multi-file dates")
-    // compaction collapses every date to exactly one file
-    assert(comp.filter(col("n_files") =!= 1).count() == 0)
+
+    // registered layout: every file inside the size band (equal-frequency
+    // range chunks can only undershoot at date boundaries, never overshoot
+    // past sampling error)
+    val band = (Compaction.TargetFileRows * Compaction.SizeBand).toLong
+    val maxFile = Compaction.perFileRows(spark, Compaction.compactedLocation(spark).toString)
+      .agg(max("n_rows")).collect()(0).getLong(0)
+    assert(maxFile <= band, s"file of $maxFile rows exceeds the $band-row band")
 
     // same dates, same per-date row counts — layout changed, content didn't
     val drift = frag.select(col("event_date"), col("n_rows").as("frag_rows"))
@@ -28,5 +34,39 @@ class CompactionSpec extends SparkSpec {
     val total = comp.agg(sum("n_rows")).collect()(0).getLong(0)
     assert(total == Tables.events(spark, sf).count())
     stats.unpersist()
+  }
+
+  test("compaction: a hot date splits into multiple banded files (no straggler)") {
+    // re-compact the same fragments at a target far below the per-date row
+    // count, so EVERY fixture date is "hot" relative to the target — the
+    // shape a skewed production partition has
+    val target = 20L
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_events_compacted_small").toString
+    Compaction.compactTo(
+      spark.read.parquet(Compaction.fragmentedLocation(spark).toString), loc, target)
+    val files = Compaction.perFileRows(spark, loc).cache()
+
+    // band holds at this target too …
+    val band = (target * Compaction.SizeBand).toLong
+    val maxFile = files.agg(max("n_rows")).collect()(0).getLong(0)
+    assert(maxFile <= band, s"file of $maxFile rows exceeds the $band-row band")
+
+    // … every chunk materialized (no task absorbed several targets' worth) …
+    val totalRows = files.agg(sum("n_rows")).collect()(0).getLong(0)
+    val nFiles = files.count()
+    assert(nFiles >= (totalRows + target - 1) / target,
+      s"$nFiles files for $totalRows rows — chunks merged past the target")
+
+    // … so by pigeonhole every over-band date has ≥2 parallel files; assert
+    // it directly on at least one date to keep the claim non-vacuous
+    val split = files.groupBy("event_date")
+      .agg(sum("n_rows").as("rows"), count(lit(1)).as("nf"))
+      .filter(col("rows") > band && col("nf") >= 2)
+    assert(split.count() > 0, "no over-band date shows a multi-file split")
+
+    // and the rewrite is still pure layout
+    assert(totalRows == Tables.events(spark, sf).count())
+    files.unpersist()
   }
 }

@@ -72,20 +72,34 @@ object EngineProperties extends Properties("graft") {
         decreasing && lagged && ac.forall(a => a > 0.0 && a < 1.0)
     }
 
-  // The Morton column computes the exact bit-interleave of (user mod 16,
-  // 2-day bucket): injective on the 16x16 grid by construction
+  // The Morton interleave computes the exact bit-interleave of two 4-bit
+  // bucket indices: injective on the 16x16 grid by construction
   property("zorder.morton.bit.interleave") =
     forAll(Gen.choose(0L, 15L), Gen.choose(0L, 15L)) { (u, b) =>
       def spread(x: Long): Long = (0 until 4).map(i => ((x >> i) & 1L) << (2 * i)).sum
       val expected = spread(u) | (spread(b) << 1)
-      // a timestamp one hour into day bucket b (2 days per bucket)
-      val ts = new java.sql.Timestamp(
-        ((graft.sources.ZOrder.EpochDayOrigin + 2 * b) * 86400L + 3600L) * 1000L)
       val sess = spark
       import sess.implicits._
-      val got = Seq((u, ts)).toDF("user_id", "ts")
-        .select(graft.sources.ZOrder.mortonKey.as("z")).collect()(0).getLong(0)
+      val got = Seq((u, b)).toDF("b0", "b1")
+        .select(graft.sources.ZOrder.mortonInterleave(col("b0"), col("b1")).as("z"))
+        .collect()(0).getLong(0)
       got == expected
+    }
+
+  // Rank bucketing is monotone in the value and exactly #bounds-below-or-at
+  // — the no-aliasing contract the z-order key relies on
+  property("zorder.rank.bucket.monotone") =
+    forAllNoShrink(Gen.listOfN(15, Gen.choose(-1000.0, 1000.0)), Gen.choose(-1200.0, 1200.0)) {
+      (rawBounds, v) =>
+        val bounds = rawBounds.map(b => math.floor(b * 8) / 8).sorted
+        val vq = math.floor(v * 8) / 8
+        val expected = bounds.count(_ < vq).toLong
+        val sess = spark
+        import sess.implicits._
+        val got = Seq(vq).toDF("v")
+          .select(graft.sources.ZOrder.rankBucket(col("v"), bounds).as("r"))
+          .collect()(0).getLong(0)
+        got == expected
     }
 
   // PqCodes is the per-subspace argmin of PqDists with the (dist, c)
