@@ -32,6 +32,7 @@ object SparkEntry {
       (Curation.queries, Curation.oracles),
       (CorpusQc.queries, CorpusQc.oracles),
       (PqOps.queries, PqOps.oracles),
+      (OpqOps.queries, OpqOps.oracles),
       (graft.sources.Bucketed.queries, graft.sources.Bucketed.oracles),
       (graft.sources.Partitioned.queries, graft.sources.Partitioned.oracles),
       (graft.sources.Compaction.queries, graft.sources.Compaction.oracles),

@@ -1,0 +1,266 @@
+package graft.operators
+
+import graft.functions.Num._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Optimized product quantization (OPQ): rotate the embedding space before the
+  * subspace split so the [[PqOps.M]] product-quantizer subspaces are
+  * decorrelated and carry balanced variance (Ge et al., "Optimized Product
+  * Quantization", CVPR 2013 — the parametric variant: PCA eigenbasis +
+  * eigenvalue allocation). The reference has no ANN surface; this extends the
+  * compression ladder the north-star LLM-data pipeline needs
+  * (`ann_pq_adc_recall` → `ann_opq_recall` at the same 8 B/vector budget).
+  *
+  *  - fit: the full [[Similarity.Dim]]-dim eigenbasis by deflated power
+  *    iteration on the r6 covariance ([[Similarity.covarianceR6]] — the
+  *    distributed part; the 64×64 solve is a driver-side constant-size fold
+  *    like the IVF/PQ codebooks). Every mat-vec, norm, and deflation step is
+  *    fx9/r6-quantized so the DuckDB oracle replays the identical arithmetic
+  *    order-independently; the basis is DEFINED as the fixed-iteration
+  *    procedure, deterministic regardless of convergence.
+  *  - allocate: eigenvectors (ranked by extraction order = decreasing
+  *    eigenvalue) are dealt to the M subspaces snake-draft style (round r
+  *    reverses on odd r) — the deterministic, integer-only variant of OPQ's
+  *    greedy eigenvalue allocation (greedy-by-product needs float compares a
+  *    SQL twin can't replay bit-stably; the snake deal gives the same
+  *    per-subspace variance balance on a sorted spectrum).
+  *  - rotate: one codegen'd [[graft.plans.MatVecFx]] projection per vector
+  *    (fx9-accumulated, r6-rounded), then the stock PQ fit / encode / ADC
+  *    pipeline runs unchanged on the rotated frame. Ground truth stays the
+  *    exact-L2 top-k on RAW vectors — rotation is orthogonal, so the true
+  *    neighbor sets are unchanged and recall deltas are attributable to the
+  *    quantizer alone.
+  *
+  * Scale: the rotation adds one narrow codegen'd projection to the encode
+  * scan (no shuffle, no join — the matrix rides the closure); everything
+  * downstream keeps PQ's 8 B/vector scan economics. The basis fit is one
+  * covariance aggregation whose shuffle volume is #partitions × Dim²
+  * regardless of corpus size.
+  */
+object OpqOps {
+  import PqOps.{Codebook, Dim, M, SubDim}
+
+  /** Eigenpairs surfaced by `emb_pca_basis` (full [[Dim]] are fit for the
+    * rotation; the query shows the informative head of the spectrum). */
+  val BasisK = 8
+
+  /** (eigenvalue, loadings) per extraction rank p — loadings(p)(d). */
+  private[graft] final case class EigenBasis(
+      values: Array[Double], loadings: Array[Array[Double]])
+
+  /** Deflated power iteration over a Dim×Dim r6 covariance, replicating the
+    * [[Similarity.pcaTop]] fx discipline per step: w = fx9-matvec(cov, v);
+    * v' = r6(w / max(|w|_fx, 1e-9)); after [[Similarity.PcaIters]] steps
+    * λ = fx9-dot(v, matvec(v)) and cov deflates to r9(cov − λ v vᵀ).
+    */
+  private[graft] def deflatedBasis(cov0: Array[Array[Double]], k: Int): EigenBasis = {
+    val n = Dim
+    val cov = Array.tabulate(n * n)(p => cov0(p / n)(p % n))
+    def fx9(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def r9d(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    def matVec(v: Array[Double]): Array[Double] =
+      Array.tabulate(n) { d1 =>
+        var acc = 0L; var d2 = 0
+        while (d2 < n) { acc += fx9(cov(d1 * n + d2) * v(d2)); d2 += 1 }
+        acc / 1e9
+      }
+    def fxDot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => fx9(a(i) * b(i))).sum / 1e9
+    val values = new Array[Double](k)
+    val loadings = new Array[Array[Double]](k)
+    for (p <- 0 until k) {
+      var v = Array.fill(n)(0.125) // 1/sqrt(64): exact in binary
+      for (_ <- 1 to Similarity.PcaIters) {
+        val w = matVec(v)
+        val nrm = math.max(math.sqrt(fxDot(w, w)), 1e-9)
+        v = w.map(x => r6d(x / nrm))
+      }
+      val lam = fxDot(v, matVec(v))
+      values(p) = lam
+      loadings(p) = v
+      var i = 0
+      while (i < n * n) {
+        cov(i) = r9d(cov(i) - lam * v(i / n) * v(i % n))
+        i += 1
+      }
+    }
+    EigenBasis(values, loadings)
+  }
+
+  /** The basis is an index like the IVF quantizer / PQ codebooks: fit once
+    * per corpus, content-fingerprint invalidation, restart-scoped. */
+  private val basisCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, EigenBasis)]()
+  private val basisLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[graft] def basisFor(spark: SparkSession, dir: String): EigenBasis = {
+    val fp = Similarity.corpusFingerprint(spark, dir)
+    val lock = basisLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      val prev = basisCache.get(dir)
+      if (prev != null && prev._1 == fp) prev._2
+      else {
+        val b = deflatedBasis(Similarity.covarianceR6(spark, dir)._2, Dim)
+        basisCache.put(dir, (fp, b)); b
+      }
+    }
+  }
+
+  /** Snake-draft eigenvalue allocation: extraction rank p → subspace slot.
+    * Round r = p / M deals one eigenvector to every subspace, reversing
+    * direction on odd rounds; the rotated dimension index is
+    * bucket·SubDim + r (slot r of subspace `bucket`).
+    */
+  private[graft] def allocatedDim(p: Int): Int = {
+    val r = p / M
+    val pos = p % M
+    val bucket = if (r % 2 == 0) pos else M - 1 - pos
+    bucket * SubDim + r
+  }
+
+  /** Rotation matrix in output-dimension order: row newd = the loadings of
+    * the eigenvector allocated to newd. */
+  private[graft] def rotationMatrix(b: EigenBasis): Seq[Seq[Double]] = {
+    val rows = new Array[Seq[Double]](Dim)
+    for (p <- 0 until Dim) rows(allocatedDim(p)) = b.loadings(p).toSeq
+    rows.toSeq
+  }
+
+  /** The rotated corpus: (vec_id, v′) with v′ = fx9-accumulated R·v (1e-9
+    * resolution — see [[graft.plans.MatVecFx]] on why NOT r6) via one fused
+    * codegen'd projection. */
+  private[graft] def rotated(spark: SparkSession, dir: String): DataFrame = {
+    val rot = rotationMatrix(basisFor(spark, dir))
+    PqOps.emb(spark, dir)
+      .select(col("vec_id"),
+        graft.plans.VectorFunctions.mat_vec_fx(col("v"), rot).as("v"))
+  }
+
+  private def fittedOpq(spark: SparkSession, dir: String): Codebook =
+    PqOps.codebookFor(spark, s"$dir#opq") {
+      val (e, ids) = graft.functions.Checkpoints.tracked(rotated(spark, dir))
+      try PqOps.lloydPq(e, M)
+      finally graft.functions.Checkpoints.release(e, ids, blocking = true)
+    }
+
+  /** ADC top-k in the rotated space — the stock PQ pipeline over the rotated
+    * frame (queries and corpus rotate identically). */
+  def opqAdcTopK(spark: SparkSession, dir: String): DataFrame =
+    PqOps.adcTopKOver(rotated(spark, dir), fittedOpq(spark, dir), SubDim)
+
+  /** Recall@[[PqOps.TopK]] of rotated-space ADC vs the exact-L2 ground truth
+    * on raw vectors — the row to read against `ann_pq_adc_recall` (same
+    * 8 B/vector budget, rotation is the only change). */
+  def opqAdcRecall(spark: SparkSession, dir: String): DataFrame =
+    Similarity.recallOf(PqOps.bfL2TopK(spark, dir), opqAdcTopK(spark, dir))
+
+  /** The head of the spectrum: (p, d, loading, eigenvalue) for the top
+    * [[BasisK]] eigenpairs — rank 0 is bit-identical to `emb_pca_top`'s
+    * loading column (same procedure, same quantization). */
+  def basisFlat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = basisFor(spark, dir)
+    (for (p <- 0 until BasisK; d <- 0 until Dim)
+      yield (p, d, b.loadings(p)(d), b.values(p)))
+      .toDF("p", "d", "loading", "eigenvalue")
+  }
+
+  // ---------------- DuckDB oracle twins ----------------
+
+  /** The deflated power iteration as a recursive CTE over single-row list
+    * state (v, flattened cov, accumulated loads/vals) — k·(PcaIters+1) steps,
+    * every quantization mirrored from [[deflatedBasis]]. List literals/state
+    * must be CAST to DOUBLE[]: a bare 0.125 types as DECIMAL(4,3) and the
+    * UNION ALL would silently quantize the whole recursion to 3 decimals.
+    */
+  private def eigStateSql(k: Int): String = {
+    val n = Dim
+    val steps = k * (Similarity.PcaIters + 1)
+    val u0 = s"list_transform(range(0, $n), i -> CAST(0.125 AS DOUBLE))"
+    val w = s"list_transform(range(0, $n), d1 -> " +
+      s"CAST(list_sum(list_transform(range(0, $n), d2 -> " +
+      s"CAST(floor(c[d1*$n+d2+1] * v[d2+1] * 1e9 + 0.5) AS BIGINT))) AS DOUBLE) / 1e9)"
+    def fxdot(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(0, $n), i -> " +
+        s"CAST(floor(($a)[i+1] * ($b)[i+1] * 1e9 + 0.5) AS BIGINT))) AS DOUBLE) / 1e9"
+    // single-element-list lambdas as let-bindings: w is computed once per use chain
+    val stepV = s"list_transform([$w], w -> list_transform(w, x -> " +
+      s"floor(x / greatest(sqrt(${fxdot("w", "w")}), 1e-9) * 1e6 + 0.5) / 1e6))[1]"
+    val lam = s"list_transform([$w], w9 -> ${fxdot("v", "w9")})[1]"
+    val deflate = s"list_transform([$lam], lam -> list_transform(range(0, ${n * n}), p -> " +
+      s"floor((c[p+1] - lam * v[(p//$n)+1] * v[(p%$n)+1]) * 1e9 + 0.5) / 1e9))[1]"
+    s"""st AS (
+       |  SELECT 0 AS step, 0 AS it, $u0 AS v,
+       |         (SELECT list(c ORDER BY d1, d2) FROM cov) AS c,
+       |         CAST([] AS DOUBLE[]) AS loads, CAST([] AS DOUBLE[]) AS vals
+       |  UNION ALL
+       |  SELECT step + 1,
+       |         CASE WHEN it < ${Similarity.PcaIters} THEN it + 1 ELSE 0 END,
+       |         CASE WHEN it < ${Similarity.PcaIters} THEN $stepV ELSE $u0 END,
+       |         CASE WHEN it < ${Similarity.PcaIters} THEN c ELSE $deflate END,
+       |         CASE WHEN it < ${Similarity.PcaIters} THEN loads ELSE loads || v END,
+       |         CASE WHEN it < ${Similarity.PcaIters} THEN vals ELSE vals || [$lam] END
+       |  FROM st WHERE step < $steps
+       |), eigf AS MATERIALIZED (
+       |  SELECT loads, vals FROM st WHERE step = $steps
+       |)""".stripMargin
+  }
+
+  /** rot (newd, d, w): the snake-draft allocation of [[allocatedDim]] in SQL;
+    * rflat: the fx9-accumulated rotated coordinates, the twin of
+    * [[graft.plans.MatVecFx]] over `flat`. */
+  private val rotSql: String =
+    s"""rot AS (
+       |  SELECT (CASE WHEN (p.i // $M) % 2 = 0 THEN p.i % $M
+       |               ELSE $M - 1 - (p.i % $M) END) * $SubDim + (p.i // $M) AS newd,
+       |         t.i AS d, e.loads[p.i * $Dim + t.i + 1] AS w
+       |  FROM range(0, $Dim) p(i), range(0, $Dim) t(i), eigf e
+       |), rflat AS MATERIALIZED (
+       |  SELECT f.vec_id, r.newd AS d,
+       |         CAST(sum(CAST(floor(r.w * f.x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS x
+       |  FROM flat f JOIN rot r ON r.d = f.d
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca_basis" -> ((s, d) => basisFlat(s, d).orderBy("p", "d")),
+    "ann_opq_topk" -> ((s, d) => opqAdcTopK(s, d).orderBy("qid", "rank")),
+    "ann_opq_recall" -> ((s, d) => opqAdcRecall(s, d).orderBy("qid"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "emb_pca_basis" ->
+      s"""WITH RECURSIVE ${Similarity.flatSql},
+         |${Similarity.covSql},
+         |${eigStateSql(BasisK)}
+         |SELECT CAST(p.i AS INT) AS p, CAST(t.i AS INT) AS d,
+         |       e.loads[p.i * $Dim + t.i + 1] AS loading, e.vals[p.i + 1] AS eigenvalue
+         |FROM range(0, $BasisK) p(i), range(0, $Dim) t(i), eigf e
+         |ORDER BY p, d""".stripMargin,
+    "ann_opq_topk" ->
+      s"""WITH RECURSIVE ${Similarity.flatSql},
+         |${Similarity.covSql},
+         |${eigStateSql(Dim)},
+         |$rotSql,
+         |${PqOps.pqChainSqlFor(SubDim, "rflat")},
+         |${PqOps.qdtCte},
+         |${PqOps.adFullCte}
+         |SELECT qid, vid AS neighbor_id, CAST(rn AS INT) AS rank, adist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vid) AS rn FROM ad)
+         |WHERE rn <= ${PqOps.TopK} ORDER BY qid, rank""".stripMargin,
+    "ann_opq_recall" ->
+      s"""WITH RECURSIVE ${Similarity.flatSql},
+         |${Similarity.covSql},
+         |${eigStateSql(Dim)},
+         |$rotSql,
+         |${PqOps.pqChainSqlFor(SubDim, "rflat")},
+         |${PqOps.qdtCte},
+         |${PqOps.adFullCte},
+         |${PqOps.adTopkSql},
+         |${PqOps.bfL2Ctes},
+         |${PqOps.recallTailSql("ap_topk")}""".stripMargin
+  )
+}

@@ -46,13 +46,13 @@ object PqOps {
   val TopK = 10
   val NumQueries = 100
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 
   /** Codebook: (subspace m, codeword c, SubDim weights), r6-rounded. */
-  private type Codebook = Seq[(Int, Int, Seq[Double])]
+  private[operators] type Codebook = Seq[(Int, Int, Seq[Double])]
 
   /** Per-subspace argmin codes as one array column over the vector `v`, via
     * the fused [[graft.plans.PqCodes]] kernel. The first cut composed this
@@ -61,7 +61,7 @@ object PqOps {
     * 64 KB method limit and the whole encode stage fell back to interpreted
     * eval — the custom expression is one compact codegen'd triple loop.
     */
-  private def codesArray(cb: Codebook, subDim: Int = SubDim): Column =
+  private[operators] def codesArray(cb: Codebook, subDim: Int = SubDim): Column =
     graft.plans.VectorFunctions.pq_codes(col("v"), subDim, cb)
 
   /** Lloyd fit of all [[M]] codebooks at once: seed with the first [[K]]
@@ -72,7 +72,7 @@ object PqOps {
     * vector simply drop out of the next round's literals (both engines drop
     * them identically).
     */
-  private def lloydPq(e: DataFrame, numSub: Int = M): Codebook = {
+  private[operators] def lloydPq(e: DataFrame, numSub: Int = M): Codebook = {
     val subDim = Dim / numSub
     var cb: Codebook = e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("c"), col("v")).collect()
@@ -106,7 +106,7 @@ object PqOps {
 
   /** `key` is `dir#m=<subspaces>` so each operating point caches its own fit
     * (the fingerprint still comes from the DIR the key embeds). */
-  private def codebookFor(spark: SparkSession, key: String)(fit: => Codebook): Codebook = {
+  private[operators] def codebookFor(spark: SparkSession, key: String)(fit: => Codebook): Codebook = {
     val fp = Similarity.corpusFingerprint(spark, key.takeWhile(_ != '#'))
     val lock = codebookLocks.computeIfAbsent(key, _ => new Object)
     lock.synchronized {
@@ -162,14 +162,20 @@ object PqOps {
   def adcTopKM(spark: SparkSession, dir: String, numSub: Int): DataFrame = {
     val subDim = Dim / numSub
     val cb = fittedM(spark, dir, numSub).sortBy(t => (t._1, t._2))
-    val dt = emb(spark, dir).filter(col("vec_id") < NumQueries)
+    adcTopKOver(emb(spark, dir), cb, subDim)
+  }
+
+  /** ADC top-k over an explicit (vec_id, v) frame — the body shared by the
+    * raw operating points and [[OpqOps]]' rotated one. */
+  private[operators] def adcTopKOver(e: DataFrame, cb: Codebook, subDim: Int): DataFrame = {
+    val dt = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"),
         posexplode(graft.plans.VectorFunctions.pq_dists(col("v"), subDim, cb)))
       .select(col("qid"),
         element_at(typedLit(cb.map(_._1)), col("pos") + 1).as("m"),
         element_at(typedLit(cb.map(_._2)), col("pos") + 1).as("code"),
         col("col").as("dist"))
-    val corpusCodes = emb(spark, dir)
+    val corpusCodes = e
       .select(col("vec_id"), posexplode(codesArray(cb, subDim)))
       .select(col("vec_id"), col("pos").cast("int").as("m"), col("col").as("code"))
     val scored = corpusCodes.join(broadcast(dt), Seq("m", "code"))
@@ -330,7 +336,7 @@ object PqOps {
     */
   private def pqChainSql: String = pqChainSqlFor(SubDim)
 
-  private def pqChainSqlFor(subDim: Int): String = {
+  private[operators] def pqChainSqlFor(subDim: Int, from: String = "flat"): String = {
     val steps = (1 to Iters).map { i =>
       s"""pdist$i AS (
          |  SELECT f.vec_id, f.m, c.c, ${sqlR6("sum(pow(f.x - c.w, 2))")} AS dist
@@ -349,7 +355,7 @@ object PqOps {
     }.mkString(",\n")
     s"""sflat AS (
        |  SELECT vec_id, CAST(d // $subDim AS INT) AS m, CAST(d % $subDim AS INT) AS sd, x
-       |  FROM flat
+       |  FROM $from
        |),
        |pcent0 AS (
        |  SELECT m, CAST(vec_id AS INT) AS c, sd, x AS w FROM sflat WHERE vec_id < $K
@@ -368,7 +374,7 @@ object PqOps {
   }
 
   /** Query-side ADC distance table as a CTE (qid, m, code, dist). */
-  private def qdtCte: String =
+  private[operators] def qdtCte: String =
     s"""qdt AS (
        |  SELECT f.vec_id AS qid, c.m, c.c AS code, ${sqlR6("sum(pow(f.x - c.w, 2))")} AS dist
        |  FROM sflat f JOIN pcent$Iters c ON c.m = f.m AND c.sd = f.sd
@@ -376,7 +382,7 @@ object PqOps {
        |)""".stripMargin
 
   /** Exact-L2 ground-truth top-k CTEs (bfd → bf_topk). */
-  private def bfL2Ctes: String =
+  private[operators] def bfL2Ctes: String =
     s"""bfd AS (
        |  SELECT a.vec_id AS qid, b.vec_id AS vid, ${sqlR6("sum(pow(a.x - b.x, 2))")} AS dist
        |  FROM flat a JOIN flat b ON b.d = a.d
@@ -388,7 +394,7 @@ object PqOps {
        |)""".stripMargin
 
   /** hits + per-qid/rollup recall tail against `bf_topk`. */
-  private def recallTailSql(apTopk: String): String =
+  private[operators] def recallTailSql(apTopk: String): String =
     s"""hits AS (
        |  SELECT b.qid, CASE WHEN p.vid IS NULL THEN 0 ELSE 1 END AS hit
        |  FROM bf_topk b LEFT JOIN $apTopk p ON p.qid = b.qid AND p.vid = b.vid
@@ -399,7 +405,7 @@ object PqOps {
        |FROM hits GROUP BY ROLLUP (qid) ORDER BY 1""".stripMargin
 
   /** Full-scan ADC scores (ad: qid, vid, adist). */
-  private def adFullCte: String =
+  private[operators] def adFullCte: String =
     s"""ad AS (
        |  SELECT t.qid, k.vec_id AS vid,
        |         CAST(sum(${sqlFx("t.dist", 6)}) AS DOUBLE) / 1e6 AS adist
@@ -425,7 +431,7 @@ object PqOps {
        |  WHERE b.vec_id <> q.qid GROUP BY 1, 2
        |)""".stripMargin
 
-  private val adTopkSql: String =
+  private[operators] val adTopkSql: String =
     s"""ap_topk AS (
        |  SELECT qid, vid FROM (
        |    SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY adist, vid) AS rn FROM ad)

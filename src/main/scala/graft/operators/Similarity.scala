@@ -446,6 +446,29 @@ object Similarity {
   /** Power-iteration steps for [[pcaTop]]. */
   val PcaIters = 8
 
+  /** Per-dimension r6 means and the r6-rounded Dim×Dim covariance of the
+    * embedding corpus — the shared spectral input of [[pcaTop]] and
+    * [[OpqOps]]' eigenbasis. The distributed part is the double-posexplode
+    * second-moment aggregation (Dim² partial products per vector collapsing
+    * map-side); the collect is the constant 64×64 = 4,096-cell matrix.
+    */
+  private[operators] def covarianceR6(
+      spark: SparkSession, dir: String): (Array[Double], Array[Array[Double]]) = {
+    val mu: Array[Double] = dimStats(spark, dir).select("dim", "mean").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    val muLit = typedLit(mu.toSeq)
+    val flat = emb(spark, dir)
+      .select(posexplode(col("v")).as(Seq("d1", "x1")), col("v"))
+      .select(col("d1"), (col("x1") - element_at(muLit, col("d1") + 1)).as("xc1"),
+        posexplode(col("v")))
+      .select(col("d1"), col("xc1"), col("pos").as("d2"),
+        (col("col") - element_at(muLit, col("pos") + 1)).as("xc2"))
+    val cov = Array.ofDim[Double](Dim, Dim)
+    flat.groupBy("d1", "d2").agg(r6(avg(col("xc1") * col("xc2"))).as("c"))
+      .collect().foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    (mu, cov)
+  }
+
   /** Top principal component of the embedding corpus + its explained-variance
     * ratio — the spectral step after [[dimStats]]' per-dim moments: which
     * direction carries the corpus' variance (feeds whitening rotations / OPQ
@@ -468,18 +491,7 @@ object Similarity {
     */
   def pcaTop(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val mu: Array[Double] = dimStats(spark, dir).select("dim", "mean").collect()
-      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
-    val muLit = typedLit(mu.toSeq)
-    val flat = emb(spark, dir)
-      .select(posexplode(col("v")).as(Seq("d1", "x1")), col("v"))
-      .select(col("d1"), (col("x1") - element_at(muLit, col("d1") + 1)).as("xc1"),
-        posexplode(col("v")))
-      .select(col("d1"), col("xc1"), col("pos").as("d2"),
-        (col("col") - element_at(muLit, col("pos") + 1)).as("xc2"))
-    val cov = Array.ofDim[Double](Dim, Dim)
-    flat.groupBy("d1", "d2").agg(r6(avg(col("xc1") * col("xc2"))).as("c"))
-      .collect().foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val (mu, cov) = covarianceR6(spark, dir)
 
     // driver-side constant-size solve, fx9-quantized mat-vec and norms so the
     // SQL twin's arbitrary-order sums agree exactly
@@ -628,6 +640,17 @@ object Similarity {
   }
 
   // ---------------- DuckDB oracle twins ----------------
+
+  /** mu → cf → cov: the r6 covariance CTEs over `flat`, the SQL twin of
+    * [[covarianceR6]] (shared by `emb_pca_top` and [[OpqOps]]' oracles).
+    */
+  private[operators] val covSql: String =
+    s"""mu AS (SELECT d, ${sqlR6("avg(x)")} AS mu FROM flat GROUP BY d),
+       |cf AS (SELECT f.vec_id, f.d, f.x - m.mu AS xc FROM flat f JOIN mu m ON m.d = f.d),
+       |cov AS MATERIALIZED (
+       |  SELECT a.d AS d1, b.d AS d2, ${sqlR6("avg(a.xc * b.xc)")} AS c
+       |  FROM cf a JOIN cf b ON b.vec_id = a.vec_id GROUP BY 1, 2
+       |)""".stripMargin
 
   private[operators] val flatSql =
     """flat AS (
@@ -992,12 +1015,7 @@ object Similarity {
            |)""".stripMargin
       }.mkString(",\n")
       s"""WITH $flatSql,
-         |mu AS (SELECT d, ${sqlR6("avg(x)")} AS mu FROM flat GROUP BY d),
-         |cf AS (SELECT f.vec_id, f.d, f.x - m.mu AS xc FROM flat f JOIN mu m ON m.d = f.d),
-         |cov AS MATERIALIZED (
-         |  SELECT a.d AS d1, b.d AS d2, ${sqlR6("avg(a.xc * b.xc)")} AS c
-         |  FROM cf a JOIN cf b ON b.vec_id = a.vec_id GROUP BY 1, 2
-         |),
+         |$covSql,
          |v0 AS (SELECT CAST(t.i AS BIGINT) AS d, 0.125e0 AS x FROM range(0, $Dim) t(i)),
          |$iters,
          |wf AS (

@@ -248,6 +248,74 @@ case class PqDists(child: Expression, subDim: Int, entries: Seq[(Int, Int, Seq[D
     copy(child = newChild)
 }
 
+/** Fused literal-matrix × vector kernel with the repo's fixed-point summation
+  * discipline: out(i) = (Σ_j fx9(m(i)(j) · x(j))) / 1e9 — the OPQ rotation
+  * applied to every corpus/query vector ([[graft.operators.OpqOps]]). The
+  * output keeps the full 1e-9 resolution: rounding rotated coordinates to the
+  * r6 grid would put the downstream ADC sums-of-squares EXACTLY on the r6
+  * rounding boundary (6-decimal inputs → squares on the 1e-12 grid → sums
+  * whose 7th decimal is exactly 5), making the oracle's arbitrary-order SUM
+  * flip the floor on ~1% of entries.
+  *
+  * Why a custom expression (SURVEY §7.3 escalation (b)): composed per-output-
+  * dim `aggregate(zip_with(...))` trees would put Dim = 64 literal kernels in
+  * one projection — 4× the count that already overflowed Janino's 64 KB limit
+  * for [[PqCodes]]. Here the matrix is one flat reference object and the
+  * generated code is a compact double loop inside WholeStageCodegen. The
+  * integer-quantized accumulation makes the result independent of summation
+  * order, so the DuckDB oracle's arbitrary-order SUM replays it exactly.
+  */
+case class MatVecFx(child: Expression, matrix: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  @transient private lazy val rows: Int = matrix.length
+  @transient private lazy val cols: Int = matrix.head.length
+  @transient private lazy val weights: Array[Double] = matrix.flatten.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val out = new Array[Double](rows)
+    var i = 0
+    while (i < rows) {
+      var acc = 0L
+      var j = 0
+      while (j < cols) {
+        acc += math.floor(weights(i * cols + j) * v.getDouble(j) * 1e9 + 0.5).toLong
+        j += 1
+      }
+      out(i) = acc / 1e9
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("mvWeights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+         |double[] $out = new double[$rows];
+         |for (int $i = 0; $i < $rows; $i++) {
+         |  long $acc = 0L;
+         |  for (int $j = 0; $j < $cols; $j++) {
+         |    $acc += (long) java.lang.Math.floor($wRef[$i * $cols + $j] * $a.getDouble($j) * 1e9 + 0.5);
+         |  }
+         |  $out[$i] = $acc / 1e9;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column wrapper: fused cosine similarity of two ARRAY<DOUBLE> columns. */
   def cosine_sim(a: Column, b: Column): Column =
@@ -265,4 +333,9 @@ object VectorFunctions {
   /** Column wrapper: PQ distance table — r6 L2² to every codebook entry. */
   def pq_dists(v: Column, subDim: Int, entries: Seq[(Int, Int, Seq[Double])]): Column =
     Bridge.column(PqDists(Bridge.expression(v), subDim, entries.sortBy(t => (t._1, t._2))))
+
+  /** Column wrapper: fx9-accumulated literal-matrix rotation of an
+    * ARRAY<DOUBLE> column (rows in output order, 1e-9 resolution). */
+  def mat_vec_fx(v: Column, matrix: Seq[Seq[Double]]): Column =
+    Bridge.column(MatVecFx(Bridge.expression(v), matrix))
 }

@@ -139,4 +139,26 @@ object EngineProperties extends Properties("graft") {
         refOk && argminOk
       }
     }
+
+  // MatVecFx replays the fx9-accumulated literal-matrix rotation for
+  // ARBITRARY matrices and vectors (the OPQ rotation kernel)
+  property("matvec.fx.replay") =
+    forAllNoShrink(Gen.choose(0L, 1L << 40)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows = 5; val cols = 4
+      def v3(n: Int) = Seq.fill(n)(math.floor(rnd.nextDouble() * 2000 - 1000) / 1000.0)
+      val mat = Seq.fill(rows)(v3(cols))
+      val vecs = Seq.fill(6)(v3(cols))
+      val sess = spark
+      import sess.implicits._
+      val out = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+        .select(col("id"), graft.plans.VectorFunctions.mat_vec_fx(col("v"), mat).as("r"))
+        .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1)).toMap
+      vecs.indices.forall { i =>
+        val exp = mat.map { row =>
+          row.indices.map(j => math.floor(row(j) * vecs(i)(j) * 1e9 + 0.5).toLong).sum / 1e9
+        }
+        out(i) == exp
+      }
+    }
 }
