@@ -33,6 +33,7 @@ object SparkEntry {
       (CorpusQc.queries, CorpusQc.oracles),
       (PqOps.queries, PqOps.oracles),
       (OpqOps.queries, OpqOps.oracles),
+      (SqOps.queries, SqOps.oracles),
       (graft.sources.Bucketed.queries, graft.sources.Bucketed.oracles),
       (graft.sources.Partitioned.queries, graft.sources.Partitioned.oracles),
       (graft.sources.Compaction.queries, graft.sources.Compaction.oracles),

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.functions.Num._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar quantization (SQ8) ANN — the remaining rung of the compression
+  * ladder next to [[PqOps]] (PQ/IVF-PQ) and [[OpqOps]] (OPQ): each of the 64
+  * dimensions is quantized INDEPENDENTLY to 8 bits against per-dimension
+  * [min, max] corpus statistics, so a vector stores 64 B (4× smaller than
+  * float32, 8× larger than the M=8 PQ code). SQ trades less compression for
+  * much higher fidelity than PQ and needs no codebook training — just one
+  * stats pass — which is why vector services default to it when memory allows
+  * (the SQ8 index family of the public FAISS library; Johnson, Douze, Jégou,
+  * "Billion-scale similarity search with GPUs", 2017). No reference
+  * counterpart (north-star op; the reference is a single-node tensor pipeline,
+  * /root/reference/models/diffusion_ts_model.py).
+  *
+  * Search is asymmetric (ADC): the query stays full-precision and is compared
+  * against DEQUANTIZED corpus values (mid-rise reconstruction mn + (code+½)·Δ),
+  * so the only approximation error is the corpus rounding, not double
+  * quantization.
+  *
+  * Scale shape: the stats pass is one distributed min/max agg (64 rows
+  * collected — bounded, the [[PqOps]] literal-folding discipline); quantize +
+  * dequantize fold into ONE projection over the corpus scan with the stats as
+  * plan literals; the query subset broadcasts and the corpus side never
+  * shuffles. Per-pair distances accumulate in fx6 fixed-point (exact BIGINT in
+  * both engines, order-independent — the [[PqOps.adcTopKOver]] discipline).
+  */
+object SqOps {
+  import PqOps.emb
+  import Similarity.{NumQueries, TopK}
+
+  val Levels = 255 // codes 0..255 → 255 quantization steps across [mn, mx]
+
+  /** Per-dimension (min, Δ) corpus statistics, collected as literals.
+    * Δ = (max − min)/255; a constant dimension (Δ = 0) maps to code 0 and
+    * reconstructs to mn + Δ/2 = mn exactly.
+    */
+  private def statsArr(spark: SparkSession, dir: String): (Seq[Double], Seq[Double]) = {
+    val rows = emb(spark, dir)
+      .select(posexplode(col("v")))
+      .groupBy(col("pos")).agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+      .orderBy("pos").collect()
+    (rows.map(_.getDouble(1)).toSeq,
+      rows.map(r => (r.getDouble(2) - r.getDouble(1)) / Levels).toSeq)
+  }
+
+  /** 8-bit code per element: clamp(⌊(x − mn_d)/Δ_d⌋, 0, 255). The x = mx_d
+    * edge lands on 255 via the clamp whichever side of the representable
+    * boundary (mx − mn)/Δ falls — both engines run the identical doubles.
+    */
+  private def codesCol(v: Column, mn: Seq[Double], dl: Seq[Double]): Column = {
+    val mnL = typedLit(mn); val dlL = typedLit(dl)
+    transform(v, (x, i) => {
+      val m = element_at(mnL, i + 1); val s = element_at(dlL, i + 1)
+      when(s === 0.0, lit(0L))
+        .otherwise(least(greatest(floor((x - m) / s), lit(0L)), lit(Levels.toLong)))
+    })
+  }
+
+  /** Mid-rise dequantization of a code array: mn_d + (code + ½)·Δ_d. */
+  private def deqCol(codes: Column, mn: Seq[Double], dl: Seq[Double]): Column = {
+    val mnL = typedLit(mn); val dlL = typedLit(dl)
+    transform(codes, (c, i) =>
+      element_at(mnL, i + 1) + (c.cast("double") + lit(0.5)) * element_at(dlL, i + 1))
+  }
+
+  /** The per-dimension quantizer statistics as a checkable artifact. */
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(posexplode(col("v")))
+      .groupBy(col("pos").as("d")).agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+
+  /** Asymmetric top-k: full-precision queries vs dequantized corpus, L2²
+    * accumulated in fx6 fixed-point (order-independent integer sum).
+    */
+  def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val (mn, dl) = statsArr(spark, dir)
+    val e = emb(spark, dir)
+    val corp = e.select(col("vec_id"), deqCol(codesCol(col("v"), mn, dl), mn, dl).as("dq"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = corp.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("fxsum",
+        aggregate(zip_with(col("qv"), col("dq"), (a, b) => fx((a - b) * (a - b), 6)),
+          lit(0L), (acc, t) => acc + t))
+    val w = Window.partitionBy("qid").orderBy(asc("fxsum"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"),
+        (col("fxsum").cast("double") / 1e6).as("sdist"))
+  }
+
+  /** Recall@[[TopK]] vs exact L2 — read next to `ann_pq_adc_recall` (8 B) and
+    * `ann_pq16_recall` (16 B): SQ8's 64 B/vector buys near-exact ranking.
+    */
+  def sq8Recall(spark: SparkSession, dir: String): DataFrame =
+    Similarity.recallOf(PqOps.bfL2TopK(spark, dir), sq8TopK(spark, dir))
+
+  // ---------------- DuckDB oracle twins ----------------
+
+  private val statsCte =
+    s"""stats AS (
+       |  SELECT d, min(x) AS mn, (max(x) - min(x)) / $Levels AS dl FROM flat GROUP BY d
+       |)""".stripMargin
+
+  /** Dequantized corpus values (vec_id, d, dq) — the CASE guards Δ = 0 the
+    * same lazy way the Spark `when` does. */
+  private val deqCte =
+    s"""deq AS (
+       |  SELECT f.vec_id, f.d,
+       |         s.mn + (CASE WHEN s.dl = 0 THEN 0
+       |                      ELSE least(greatest(floor((f.x - s.mn) / s.dl), 0), $Levels) END
+       |                 + 0.5) * s.dl AS dq
+       |  FROM flat f JOIN stats s ON s.d = f.d
+       |)""".stripMargin
+
+  private val sqTopkCtes =
+    s"""sqd AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS vid,
+       |         sum(${sqlFx("(a.x - b.dq) * (a.x - b.dq)", 6)}) AS fxsum
+       |  FROM flat a JOIN deq b ON b.d = a.d
+       |  WHERE a.vec_id < $NumQueries AND b.vec_id <> a.vec_id GROUP BY 1, 2
+       |), sq_topk AS (
+       |  SELECT qid, vid, rn, CAST(fxsum AS DOUBLE) / 1e6 AS sdist FROM (
+       |    SELECT qid, vid, fxsum, row_number() OVER (PARTITION BY qid ORDER BY fxsum, vid) AS rn
+       |    FROM sqd)
+       |  WHERE rn <= $TopK
+       |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_sq8_stats" -> ((s, d) => stats(s, d).orderBy("d")),
+    "ann_sq8_topk" -> ((s, d) => sq8TopK(s, d).orderBy("qid", "rank")),
+    "ann_sq8_recall" -> ((s, d) => sq8Recall(s, d).orderBy("qid"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ann_sq8_stats" ->
+      s"""WITH ${Similarity.flatSql}
+         |SELECT d, min(x) AS mn, max(x) AS mx FROM flat GROUP BY d ORDER BY d""".stripMargin,
+    "ann_sq8_topk" ->
+      s"""WITH ${Similarity.flatSql},
+         |$statsCte,
+         |$deqCte,
+         |$sqTopkCtes
+         |SELECT qid, vid AS neighbor_id, CAST(rn AS INT) AS rank, sdist
+         |FROM sq_topk ORDER BY qid, rank""".stripMargin,
+    "ann_sq8_recall" ->
+      s"""WITH ${Similarity.flatSql},
+         |${PqOps.bfL2Ctes},
+         |$statsCte,
+         |$deqCte,
+         |$sqTopkCtes,
+         |${PqOps.recallTailSql("sq_topk")}""".stripMargin
+  )
+}
