@@ -160,6 +160,88 @@ object CorpusQc {
         r6(col("n_hit").cast("double") / col("n_shingles").cast("double")).as("contam_frac"))
   }
 
+  // ---------------- cross-doc chunk dedup (boilerplate detection) ----------------
+
+  /** Non-overlapping chunk width in words. Chunks (not full docs) are the unit
+    * shared boilerplate actually repeats at — headers, footers, license
+    * blocks — which doc-level exact/near dedup ([[Dedup]]) cannot see when the
+    * surrounding text differs.
+    */
+  val ChunkWords = 8
+
+  /** A doc more than half made of cross-doc-shared chunks is boilerplate. */
+  val SharedFracThreshold = 0.5
+
+  /** (doc_id, g): digest per non-overlapping [[ChunkWords]]-word chunk (docs
+    * shorter than one chunk emit none). Same materialize-hw-first discipline
+    * as [[grams]] — the lambda must reference a column, not the md5 sweep.
+    */
+  private def chunks(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), hw.as("hw"))
+      .filter(size(col("hw")) >= ChunkWords)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), floor(size(col("hw")) / lit(ChunkWords.toDouble)).cast("int") - 1),
+          c => gramDigest(col("hw"), c * ChunkWords, ChunkWords))).as("g"))
+
+  /** Per-doc cross-doc chunk-sharing profile: of the doc's chunks, how many
+    * also occur in at least one OTHER doc (`n_shared_chunks`, by digest), the
+    * shared fraction, and the boilerplate flag. The CCNet-style
+    * paragraph-dedup pass (Wenzek et al., LREC 2020) re-expressed over word
+    * chunks, since fixture docs carry no line structure.
+    *
+    * Scale: only 28-bit digests shuffle — once to count distinct docs per
+    * digest, once to join the (g, n_docs) counts back. Both are digest-keyed
+    * hash shuffles with map-side collapse; raw text never moves.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunks(spark, dir)
+    val shared = ch.groupBy("g").agg(countDistinct(col("doc_id")).as("n_docs"))
+    val frac = r6(col("n_shared_chunks").cast("double") / col("n_chunks").cast("double"))
+    ch.join(shared, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+        frac.as("shared_frac"), (frac > SharedFracThreshold).as("boilerplate"))
+  }
+
+  // ---------------- unigram-LM negative log-likelihood (perplexity filter) ----------------
+
+  /** Per-doc mean unigram negative log-likelihood — the corpus-LM perplexity
+    * filter (the CCNet quality gate, with the corpus's own unigram model
+    * standing in for the external KenLM): score(doc) = −Σ ln p(w) / n, with
+    * p(w) the word's corpus frequency. Low-probability word salad scores
+    * high; template text scores low. `above_mean` flags docs above the corpus
+    * mean score — the half a perplexity-bucketed mixture would downsample.
+    *
+    * Determinism: each word's nll is quantized to fx9 BEFORE summing, so the
+    * per-doc sums are exact BIGINTs in both engines (the one ln() per DISTINCT
+    * word is the only float op); the mean comparison is pure integer
+    * arithmetic — fx6(avg)·n_docs vs Σ fx6(avg).
+    *
+    * Scale: the vocab count collapses map-side (vocabulary ≪ corpus);
+    * re-scoring joins tokens against the broadcast vocab; the global
+    * mean is a broadcast single-row agg — no collect, no global sort.
+    */
+  def unigramNll(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir).select(col("doc_id"), explode(words).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("tot"))
+    val perDoc = tok.join(broadcast(vocab), "w").crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        fx9(-log(col("cnt").cast("double") / col("tot").cast("double"))).as("nll_fx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_fx")).as("sfx"))
+      .select(col("doc_id"), col("n_tokens"),
+        r6(col("sfx").cast("double") / 1e9 / col("n_tokens").cast("double")).as("avg_nll"))
+    val thr = perDoc.agg(sum(fx(col("avg_nll"), 6)).as("thr_fx"),
+      count(lit(1)).as("n_docs"))
+    perDoc.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_tokens"), col("avg_nll"),
+        (fx(col("avg_nll"), 6) * col("n_docs") > col("thr_fx")).as("above_mean"))
+  }
+
   // ---------------- token-budget mixture sampling ----------------
 
   /** Base token budget; source k's budget is Base·(1 + k mod 3) — a
@@ -196,6 +278,8 @@ object CorpusQc {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> ((s, d) => repetition(s, d).orderBy("doc_id")),
     "docs_decontam" -> ((s, d) => decontam(s, d).orderBy("doc_id")),
+    "docs_chunk_dedup" -> ((s, d) => chunkDedup(s, d).orderBy("doc_id")),
+    "text_unigram_nll" -> ((s, d) => unigramNll(s, d).orderBy("doc_id")),
     "docs_mixture_sample" -> ((s, d) => mixtureSample(s, d).orderBy("source", "pick_order"))
   )
 
@@ -236,6 +320,49 @@ object CorpusQc {
          |       ${sqlR6(s"CAST(h.n_hit AS DOUBLE) / (greatest(len(regexp_split_to_array(d.text, '\\s+')) - $DecontamN, 0) + 1)")} AS contam_frac
          |FROM documents d JOIN hits h ON h.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "docs_chunk_dedup" ->
+      s"""WITH ch_h AS (
+         |  SELECT doc_id,
+         |         list_transform(regexp_split_to_array(text, '\\s+'),
+         |                        w -> ('0x' || substr(md5(w), 1, 7))::BIGINT) AS hw
+         |  FROM documents
+         |), ch AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(
+         |           generate_series(0, CAST(floor(len(hw) / ${ChunkWords.toDouble}) AS INT) - 1),
+         |           c -> ${gramDigestSql(s"c * $ChunkWords", ChunkWords)})) AS g
+         |  FROM ch_h WHERE len(hw) >= $ChunkWords
+         |), shared AS (
+         |  SELECT g, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY 1
+         |), agg AS (
+         |  SELECT ch.doc_id, count(*) AS n_chunks,
+         |         sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared_chunks
+         |  FROM ch JOIN shared s USING (g) GROUP BY 1
+         |)
+         |SELECT doc_id, n_chunks, n_shared_chunks,
+         |       ${sqlR6("CAST(n_shared_chunks AS DOUBLE) / n_chunks")} AS shared_frac,
+         |       ${sqlR6("CAST(n_shared_chunks AS DOUBLE) / n_chunks")} > ${sqlD(SharedFracThreshold)} AS boilerplate
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    "text_unigram_nll" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents
+         |), vocab AS (
+         |  SELECT w, count(*) AS cnt FROM tok GROUP BY 1
+         |), tot AS (SELECT sum(cnt) AS tot FROM vocab),
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |         sum(${sqlFx("-ln(CAST(v.cnt AS DOUBLE) / t.tot)", 9)}) AS sfx
+         |  FROM tok JOIN vocab v USING (w) CROSS JOIN tot t GROUP BY 1
+         |), res AS (
+         |  SELECT doc_id, n_tokens,
+         |         ${sqlR6("CAST(sfx AS DOUBLE) / 1e9 / n_tokens")} AS avg_nll
+         |  FROM perdoc
+         |), thr AS (
+         |  SELECT sum(${sqlFx("avg_nll", 6)}) AS thr_fx, count(*) AS n_docs FROM res
+         |)
+         |SELECT doc_id, n_tokens, avg_nll,
+         |       ${sqlFx("avg_nll", 6)} * t.n_docs > t.thr_fx AS above_mean
+         |FROM res CROSS JOIN thr t ORDER BY doc_id""".stripMargin,
     "docs_mixture_sample" ->
       s"""WITH base AS (
          |  SELECT doc_id, source,

@@ -340,6 +340,39 @@ object Relational {
         r6(exactSum(col("value"))).as("session_value"))
   }
 
+  /** Sampled user cohort for the SCD-2 view (1-in-7 users keeps the output
+    * proportional to the fixture, ~2k rows at sf0.1 per type). */
+  val Scd2UserMod = 7
+
+  /** SCD-2 (slowly-changing-dimension type 2) interval build: the event log
+    * of each (user_id, event_type) becomes half-open validity intervals
+    * [valid_from, valid_to) via `lead`, with the open current row flagged —
+    * the change-log → dimension-snapshot pass a warehouse runs so as-of state
+    * is a range probe instead of a log scan (the same hour-bucketed probe
+    * [[asofJoin]] then serves).
+    *
+    * Scale: one window over the natural (user, type) partitioning — the same
+    * shuffle any per-key ordering pays, no global sort, output linear in the
+    * change log.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("valid_from", "event_id")
+    Tables.events(spark, dir)
+      .filter(col("user_id") % Scd2UserMod === 0)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("valid_from"), col("value"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  def scd2Oracle: String =
+    s"""SELECT user_id, event_type, event_id, ts AS valid_from, value,
+       |       lead(ts) OVER w AS valid_to,
+       |       lead(ts) OVER w IS NULL AS is_current
+       |FROM events WHERE user_id % $Scd2UserMod = 0
+       |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+       |ORDER BY user_id, event_type, valid_from, event_id""".stripMargin
+
   /** Schema-on-read over the semi-structured `props` JSON column — the
     * extract-then-aggregate pass every event pipeline runs on its property
     * bag. `get_json_object` is codegen'd and the extraction is a pure
@@ -408,6 +441,7 @@ object Relational {
     "events_asof_join" -> ((s, d) => asofJoin(s, d).orderBy("event_id")),
     "events_interval_join" -> ((s, d) => intervalJoin(s, d).orderBy("event_id")),
     "events_sessionize" -> ((s, d) => sessionize(s, d).orderBy("user_id", "session_seq")),
+    "events_scd2" -> ((s, d) => scd2(s, d).orderBy("user_id", "event_type", "valid_from", "event_id")),
     "events_type_pivot" -> ((s, d) => typePivot(s, d).orderBy("user_id")),
     "events_type_unpivot" -> ((s, d) => typeUnpivot(s, d).orderBy("user_id", "event_type"))
   )
@@ -415,6 +449,7 @@ object Relational {
   def oracles: Map[String, String] = Map(
     "events_props_json" -> propsJsonStatsOracle,
     "events_cube" -> eventsCubeOracle,
+    "events_scd2" -> scd2Oracle,
     "tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sqlExactSum("l_quantity")} AS sum_qty,

@@ -37,7 +37,16 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("ws"), col("event_type"), col("n_events"))
 
-  /** Session windows with a 30-minute gap, per user. */
+  /** Session windows with a 30-minute gap, per user — the BUILT-IN
+    * `session_window` operator (merging interval state under streaming, a
+    * plain aggregation under batch). Boundary semantics are spec-asserted,
+    * not assumed: each event spans [ts, ts + gap) and windows merge when they
+    * overlap OR TOUCH, so an event arriving at exactly `prev + gap` still
+    * MERGES — the same inclusive `gap <= 30 min` rule as
+    * `Relational.sessionize`/[[StatefulOps]] (a first draft asserted the
+    * strict reading and the spec refuted it). `session_end` is
+    * `last event + gap`, not the last event itself.
+    */
   def sessionCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
@@ -128,7 +137,12 @@ object StreamingOps {
     // literally the streaming code path, driver-oracle-checked; the
     // incremental run of the same transform is covered by StreamingSpec)
     "events_sliding_agg" -> ((s, d) =>
-      slidingCounts(Tables.events(s, d)).orderBy("ws", "event_type"))
+      slidingCounts(Tables.events(s, d)).orderBy("ws", "event_type")),
+    // the built-in session_window transform under a batch plan (the same code
+    // path an incremental run takes; merging-state behaviour is covered by
+    // StreamingSpec) — previously spec-only, now oracle-checked
+    "events_session_window" -> ((s, d) =>
+      sessionCounts(Tables.events(s, d)).orderBy("user_id", "session_start"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -144,6 +158,26 @@ object StreamingOps {
       """SELECT make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - i.i * 900) * 1000000 AS BIGINT)) AS ws,
         |       event_type, count(*) AS n_events
         |FROM events CROSS JOIN range(0, 4) i(i)
-        |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    // islands walk with the built-in's INCLUSIVE boundary (spec-asserted:
+    // touching windows merge, so only diff > gap breaks) and end = last + gap
+    "events_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events
+        |), marked AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR epoch(ts) - epoch(prev_ts) > 1800.0e0 THEN 1 ELSE 0 END AS brk
+        |  FROM g
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked
+        |)
+        |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       user_id, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
   )
 }

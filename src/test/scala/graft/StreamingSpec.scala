@@ -72,6 +72,26 @@ class StreamingSpec extends SparkSpec {
     assert(perUser.agg(sum("total")).collect()(0).getLong(0) == 500)
   }
 
+  test("session_window boundary is INCLUSIVE: exactly prev + gap merges, one past it breaks") {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, sec: Long) = Ev(id, new Timestamp(base + sec * 1000L), 1L, "click", 1.0)
+    // 1799s → 3599s is EXACTLY 30 min: the windows [1799, 3599) and
+    // [3599, 5399) touch, and the built-in MERGES touching windows — the same
+    // inclusive rule as Relational.sessionize/StatefulOps. 3599s → 5400s is
+    // one second past the gap and breaks. (A first draft asserted the strict
+    // reading — merge only on overlap — and this spec refuted it; the oracle
+    // encodes what the engine does, not what the docs might suggest.)
+    val out = StreamingOps.sessionCounts(
+      Seq(ev(0, 0), ev(1, 1799), ev(2, 3599), ev(3, 5400)).toDF())
+      .orderBy("session_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(3) == 3 && out(1).getLong(3) == 1)
+    // end = last event + gap
+    assert(out(0).getTimestamp(1).getTime == base + (3599L + 1800L) * 1000L)
+    assert(out(1).getTimestamp(0).getTime == base + 5400L * 1000L)
+  }
+
   test("dropDuplicatesWithinWatermark suppresses replays across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
