@@ -37,6 +37,7 @@ object SparkEntry {
       (graft.sources.Bucketed.queries, graft.sources.Bucketed.oracles),
       (graft.sources.Partitioned.queries, graft.sources.Partitioned.oracles),
       (graft.sources.Compaction.queries, graft.sources.Compaction.oracles),
+      (graft.sources.SchemaEvolution.queries, graft.sources.SchemaEvolution.oracles),
       (graft.sources.ZOrder.queries, graft.sources.ZOrder.oracles),
       (TypedOps.queries, TypedOps.oracles),
       (StatefulOps.queries, StatefulOps.oracles),

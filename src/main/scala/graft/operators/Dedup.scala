@@ -185,8 +185,10 @@ object Dedup {
       .distinct()
   }
 
-  /** Attach exact digest-set Jaccard to a (doc_a, doc_b) pair set. */
-  private def withJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
+  /** Attach set-overlap counts (n_shared, n_a, n_b) to a (doc_a, doc_b) pair
+    * set — the shared base for every set-resemblance measure (Jaccard,
+    * containment). */
+  private def withOverlap(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("base"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("base"))
@@ -197,10 +199,14 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+  }
+
+  /** Attach exact digest-set Jaccard to a (doc_a, doc_b) pair set. */
+  private def withJaccard(sh: DataFrame, pairs: DataFrame): DataFrame =
+    withOverlap(sh, pairs)
       .select(col("doc_a"), col("doc_b"),
         r6(col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")).cast("double")).as("jaccard"))
-  }
 
   /** N-gram Jaccard near-dup: block on shared rare shingles (df ≤ MaxShingleDf),
     * require ≥ MinSharedRare shared rare shingles (the groupBy count doubles as
@@ -214,18 +220,48 @@ object Dedup {
     * need both detectors ([[minhashQuality]]) scan and shingle the corpus
     * once.
     */
-  private[graft] def ngramJaccardPairsOf(sh: DataFrame): DataFrame = {
+  private[graft] def ngramJaccardPairsOf(sh: DataFrame): DataFrame =
+    withJaccard(sh, rareBlockedCands(sh)).filter(col("jaccard") >= JaccardThreshold)
+
+  /** Rare-shingle-blocked candidate pairs (the stage shared by the Jaccard
+    * and containment detectors): pairs sharing >= [[MinSharedRare]] shingles
+    * of document frequency <= [[MaxShingleDf]]. */
+  private def rareBlockedCands(sh: DataFrame): DataFrame = {
     val rare = sh.groupBy("base").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf && col("df") >= 2)
     val blocked = sh.join(rare.select("base"), "base")
       .select("doc_id", "base").localCheckpoint(true)
-    val cand = blocked.as("a").join(blocked.as("b"),
+    blocked.as("a").join(blocked.as("b"),
         col("a.base") === col("b.base") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_rare_shared"))
       .filter(col("n_rare_shared") >= MinSharedRare)
       .select("doc_a", "doc_b")
-    withJaccard(sh, cand).filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** Containment threshold: a pair where the smaller shingle set is at least
+    * half inside the larger is an asymmetric near-dup candidate. */
+  val ContainmentThreshold = 0.5
+
+  /** Containment near-dup: |A intersect B| / min(|A|, |B|) over the same
+    * rare-shingle-blocked candidates as [[ngramJaccardPairsOf]]. Jaccard is
+    * blind to ASYMMETRIC duplication -- a short doc quoted whole inside a much
+    * longer one scores |A|/|B| (small) on Jaccard but 1.0 on containment
+    * (Broder's resemblance-vs-containment distinction, "On the resemblance
+    * and containment of documents", SEQUENCES 1997). Both measures are
+    * emitted side by side so the gap itself is queryable; the candidate
+    * stage, and therefore the scale shape, is unchanged.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir).localCheckpoint(true)
+    val cont = r6(col("n_shared").cast("double") /
+      least(col("n_a"), col("n_b")).cast("double"))
+    val jac = r6(col("n_shared").cast("double") /
+      (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+    withOverlap(sh, rareBlockedCands(sh))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_shared"),
+        cont.as("containment"), jac.as("jaccard"))
+      .filter(col("containment") >= ContainmentThreshold)
   }
 
   /** Max Hamming distance for a SimHash near-dup pair, and the blocking that
@@ -547,6 +583,7 @@ object Dedup {
     "dedup_minhash_sig" -> ((s, d) => minhashBands(s, d).orderBy("doc_id", "band")),
     "dedup_minhash_pairs" -> ((s, d) => minhashPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d).orderBy("doc_a", "doc_b")),
+    "dedup_containment" -> ((s, d) => containmentPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_minhash_quality" -> ((s, d) => minhashQuality(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d).orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairStats(s, d).orderBy("hamming")),
@@ -579,6 +616,26 @@ object Dedup {
          |)${jaccardSql("cand")}
          | SELECT doc_a, doc_b, jaccard FROM jac
          | WHERE jaccard >= ${sqlD(JaccardThreshold)}
+         | ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $docShinglesSql,
+         |rare AS (
+         |  SELECT base FROM shingles GROUP BY base
+         |  HAVING count(*) <= $MaxShingleDf AND count(*) >= 2
+         |), blocked AS (
+         |  SELECT s.doc_id, s.base FROM shingles s JOIN rare r ON s.base = r.base
+         |), cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocked a JOIN blocked b ON a.base = b.base AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinSharedRare
+         |)${jaccardSql("cand")}
+         | SELECT s.doc_a, s.doc_b, na.n_sh AS n_a, nb.n_sh AS n_b, s.n_shared,
+         |        ${sqlR6("CAST(s.n_shared AS DOUBLE) / least(na.n_sh, nb.n_sh)")} AS containment,
+         |        ${sqlR6("CAST(s.n_shared AS DOUBLE) / CAST(na.n_sh + nb.n_sh - s.n_shared AS DOUBLE)")} AS jaccard
+         | FROM shared s
+         | JOIN sizes na ON na.doc_id = s.doc_a
+         | JOIN sizes nb ON nb.doc_id = s.doc_b
+         | WHERE ${sqlR6("CAST(s.n_shared AS DOUBLE) / least(na.n_sh, nb.n_sh)")} >= ${sqlD(ContainmentThreshold)}
          | ORDER BY doc_a, doc_b""".stripMargin,
     // transitive closure via a recursive CTE: reach(id, r) holds every
     // (member, reachable-node) pair of the undirected edge graph; min(r) per

@@ -86,8 +86,7 @@ object SqOps {
     val scored = corp.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("fxsum",
-        aggregate(zip_with(col("qv"), col("dq"), (a, b) => fx((a - b) * (a - b), 6)),
-          lit(0L), (acc, t) => acc + t))
+        graft.plans.VectorFunctions.l2_sq_fx6(col("qv"), col("dq")))
     val w = Window.partitionBy("qid").orderBy(asc("fxsum"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"),

@@ -306,7 +306,32 @@ object TextOps {
        |        FROM documents)
        |)""".stripMargin
 
+  /** Top candidate merges per BPE's first training step, at word granularity:
+    * the [[MergeTopK]] most frequent ADJACENT word pairs over the corpus
+    * (Sennrich et al., "Neural Machine Translation of Rare Words with Subword
+    * Units", ACL 2016 — the pair-counting pass, iterated there, run once
+    * here). Deterministic tiebreak (count desc, then pair lexicographic) so
+    * the boundary rank is stable in both engines.
+    *
+    * Scale: pair extraction is a map-side projection; the pair-count agg
+    * collapses map-side onto a vocabulary-squared-bounded keyspace, and the
+    * global top-k is TakeOrdered (per-partition heaps + a k-row driver
+    * merge), not a global sort.
+    */
+  val MergeTopK = 20
+
+  def bigramMerges(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(words.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("w1"), asc("w2")).limit(MergeTopK)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_merges" -> ((s, d) => bigramMerges(s, d)),
     "text_token_counts" -> ((s, d) => tokenCounts(s, d).orderBy("doc_id")),
     "text_quality" -> ((s, d) => quality(s, d).orderBy("doc_id")),
     "text_langid" -> ((s, d) => langId(s, d).orderBy("doc_id")),
@@ -319,6 +344,15 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_bigram_merges" ->
+      s"""WITH w AS (SELECT $wordsSql AS ws FROM documents),
+         |pairs AS (
+         |  SELECT ws[g.i] AS w1, ws[g.i + 1] AS w2
+         |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+         |  WHERE len(ws) >= 2
+         |)
+         |SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY 1, 2
+         |ORDER BY cnt DESC, w1, w2 LIMIT $MergeTopK""".stripMargin,
     "text_token_counts" ->
       s"""SELECT doc_id,
          |       len($wordsSql)::BIGINT AS n_words,

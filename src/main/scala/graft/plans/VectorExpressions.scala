@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for fused cosine similarity over two
   * ARRAY<DOUBLE> columns (SURVEY.md §7.3 escalation path (b): a custom
@@ -95,6 +95,54 @@ case class L2SqDistance(left: Expression, right: Expression)
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = $a.getDouble($i) - $b.getDouble($i);
          |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused fx6 fixed-point squared-L2 over two ARRAY<DOUBLE> columns: each
+  * per-dimension squared difference is quantized to integer micros
+  * (floor(d²·1e6 + 0.5)) BEFORE accumulating, and the sum is carried as a
+  * long — bit-identical to the `aggregate(zip_with(a, b, fx6), 0L, +)`
+  * higher-order-function form it replaces (SqOps' asymmetric SQ8 scorer),
+  * but as one codegen'd loop with no per-element lambda dispatch or array
+  * allocation.
+  */
+case class L2SqFx6(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += math.floor(d * d * 1e6 + 0.5).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += (long) java.lang.Math.floor($d * $d * 1.0E6 + 0.5);
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -324,6 +372,10 @@ object VectorFunctions {
   /** Column wrapper: fused squared L2 distance of two ARRAY<DOUBLE> columns. */
   def l2_sq(a: Column, b: Column): Column =
     Bridge.column(L2SqDistance(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column wrapper: fused fx6 fixed-point squared-L2 (long micros sum). */
+  def l2_sq_fx6(a: Column, b: Column): Column =
+    Bridge.column(L2SqFx6(Bridge.expression(a), Bridge.expression(b)))
 
   /** Column wrapper: PQ encode — per-subspace nearest-codeword ids.
     * `entries` = (m, c, subDim weights), sorted by (m, c). */

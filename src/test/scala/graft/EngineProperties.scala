@@ -44,6 +44,23 @@ object EngineProperties extends Properties("graft") {
       bad == 0L
     }
 
+  // the fused L2SqFx6 kernel equals the aggregate(zip_with(fx6)) HOF form it
+  // replaced, for arbitrary vectors (and therefore stays oracle-exact)
+  property("l2sqfx6.equals.hof") =
+    forAll(Gen.choose(1, 16), Gen.choose(-50.0, 50.0)) { (dim, shift) =>
+      val vs = spark.range(24).select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => Num.r6(sin(col("id").cast("double") * 3.7 + i.cast("double") + shift))).as("a"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => Num.r6(cos(col("id").cast("double") * 1.9 + i.cast("double") - shift))).as("b"))
+      val bad = vs.select(
+        graft.plans.VectorFunctions.l2_sq_fx6(col("a"), col("b")).as("k"),
+        aggregate(zip_with(col("a"), col("b"),
+          (x, y) => Num.fx((x - y) * (x - y), 6)), lit(0L), (acc, t) => acc + t).as("h"))
+        .filter(col("k") =!= col("h")).count()
+      bad == 0L
+    }
+
   // Num.r6 is idempotent and within half an ulp-of-1e-6 of its argument
   property("r6.idempotent.close") =
     forAll(Gen.choose(-1.0e6, 1.0e6)) { x0 =>
