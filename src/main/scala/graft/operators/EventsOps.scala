@@ -506,6 +506,41 @@ object EventsOps {
        |       count(*) AS n_events, true AS hll_within_tol
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Sketch MERGEABILITY made explicit — the property that makes sketches the
+    * 100-TB structure: per-event_type DataSketches HLL sketches are built in
+    * one grouped aggregation, then UNIONED (`hll_union_agg`) into the global
+    * distinct-users estimate WITHOUT rescanning events. Because users appear
+    * under several types, the true global count is far below the per-type
+    * sum — a re-aggregation no exact per-group count can serve, but a
+    * sketch union answers from #groups × few-KB of state. This is how
+    * per-partition / per-day / per-shard profiles roll up to fleet totals
+    * (exact twin only powers the in-tolerance gate, per
+    * [[dailyUsersSketch]]'s oracle design).
+    */
+  def hllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val per = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("n_users_exact"))
+      .localCheckpoint(true) // <= #types rows; reused by both output legs
+    val tol = (sk: Column, exact: Column) =>
+      abs(sk - exact).cast("double") * 100.0 / exact.cast("double") <= HllTolPct
+    val perOut = per.select(col("event_type"), col("n_users_exact"),
+      tol(hll_sketch_estimate(col("sk")), col("n_users_exact")).as("hll_within_tol"))
+    val globalOut = per.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+      .crossJoin(ev.agg(countDistinct(col("user_id")).as("n_users_exact")))
+      .select(lit("ALL").as("event_type"), col("n_users_exact"),
+        tol(col("approx"), col("n_users_exact")).as("hll_within_tol"))
+    perOut.unionByName(globalOut)
+  }
+
+  def hllUnionOracle: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users_exact, true AS hll_within_tol
+      |FROM events GROUP BY 1
+      |UNION ALL
+      |SELECT 'ALL', count(DISTINCT user_id), true FROM events
+      |ORDER BY event_type""".stripMargin
+
   /** Salt fan-out for [[saltedJoin]] and the events-per-user threshold above
     * which a user counts as heavy (fixture median is 66, p90 ≈ 78 at every
     * sf, so 75 splits the population meaningfully at all three scales).
@@ -834,6 +869,7 @@ object EventsOps {
     "events_funnel" -> ((s, d) => funnel(s, d).orderBy("user_id")),
     "events_funnel_windowed" -> ((s, d) => funnelWindowed(s, d).orderBy("user_id")),
     "events_daily_users_hll" -> ((s, d) => dailyUsersSketch(s, d).orderBy("event_date")),
+    "events_hll_union" -> ((s, d) => hllUnion(s, d).orderBy("event_type")),
     "ts_value_quantiles_sketch" -> ((s, d) => valueQuantilesSketch(s, d).orderBy("event_type")),
     "ts_tumbling_agg" -> ((s, d) => tumbling(s, d))
   )
@@ -857,6 +893,7 @@ object EventsOps {
     "events_funnel" -> funnelOracle,
     "events_funnel_windowed" -> funnelWindowedOracle,
     "events_daily_users_hll" -> dailyUsersSketchOracle,
+    "events_hll_union" -> hllUnionOracle,
     "ts_value_quantiles_sketch" -> valueQuantilesSketchOracle,
     "ts_tumbling_agg" -> tumblingOracle
   )

@@ -27,6 +27,24 @@ class PlanHygieneSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  /** Top-k rank filters must plan a WindowGroupLimit: Catalyst rewrites
+    * `row_number().over(w) <= k` into a per-partition group-limit BEFORE the
+    * window sort, so each map task keeps only k rows per key instead of
+    * shuffling and sorting every scored row — at 100 TB the difference
+    * between a bounded heap per task and a full sort of the candidate set.
+    * A refactor that hides the rank filter behind a non-pushable expression
+    * would silently lose this; asserting the physical plan keeps it loud.
+    */
+  test("top-k rank filters push down to WindowGroupLimit") {
+    val topk = Seq("ann_bruteforce_topk", "ann_sq8_topk", "ann_pq_topk",
+      "ts_topk_bins", "top_customers_per_nation")
+    val bad = topk.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      if (!plan.contains("WindowGroupLimit")) Some(name) else None
+    }
+    assert(bad.isEmpty, s"no WindowGroupLimit in: $bad")
+  }
+
   /** Dimension-side joins must stay broadcast: a dim that silently outgrows
     * `spark.sql.autoBroadcastJoinThreshold` (or a hint lost in a refactor)
     * would fall back to a full SortMergeJoin — correct results, but a shuffle
