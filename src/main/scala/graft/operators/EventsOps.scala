@@ -541,6 +541,46 @@ object EventsOps {
       |SELECT 'ALL', count(DISTINCT user_id), true FROM events
       |ORDER BY event_type""".stripMargin
 
+  /** Retention cohorts — the canonical product-analytics rollup: users are
+    * cohorted by FIRST-seen date, and retention at day offset k is the share
+    * of that cohort active k days later. The two-sided derivation (first-seen
+    * per user, then activity re-joined on user) is the shape that makes this
+    * a distributed-join problem rather than a window: cohorting needs the
+    * global min per user, activity is the full log.
+    *
+    * Scale: first-seen is one map-side-collapsing groupBy(user); the
+    * activity join shuffles on user_id — the log's natural key; output is
+    * |cohorts| × |offsets|, constant in corpus size. Exact BIGINT counts and
+    * an r6 ratio keep the hash stable.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val first = ev.groupBy("user_id").agg(min(col("d")).as("cohort_date"))
+    val sizes = first.groupBy("cohort_date").agg(count(lit(1)).as("cohort_size"))
+    ev.join(first, "user_id")
+      .withColumn("day_offset", datediff(col("d"), col("cohort_date")).cast("long"))
+      .groupBy("cohort_date", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, "cohort_date")
+      .select(col("cohort_date"), col("day_offset"), col("n_active"), col("cohort_size"),
+        r6(col("n_active").cast("double") / col("cohort_size").cast("double")).as("retention"))
+  }
+
+  def retentionCohortsOracle: String =
+    s"""WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+       |f AS (SELECT user_id, min(d) AS cohort_date FROM ev GROUP BY 1),
+       |sz AS (SELECT cohort_date, count(*) AS cohort_size FROM f GROUP BY 1),
+       |act AS (
+       |  SELECT f.cohort_date, CAST(e.d - f.cohort_date AS BIGINT) AS day_offset,
+       |         count(DISTINCT e.user_id) AS n_active
+       |  FROM ev e JOIN f USING (user_id) GROUP BY 1, 2
+       |)
+       |SELECT a.cohort_date, a.day_offset, a.n_active, sz.cohort_size,
+       |       ${sqlR6("CAST(a.n_active AS DOUBLE) / sz.cohort_size")} AS retention
+       |FROM act a JOIN sz USING (cohort_date)
+       |ORDER BY cohort_date, day_offset""".stripMargin
+
   /** Salt fan-out for [[saltedJoin]] and the events-per-user threshold above
     * which a user counts as heavy (fixture median is 66, p90 ≈ 78 at every
     * sf, so 75 splits the population meaningfully at all three scales).
@@ -870,6 +910,7 @@ object EventsOps {
     "events_funnel_windowed" -> ((s, d) => funnelWindowed(s, d).orderBy("user_id")),
     "events_daily_users_hll" -> ((s, d) => dailyUsersSketch(s, d).orderBy("event_date")),
     "events_hll_union" -> ((s, d) => hllUnion(s, d).orderBy("event_type")),
+    "events_retention_cohorts" -> ((s, d) => retentionCohorts(s, d).orderBy("cohort_date", "day_offset")),
     "ts_value_quantiles_sketch" -> ((s, d) => valueQuantilesSketch(s, d).orderBy("event_type")),
     "ts_tumbling_agg" -> ((s, d) => tumbling(s, d))
   )
@@ -894,6 +935,7 @@ object EventsOps {
     "events_funnel_windowed" -> funnelWindowedOracle,
     "events_daily_users_hll" -> dailyUsersSketchOracle,
     "events_hll_union" -> hllUnionOracle,
+    "events_retention_cohorts" -> retentionCohortsOracle,
     "ts_value_quantiles_sketch" -> valueQuantilesSketchOracle,
     "ts_tumbling_agg" -> tumblingOracle
   )

@@ -218,7 +218,7 @@ object PqOps {
   /** The shared IVF coarse quantizer (16 centroids, cached per corpus),
     * collected back to literal form for plan folding.
     */
-  private def centroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+  private[operators] def centroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
     Similarity.kmeansCentroidsFlat(spark, dir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       .groupBy(_._1).map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3).toSeq }
@@ -227,7 +227,7 @@ object PqOps {
   /** (r6 dist, cell) literal pairs — [[Similarity]]'s assignLit building
     * block over the shared quantizer (16 kernels: codegen-safe).
     */
-  private def cellPairs(cent: Seq[(Int, Seq[Double])]): Seq[Column] =
+  private[operators] def cellPairs(cent: Seq[(Int, Seq[Double])]): Seq[Column] =
     cent.map { case (c, w) =>
       array(r6(l2_sq(col("v"), typedLit(w))), lit(c.toDouble))
     }

@@ -99,6 +99,42 @@ object SqOps {
   def sq8Recall(spark: SparkSession, dir: String): DataFrame =
     Similarity.recallOf(PqOps.bfL2TopK(spark, dir), sq8TopK(spark, dir))
 
+  /** IVF-SQ8: the IVF coarse quantizer prunes the corpus to each query's
+    * [[Similarity.NProbe]] nearest cells and the survivors are ranked by the
+    * SQ8 asymmetric distance — the middle rung of the IVF compression matrix
+    * between IVF-flat (`ann_ivf_np_recall`, raw vectors in-cell) and IVF-PQ
+    * (`ann_ivfpq_recall`, 8 B codes): 64 B/vector, near-exact in-cell
+    * ranking, 4× less memory than the flat cells. Shares the cached coarse
+    * quantizer with every other IVF path, and cell assignment + dequantize
+    * fold into ONE literal projection over the single corpus scan.
+    */
+  def ivfSq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val (mn, dl) = statsArr(spark, dir)
+    val cent = PqOps.centroids(spark, dir)
+    val e = emb(spark, dir)
+    val corp = e.select(col("vec_id"),
+      array_min(array(PqOps.cellPairs(cent): _*)).getItem(1).cast("int").as("cell"),
+      deqCol(codesCol(col("v"), mn, dl), mn, dl).as("dq"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probes = PqOps.probedCells(spark, dir).join(q, "qid") // NProbe rows/query
+    val scored = corp.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("fxsum",
+        graft.plans.VectorFunctions.l2_sq_fx6(col("qv"), col("dq")))
+    val w = Window.partitionBy("qid").orderBy(asc("fxsum"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"),
+        (col("fxsum").cast("double") / 1e6).as("sdist"))
+  }
+
+  /** Recall@[[TopK]] of IVF-SQ8 vs exact L2 — read next to
+    * `ann_ivf_np_recall` (same cells, exact scoring, its ceiling) and
+    * `ann_ivfpq_recall` (same cells, 8 B ADC scoring, its cheaper rival).
+    */
+  def ivfSq8Recall(spark: SparkSession, dir: String): DataFrame =
+    Similarity.recallOf(PqOps.bfL2TopK(spark, dir), ivfSq8TopK(spark, dir))
+
   // ---------------- DuckDB oracle twins ----------------
 
   private val statsCte =
@@ -133,8 +169,31 @@ object SqOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_sq8_stats" -> ((s, d) => stats(s, d).orderBy("d")),
     "ann_sq8_topk" -> ((s, d) => sq8TopK(s, d).orderBy("qid", "rank")),
-    "ann_sq8_recall" -> ((s, d) => sq8Recall(s, d).orderBy("qid"))
+    "ann_sq8_recall" -> ((s, d) => sq8Recall(s, d).orderBy("qid")),
+    "ann_ivfsq8_topk" -> ((s, d) => ivfSq8TopK(s, d).orderBy("qid", "rank")),
+    "ann_ivfsq8_recall" -> ((s, d) => ivfSq8Recall(s, d).orderBy("qid"))
   )
+
+  /** Cell-pruned SQ8 scores (qcells → bkt candidates → fx6 L2 over deq). */
+  private val sqIvfCtes =
+    s"""qcells AS (
+       |  SELECT vec_id AS qid, c FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+       |    FROM bdist WHERE vec_id < $NumQueries)
+       |  WHERE rn <= ${Similarity.NProbe}
+       |), sqd AS (
+       |  SELECT q.qid, b.vec_id AS vid,
+       |         sum(${sqlFx("(a.x - d.dq) * (a.x - d.dq)", 6)}) AS fxsum
+       |  FROM bkt b JOIN qcells q ON q.c = b.c
+       |  JOIN deq d ON d.vec_id = b.vec_id
+       |  JOIN flat a ON a.vec_id = q.qid AND a.d = d.d
+       |  WHERE b.vec_id <> q.qid GROUP BY 1, 2
+       |), sq_topk AS (
+       |  SELECT qid, vid, rn, CAST(fxsum AS DOUBLE) / 1e6 AS sdist FROM (
+       |    SELECT qid, vid, fxsum, row_number() OVER (PARTITION BY qid ORDER BY fxsum, vid) AS rn
+       |    FROM sqd)
+       |  WHERE rn <= $TopK
+       |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "ann_sq8_stats" ->
@@ -153,6 +212,22 @@ object SqOps {
          |$statsCte,
          |$deqCte,
          |$sqTopkCtes,
+         |${PqOps.recallTailSql("sq_topk")}""".stripMargin,
+    "ann_ivfsq8_topk" ->
+      s"""WITH ${Similarity.flatSql},
+         |${Similarity.ivfBucketCtes},
+         |$statsCte,
+         |$deqCte,
+         |$sqIvfCtes
+         |SELECT qid, vid AS neighbor_id, CAST(rn AS INT) AS rank, sdist
+         |FROM sq_topk ORDER BY qid, rank""".stripMargin,
+    "ann_ivfsq8_recall" ->
+      s"""WITH ${Similarity.flatSql},
+         |${PqOps.bfL2Ctes},
+         |${Similarity.ivfBucketCtes},
+         |$statsCte,
+         |$deqCte,
+         |$sqIvfCtes,
          |${PqOps.recallTailSql("sq_topk")}""".stripMargin
   )
 }
