@@ -38,6 +38,7 @@ object SparkEntry {
       (graft.sources.Partitioned.queries, graft.sources.Partitioned.oracles),
       (graft.sources.Compaction.queries, graft.sources.Compaction.oracles),
       (graft.sources.SchemaEvolution.queries, graft.sources.SchemaEvolution.oracles),
+      (graft.sources.Backfill.queries, graft.sources.Backfill.oracles),
       (graft.sources.ZOrder.queries, graft.sources.ZOrder.oracles),
       (TypedOps.queries, TypedOps.oracles),
       (StatefulOps.queries, StatefulOps.oracles),

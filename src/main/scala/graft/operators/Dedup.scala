@@ -264,6 +264,39 @@ object Dedup {
       .filter(col("containment") >= ContainmentThreshold)
   }
 
+  /** Which doc_ids play the "newly arrived batch" in the incremental pass. */
+  val NewBatchMod = 10
+
+  /** Incremental near-dup — the shape a PRODUCTION dedup service actually
+    * runs: a newly-arrived batch (1-in-[[NewBatchMod]] docs here) is probed
+    * against the EXISTING corpus's band index instead of re-running the full
+    * self-join. The candidate join is asymmetric (new bands ⋈ corpus bands on
+    * the same (band, band_key)), so its cost is O(batch × bucket), not
+    * O(corpus²): the corpus side is the pre-built index a service keeps
+    * materialized, and only the batch is shingled fresh. New-vs-new pairs are
+    * deliberately NOT emitted — intra-batch dedup is the existing self-join
+    * pass ([[minhashPairs]]); this operator answers "which incoming docs
+    * already exist", the gate an ingest applies before admission (the same
+    * split [[graft.streaming.CurationStream]] documents for its exact-dedup
+    * state). The [[MaxBandBucket]] degenerate-bucket guard applies to the
+    * corpus index side, same as the batch detector.
+    */
+  def incrementalPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir).localCheckpoint(true)
+    val bands = bandsOf(spark, sh).localCheckpoint(true)
+    val isNew = col("doc_id") % NewBatchMod === (NewBatchMod - 1)
+    val wBucket = Window.partitionBy("band", "band_key")
+    val index = bands.filter(!isNew)
+      .withColumn("bsz", count(lit(1)).over(wBucket))
+      .filter(col("bsz") <= MaxBandBucket)
+      .select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+    val cand = bands.filter(isNew)
+      .select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+      .join(index, Seq("band", "band_key"))
+      .select("doc_a", "doc_b").distinct()
+    withJaccard(sh, cand)
+  }
+
   /** Max Hamming distance for a SimHash near-dup pair, and the blocking that
     * finds them without all-pairs: split the 16-bit fingerprint into
     * HammingMax + 1 = 4 blocks of 4 bits — a pair within Hamming 3 differs
@@ -584,6 +617,7 @@ object Dedup {
     "dedup_minhash_pairs" -> ((s, d) => minhashPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_containment" -> ((s, d) => containmentPairs(s, d).orderBy("doc_a", "doc_b")),
+    "dedup_incremental" -> ((s, d) => incrementalPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_minhash_quality" -> ((s, d) => minhashQuality(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d).orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairStats(s, d).orderBy("hamming")),
@@ -602,6 +636,21 @@ object Dedup {
     "dedup_minhash_pairs" -> (minhashPairsSqlChain +
       " SELECT doc_a, doc_b, jaccard FROM jac ORDER BY doc_a, doc_b"),
     "dedup_minhash_quality" -> minhashQualityOracle,
+    "dedup_incremental" -> (minhashBandsSql +
+      s""", bcnt AS (
+         |  SELECT band, band_key, count(*) AS bsz FROM bands
+         |  WHERE doc_id % $NewBatchMod <> ${NewBatchMod - 1} GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bands b ON b.band = a.band AND b.band_key = a.band_key
+         |  JOIN bcnt g ON g.band = b.band AND g.band_key = b.band_key
+         |  WHERE a.doc_id % $NewBatchMod = ${NewBatchMod - 1}
+         |    AND b.doc_id % $NewBatchMod <> ${NewBatchMod - 1}
+         |    AND g.bsz <= $MaxBandBucket
+         |  GROUP BY 1, 2
+         |)""".stripMargin + jaccardSql("cand") +
+      " SELECT doc_a, doc_b, jaccard FROM jac ORDER BY doc_a, doc_b"),
     "dedup_ngram_jaccard" ->
       s"""WITH $docShinglesSql,
          |rare AS (
