@@ -242,6 +242,36 @@ object CorpusQc {
         (fx(col("avg_nll"), 6) * col("n_docs") > col("thr_fx")).as("above_mean"))
   }
 
+  // ---------------- hash-stable train/val/test split ----------------
+
+  /** Split percentages: doc bucket = md5("split:" + doc_id) mod 100 →
+    * [0, 98) train, 98 val, 99 test. */
+  val TrainPct = 98
+
+  /** Deterministic content-keyed train/val/test split — the property that
+    * matters is STABILITY: a doc's membership depends only on its own id
+    * (one md5, no ordering, no corpus statistics), so re-running the split
+    * after the corpus GROWS never moves an old doc between splits — the
+    * failure mode (val examples silently drifting into train across
+    * re-ingests) that random or rank-based splits suffer. The registered
+    * rollup is per (source, split) doc and token counts; membership itself
+    * is a pure projection any downstream query can re-derive.
+    *
+    * Scale: one narrow projection + a map-side-collapsing agg; no shuffle of
+    * text, output bounded by sources × 3.
+    */
+  def docSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 7), 16, 10)
+        .cast("long"), lit(100L))
+    val split = when(bucket < TrainPct, "train")
+      .when(bucket === TrainPct, "val").otherwise("test")
+    docs(spark, dir)
+      .select(col("source"), split.as("split"), size(words).cast("long").as("n_tokens"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
   // ---------------- token-budget mixture sampling ----------------
 
   /** Base token budget; source k's budget is Base·(1 + k mod 3) — a
@@ -280,6 +310,7 @@ object CorpusQc {
     "docs_decontam" -> ((s, d) => decontam(s, d).orderBy("doc_id")),
     "docs_chunk_dedup" -> ((s, d) => chunkDedup(s, d).orderBy("doc_id")),
     "text_unigram_nll" -> ((s, d) => unigramNll(s, d).orderBy("doc_id")),
+    "docs_split_stable" -> ((s, d) => docSplit(s, d).orderBy("source", "split")),
     "docs_mixture_sample" -> ((s, d) => mixtureSample(s, d).orderBy("source", "pick_order"))
   )
 
@@ -363,6 +394,18 @@ object CorpusQc {
          |SELECT doc_id, n_tokens, avg_nll,
          |       ${sqlFx("avg_nll", 6)} * t.n_docs > t.thr_fx AS above_mean
          |FROM res CROSS JOIN thr t ORDER BY doc_id""".stripMargin,
+    "docs_split_stable" ->
+      s"""WITH b AS (
+         |  SELECT source,
+         |         CASE WHEN h < $TrainPct THEN 'train'
+         |              WHEN h = $TrainPct THEN 'val' ELSE 'test' END AS split,
+         |         len(regexp_split_to_array(text, '\\s+'))::BIGINT AS n_tokens
+         |  FROM (SELECT source, text,
+         |               ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 7))::BIGINT % 100 AS h
+         |        FROM documents)
+         |)
+         |SELECT source, split, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+         |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
     "docs_mixture_sample" ->
       s"""WITH base AS (
          |  SELECT doc_id, source,

@@ -101,6 +101,32 @@ object StreamingOps {
         col("purchase_ts"), col("click_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the semantics [[streamIntervalJoin]]
+    * cannot give: every purchase must appear even when NO click preceded it.
+    * Under streaming this is the join class with DELAYED emission: an inner
+    * match emits as soon as both rows meet, but a null-padded row can only be
+    * emitted once the click watermark has passed the end of the purchase's
+    * match window — before that, a matching click could still arrive. State
+    * stays bounded exactly as in the inner form; what the outer type adds is
+    * the watermark-gated "no match ever" verdict (StreamingSpec drives the
+    * late emission across micro-batches). In batch the same code path is a
+    * plain left join, the registered `events_interval_left_join`.
+    */
+  def streamIntervalJoinLeft(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    p.join(c, expr(
+      """c_user = p_user AND
+        |click_ts >= purchase_ts - INTERVAL 60 MINUTES AND
+        |click_ts < purchase_ts""".stripMargin), "leftOuter")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** Driver-visible streaming run (I5 as a query, not just a spec): the events
     * parquet is consumed INCREMENTALLY — `readStream` file source, stateful
     * tumbling aggregation, `Trigger.AvailableNow` draining the backlog in
@@ -142,7 +168,16 @@ object StreamingOps {
     // path an incremental run takes; merging-state behaviour is covered by
     // StreamingSpec) — previously spec-only, now oracle-checked
     "events_session_window" -> ((s, d) =>
-      sessionCounts(Tables.events(s, d)).orderBy("user_id", "session_start"))
+      sessionCounts(Tables.events(s, d)).orderBy("user_id", "session_start")),
+    // the left-outer join transform under a batch plan (same code path the
+    // incremental run takes; watermark-gated null emission is StreamingSpec's)
+    "events_interval_left_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      streamIntervalJoinLeft(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+        .orderBy("purchase_id", "click_id")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -178,6 +213,14 @@ object StreamingOps {
         |)
         |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
         |       user_id, count(*) AS n_events
-        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "events_interval_left_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |       p.ts AS purchase_ts, c.ts AS click_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts < p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin
   )
 }

@@ -72,6 +72,38 @@ class StreamingSpec extends SparkSpec {
     assert(perUser.agg(sum("total")).collect()(0).getLong(0) == 500)
   }
 
+  test("left-outer interval join emits null-padded purchases once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, user: Long, minute: Long, typ: String) =
+      Ev(id, new Timestamp(base + minute * 60000L), user, typ, 1.0)
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamingOps.streamIntervalJoinLeft(clicks.toDF(), purchases.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("left_join_out").start()
+    // user 1: click 10 min before the purchase → inner match, emits promptly.
+    // user 2: purchase with NO click — its null-padded row may only emit
+    // once the CLICK watermark proves no match can still arrive.
+    clicks.addData(ev(1, 1, 50, "click"))
+    purchases.addData(ev(100, 1, 60, "purchase"), ev(101, 2, 60, "purchase"))
+    q.processAllAvailable()
+    val early = spark.table("left_join_out")
+      .filter(col("purchase_id") === 101).count()
+    assert(early == 0, "null-padded row must NOT emit before the watermark verdict")
+    // advance the click watermark far past purchase@60 + 60min window + 1h delay
+    clicks.addData(ev(2, 3, 600, "click"))
+    purchases.addData(ev(102, 3, 600, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("left_join_out")
+    val matched = out.filter(col("purchase_id") === 100).collect()
+    assert(matched.length == 1 && matched(0).getLong(2) == 1L)
+    val padded = out.filter(col("purchase_id") === 101).collect()
+    assert(padded.length == 1 && padded(0).isNullAt(2),
+      "unmatched purchase must emit exactly once with a null click_id")
+  }
+
   test("session_window boundary is INCLUSIVE: exactly prev + gap merges, one past it breaks") {
     import spark.implicits._
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
