@@ -443,6 +443,40 @@ object Similarity {
         r6(min(col("x"))).as("min_x"),
         r6(max(col("x"))).as("max_x"))
 
+  /** Flag threshold on the standardized mean difference: |SMD| above this
+    * marks a drifted dimension (0.1 = the conventional "small effect" floor). */
+  val DriftSmdThreshold = 0.1
+
+  /** Embedding distribution drift — the model-monitoring pass a serving
+    * pipeline runs when a new embedding batch lands: split the corpus into a
+    * reference and a current cohort (even/odd vec_id here — in production,
+    * yesterday's snapshot vs today's) and compare per-dimension means via the
+    * standardized mean difference smd = (μ_cur − μ_ref)/pooled σ. A drifted
+    * encoder (retrained model, silent preprocessing change) shows up as
+    * flagged dimensions BEFORE recall degrades downstream — and every ANN
+    * index in this engine (IVF cells, PQ codebooks, SQ8 stats) is fit to the
+    * reference distribution, so drift here is the signal to refit them.
+    *
+    * Scale: one conditional aggregation over the posexploded corpus — the
+    * cohort split is a predicate, not a shuffle key, and output is Dim rows.
+    */
+  def drift(spark: SparkSession, dir: String): DataFrame = {
+    val isRef = col("vec_id") % 2 === 0
+    val agg = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(count(when(isRef, 1)).as("n_ref"), count(when(!isRef, 1)).as("n_cur"),
+        r6(avg(when(isRef, col("x")))).as("mean_ref"),
+        r6(avg(when(!isRef, col("x")))).as("mean_cur"),
+        r6(stddev_samp(when(isRef, col("x")))).as("std_ref"),
+        r6(stddev_samp(when(!isRef, col("x")))).as("std_cur"))
+    val smd = r6((col("mean_cur") - col("mean_ref")) /
+      sqrt((col("std_ref") * col("std_ref") + col("std_cur") * col("std_cur")) / 2.0 + 1e-9))
+    agg.select(col("dim"), col("n_ref"), col("n_cur"), col("mean_ref"), col("mean_cur"),
+      smd.as("smd"), (abs(smd) > DriftSmdThreshold).as("drifted"))
+  }
+
   /** Power-iteration steps for [[pcaTop]]. */
   val PcaIters = 8
 
@@ -819,6 +853,7 @@ object Similarity {
     "ann_lsh_cand_stats" -> ((s, d) => lshCandStats(s, d).orderBy("n_tables", "n_planes")),
     "ann_ivf_recall_sweep" -> ((s, d) => ivfRecallSweep(s, d).orderBy("nprobe")),
     "emb_dimstats" -> ((s, d) => dimStats(s, d).orderBy("dim")),
+    "emb_drift" -> ((s, d) => drift(s, d).orderBy("dim")),
     "emb_whitened_check" -> ((s, d) => whitenedCheck(s, d).orderBy("dim")),
     "emb_pca_top" -> ((s, d) => pcaTop(s, d).orderBy("d"))
   )
@@ -973,6 +1008,25 @@ object Similarity {
          |SELECT nprobe, ${sqlR6("avg(hit)")} AS recall,
          |       CAST(sum(hit) AS BIGINT) AS n_matched, count(*) AS n
          |FROM hits GROUP BY nprobe ORDER BY nprobe""".stripMargin,
+    "emb_drift" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), flat AS (
+         |  SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim, unnest(v) AS x FROM emb
+         |), agg AS (
+         |  SELECT dim,
+         |         count(*) FILTER (WHERE vec_id % 2 = 0) AS n_ref,
+         |         count(*) FILTER (WHERE vec_id % 2 = 1) AS n_cur,
+         |         ${sqlR6("avg(x) FILTER (WHERE vec_id % 2 = 0)")} AS mean_ref,
+         |         ${sqlR6("avg(x) FILTER (WHERE vec_id % 2 = 1)")} AS mean_cur,
+         |         ${sqlR6("stddev_samp(x) FILTER (WHERE vec_id % 2 = 0)")} AS std_ref,
+         |         ${sqlR6("stddev_samp(x) FILTER (WHERE vec_id % 2 = 1)")} AS std_cur
+         |  FROM flat GROUP BY dim
+         |)
+         |SELECT dim, n_ref, n_cur, mean_ref, mean_cur,
+         |       ${sqlR6("(mean_cur - mean_ref) / sqrt((std_ref * std_ref + std_cur * std_cur) / 2 + 1e-9)")} AS smd,
+         |       abs(${sqlR6("(mean_cur - mean_ref) / sqrt((std_ref * std_ref + std_cur * std_cur) / 2 + 1e-9)")}) > ${sqlD(DriftSmdThreshold)} AS drifted
+         |FROM agg ORDER BY dim""".stripMargin,
     "emb_dimstats" ->
       s"""WITH emb AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
