@@ -65,8 +65,48 @@ object Curation {
     curated(spark, dir).join(cells, "doc_id").join(norms, "doc_id")
   }
 
+  /** The curation MONITORING report — the rollup an operator actually reads
+    * after a curation run: per (source, lang) grouping-set totals with each
+    * gate's failure count and the final admit rate. Where `docs_curated` is
+    * the ACTION view (admitted docs only), this keeps every doc and reports
+    * why the dropped ones dropped — the dashboard that catches a gate
+    * suddenly rejecting a whole source. ROLLUP computes (source, lang),
+    * per-source, and grand-total rows in ONE pass over the gate flags
+    * (Catalyst Expand + map-side partials); output is bounded by the
+    * source × lang vocabulary.
+    */
+  def curationReport(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.quality(spark, dir)
+      .select("doc_id", "lang", "source", "quality_score")
+    val l = TextOps.langId(spark, dir).select("doc_id", "matches_tag")
+    val ex = Dedup.exact(spark, dir).select("doc_id", "is_dup")
+    val demote = Dedup.minhashPairs(spark, dir)
+      .filter(col("jaccard") >= Dedup.ClusterJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("demoted", lit(true))
+    val flags = q.join(l, "doc_id").join(ex, "doc_id")
+      .join(demote, Seq("doc_id"), "left")
+      .select(col("source"), col("lang"),
+        (col("quality_score") < QualityMin).as("f_quality"),
+        (!col("matches_tag")).as("f_lang"),
+        col("is_dup").as("f_exact"),
+        coalesce(col("demoted"), lit(false)).as("f_neardup"))
+      .withColumn("admitted", !col("f_quality") && !col("f_lang") && !col("f_exact") && !col("f_neardup"))
+    flags.rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("f_quality").cast("long")).as("n_low_quality"),
+        sum(col("f_lang").cast("long")).as("n_lang_mismatch"),
+        sum(col("f_exact").cast("long")).as("n_exact_dup"),
+        sum(col("f_neardup").cast("long")).as("n_near_dup"),
+        sum(col("admitted").cast("long")).as("n_admitted"))
+      .withColumn("admit_rate",
+        r6(col("n_admitted").cast("double") / col("n_docs").cast("double")))
+      .na.fill("ALL", Seq("source", "lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_curated" -> ((s, d) => curated(s, d).orderBy("doc_id")),
+    "docs_curation_report" -> ((s, d) => curationReport(s, d).orderBy("source", "lang")),
     "docs_training_manifest" -> ((s, d) => trainingManifest(s, d).orderBy("doc_id"))
   )
 
@@ -90,6 +130,37 @@ object Curation {
          |  AND lg.matches_tag AND NOT exd.is_dup
          |  AND qy.doc_id NOT IN (SELECT doc_id FROM demote)
          |ORDER BY qy.doc_id""".stripMargin),
+    "docs_curation_report" -> (Dedup.minhashPairsSqlChain +
+      s""",
+         |${TextOps.qualityCteSql("qy")},
+         |${TextOps.langMatchCteSql("lg")},
+         |exd AS (
+         |  SELECT doc_id,
+         |         doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+         |  FROM documents
+         |), demote AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= ${sqlD(Dedup.ClusterJaccard)}
+         |), flags AS (
+         |  SELECT qy.source, qy.lang,
+         |         qy.quality_score < ${sqlD(QualityMin)} AS f_quality,
+         |         NOT lg.matches_tag AS f_lang,
+         |         exd.is_dup AS f_exact,
+         |         qy.doc_id IN (SELECT doc_id FROM demote) AS f_neardup
+         |  FROM qy JOIN lg USING (doc_id) JOIN exd USING (doc_id)
+         |), marked AS (
+         |  SELECT *, NOT f_quality AND NOT f_lang AND NOT f_exact AND NOT f_neardup AS admitted
+         |  FROM flags
+         |)
+         |SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+         |       count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN f_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+         |       CAST(sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_mismatch,
+         |       CAST(sum(CASE WHEN f_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |       CAST(sum(CASE WHEN f_neardup THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+         |       CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |       ${sqlR6("CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS admit_rate
+         |FROM marked GROUP BY ROLLUP (source, lang)
+         |ORDER BY source, lang""".stripMargin),
     "docs_training_manifest" -> (Dedup.minhashPairsSqlChain +
       s""",
          |${TextOps.qualityCteSql("qy")},

@@ -541,6 +541,55 @@ object EventsOps {
       |SELECT 'ALL', count(DISTINCT user_id), true FROM events
       |ORDER BY event_type""".stripMargin
 
+  /** Seasonal lag (in per-user event positions) for the forecast benchmark. */
+  val ForecastSeason = 24
+
+  /** Forecast-baseline evaluation — the pass a forecasting pipeline runs to
+    * decide whether a model beats the free baselines: per user, the seasonal
+    * naive forecast (value [[ForecastSeason]] positions back) and the lag-1
+    * naive are scored with MAE, and their ratio is MASE (Hyndman & Koehler,
+    * "Another look at measures of forecast accuracy", 2006 — MASE < 1 means
+    * the seasonal pattern is real). Everything downstream of the two lags is
+    * exact: per-term fx6 absolute errors integer-sum in any order, and MASE
+    * is a ratio of those integer sums.
+    *
+    * Scale: one window over the natural per-user ordering (the same shuffle
+    * every per-key op pays), then a map-side-collapsing agg; output is one
+    * row per user.
+    */
+  def forecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("lag_s", lag(col("value"), ForecastSeason).over(w))
+      .withColumn("lag_1", lag(col("value"), 1).over(w))
+      .filter(col("lag_s").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(fx(abs(col("value") - col("lag_s")), 6)).as("sae_fx"),
+        sum(fx(abs(col("value") - col("lag_1")), 6)).as("snaive_fx"))
+      .select(col("user_id"), col("n_eval"),
+        r6(col("sae_fx").cast("double") / 1e6 / col("n_eval").cast("double")).as("mae_seasonal"),
+        r6(col("snaive_fx").cast("double") / 1e6 / col("n_eval").cast("double")).as("mae_naive1"),
+        r6(col("sae_fx").cast("double") /
+          greatest(col("snaive_fx"), lit(1L)).cast("double")).as("mase"))
+  }
+
+  def forecastEvalOracle: String =
+    s"""WITH l AS (
+       |  SELECT user_id, value,
+       |         lag(value, $ForecastSeason) OVER w AS lag_s,
+       |         lag(value, 1) OVER w AS lag_1
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |)
+       |SELECT user_id, count(*) AS n_eval,
+       |       ${sqlR6(s"CAST(sum(${sqlFx("abs(value - lag_s)", 6)}) AS DOUBLE) / 1e6 / count(*)")} AS mae_seasonal,
+       |       ${sqlR6(s"CAST(sum(${sqlFx("abs(value - lag_1)", 6)}) AS DOUBLE) / 1e6 / count(*)")} AS mae_naive1,
+       |       ${sqlR6(s"CAST(sum(${sqlFx("abs(value - lag_s)", 6)}) AS DOUBLE) / CAST(greatest(sum(${sqlFx("abs(value - lag_1)", 6)}), 1) AS DOUBLE)")} AS mase
+       |FROM l WHERE lag_s IS NOT NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Retention cohorts — the canonical product-analytics rollup: users are
     * cohorted by FIRST-seen date, and retention at day offset k is the share
     * of that cohort active k days later. The two-sided derivation (first-seen
@@ -911,6 +960,7 @@ object EventsOps {
     "events_daily_users_hll" -> ((s, d) => dailyUsersSketch(s, d).orderBy("event_date")),
     "events_hll_union" -> ((s, d) => hllUnion(s, d).orderBy("event_type")),
     "events_retention_cohorts" -> ((s, d) => retentionCohorts(s, d).orderBy("cohort_date", "day_offset")),
+    "ts_forecast_eval" -> ((s, d) => forecastEval(s, d).orderBy("user_id")),
     "ts_value_quantiles_sketch" -> ((s, d) => valueQuantilesSketch(s, d).orderBy("event_type")),
     "ts_tumbling_agg" -> ((s, d) => tumbling(s, d))
   )
@@ -936,6 +986,7 @@ object EventsOps {
     "events_daily_users_hll" -> dailyUsersSketchOracle,
     "events_hll_union" -> hllUnionOracle,
     "events_retention_cohorts" -> retentionCohortsOracle,
+    "ts_forecast_eval" -> forecastEvalOracle,
     "ts_value_quantiles_sketch" -> valueQuantilesSketchOracle,
     "ts_tumbling_agg" -> tumblingOracle
   )

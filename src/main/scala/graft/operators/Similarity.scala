@@ -443,6 +443,28 @@ object Similarity {
         r6(min(col("x"))).as("min_x"),
         r6(max(col("x"))).as("max_x"))
 
+  /** Per-class sample size for the class-balanced eval draw. */
+  val ClassSampleN = 20
+
+  /** Class-balanced deterministic sampling — the eval-set construction pass:
+    * exactly [[ClassSampleN]] vectors per label, drawn by ranking each class
+    * on a cross-engine LCG key (so rare classes are not swamped by the head
+    * class the way a uniform sample would). Deterministic: same corpus, same
+    * draw — re-running on a grown corpus reshuffles only within classes.
+    *
+    * Scale: one window per label partition (shuffle keyed on the label), and
+    * the rank filter plans a WindowGroupLimit — per-partition k-row heaps,
+    * no full sort of any class.
+    */
+  def classSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("label").orderBy("u", "vec_id")
+    graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        R.u01(col("vec_id").cast("double"), 57).as("u"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= ClassSampleN)
+      .select(col("label"), col("rk"), col("vec_id"))
+  }
+
   /** Flag threshold on the standardized mean difference: |SMD| above this
     * marks a drifted dimension (0.1 = the conventional "small effect" floor). */
   val DriftSmdThreshold = 0.1
@@ -854,6 +876,7 @@ object Similarity {
     "ann_ivf_recall_sweep" -> ((s, d) => ivfRecallSweep(s, d).orderBy("nprobe")),
     "emb_dimstats" -> ((s, d) => dimStats(s, d).orderBy("dim")),
     "emb_drift" -> ((s, d) => drift(s, d).orderBy("dim")),
+    "emb_class_sample" -> ((s, d) => classSample(s, d).orderBy("label", "rk")),
     "emb_whitened_check" -> ((s, d) => whitenedCheck(s, d).orderBy("dim")),
     "emb_pca_top" -> ((s, d) => pcaTop(s, d).orderBy("d"))
   )
@@ -1008,6 +1031,13 @@ object Similarity {
          |SELECT nprobe, ${sqlR6("avg(hit)")} AS recall,
          |       CAST(sum(hit) AS BIGINT) AS n_matched, count(*) AS n
          |FROM hits GROUP BY nprobe ORDER BY nprobe""".stripMargin,
+    "emb_class_sample" ->
+      s"""SELECT label, CAST(rk AS INT) AS rk, vec_id FROM (
+         |  SELECT label, vec_id,
+         |         row_number() OVER (PARTITION BY label
+         |                            ORDER BY ${R.sqlU01("CAST(vec_id AS DOUBLE)", 57)}, vec_id) AS rk
+         |  FROM embeddings)
+         |WHERE rk <= $ClassSampleN ORDER BY label, rk""".stripMargin,
     "emb_drift" ->
       s"""WITH emb AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
