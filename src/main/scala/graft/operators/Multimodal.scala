@@ -69,6 +69,53 @@ object Multimodal {
       sum.toDouble / row.payload.length, mx, ck)
   }
 
+  /** Re-upload factor for the dedup fixture: ids >= DupSeedMod carry
+    * byte-identical payloads of id mod DupSeedMod. */
+  val DupSeedMod = 48L
+
+  /** Synthetic re-ingested media: the same byte generator as [[mediaTable]]
+    * but seeded with id mod [[DupSeedMod]], so the tail of the table is
+    * byte-for-byte re-uploads of earlier rows — the duplicate structure an
+    * ingest actually sees (same file posted twice under new ids).
+    */
+  private def dupMediaTable(spark: SparkSession, n: Long = 64, bytesPer: Int = 1024): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val seed = id % DupSeedMod
+        val kind = if (seed % 3 == 0) "image" else if (seed % 3 == 1) "audio" else "video"
+        val payload = new Array[Byte](bytesPer)
+        var x = (seed * 40503 + 12345) % 2147483648L
+        var i = 0
+        while (i < bytesPer) {
+          x = (x * 69069 + 12345) % 2147483648L
+          payload(i) = (x >>> 8).toByte
+          i += 1
+        }
+        MediaRow(id, kind, 64, 48, payload)
+      }
+    }.toDF()
+  }
+
+  /** Exact payload dedup over the BINARY column: group on md5(payload), so
+    * the shuffle key is 32 bytes per row no matter how large the media is —
+    * the same digest-not-content discipline as text dedup ([[Dedup.exact]]),
+    * applied to bytes. Spark hashes the REAL payload bytes; the oracle
+    * derives the expected groups structurally from the seed arithmetic
+    * (id mod [[DupSeedMod]]), so a digest collision, a byte-generation
+    * drift, or a hash-of-reference bug would all surface as a mismatch.
+    */
+  def payloadDedup(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDigest = Window.partitionBy("digest")
+    dupMediaTable(spark)
+      .select(col("media_id"), md5(col("payload")).as("digest"))
+      .withColumn("canonical_id", min(col("media_id")).over(byDigest))
+      .withColumn("group_size", count(lit(1)).over(byDigest))
+      .select(col("media_id"), col("canonical_id"), col("group_size"),
+        (col("media_id") =!= col("canonical_id")).as("is_dup"))
+  }
+
   /** Decode + feature-extract: narrow mapPartitions, no payload shuffle. */
   def extractFeatures(spark: SparkSession, n: Long = 64): DataFrame = {
     import spark.implicits._
@@ -104,7 +151,8 @@ object Multimodal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> ((s, _) => extractFeatures(s).orderBy("media_id")),
     "media_frame_sample" -> ((s, _) => frameSample(s).orderBy("media_id", "frame_id")),
-    "media_kind_stats" -> ((s, _) => kindStats(s).orderBy("kind"))
+    "media_kind_stats" -> ((s, _) => kindStats(s).orderBy("kind")),
+    "media_payload_dedup" -> ((s, _) => payloadDedup(s).orderBy("media_id"))
   )
 
   // ---------------- DuckDB oracle twins ----------------
@@ -172,6 +220,13 @@ object Multimodal {
        |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "media_payload_dedup" ->
+      s"""SELECT media_id, canonical_id, group_size, media_id <> canonical_id AS is_dup FROM (
+         |  SELECT CAST(a AS BIGINT) AS media_id,
+         |         min(CAST(a AS BIGINT)) OVER (PARTITION BY a % $DupSeedMod) AS canonical_id,
+         |         count(*) OVER (PARTITION BY a % $DupSeedMod) AS group_size
+         |  FROM range(0, 64) t(a))
+         |ORDER BY media_id""".stripMargin,
     "media_features" -> (featuresSql(64, 4096) +
       " SELECT * FROM features ORDER BY media_id"),
     "media_kind_stats" -> (featuresSql(64, 4096) +

@@ -90,6 +90,42 @@ object Relational {
       .agg(exactSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** Q18 threshold on the exact-micros order quantity sum. */
+  val Q18MinQty = 180.0
+
+  /** Q18-style "large volume customer" query: orders whose total lineitem
+    * quantity exceeds [[Q18MinQty]], with their customer, top 100 by order
+    * value. The shape worth exercising: a HAVING-filtered fact aggregation
+    * JOINED BACK to the fact table — the aggregate prunes orders before the
+    * customer join, so the dimension join only sees qualifying keys, and the
+    * final top-100 is TakeOrdered, not a global sort.
+    */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(exactSum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > Q18MinQty)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  def q18Oracle: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, ${sqlExactSum("l_quantity")} AS sum_qty
+       |  FROM lineitem GROUP BY 1
+       |  HAVING ${sqlExactSum("l_quantity")} > ${sqlD(Q18MinQty)}
+       |)
+       |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.sum_qty
+       |FROM orders o
+       |JOIN big b ON b.l_orderkey = o.o_orderkey
+       |JOIN customer c ON c.c_custkey = o.o_custkey
+       |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin
+
   /** Hierarchical rollup: revenue at (region, nation), per-region subtotal,
     * and grand total in ONE pass — Catalyst's Expand operator computes all
     * grouping sets from a single scan (SURVEY §2.3: grouping sets are a free
@@ -433,6 +469,7 @@ object Relational {
     "tpch_q3" -> ((s, d) => q3(s, d)),
     "tpch_q5" -> ((s, d) => q5(s, d).orderBy("r_name", "n_name")),
     "tpch_q6" -> ((s, d) => q6(s, d)),
+    "tpch_q18" -> ((s, d) => q18(s, d)),
     "revenue_rollup" -> ((s, d) => revenueRollup(s, d).orderBy("r_name", "n_name")),
     "top_customers_per_nation" -> ((s, d) => topCustomersPerNation(s, d).orderBy("n_name", "rank")),
     "customer_running_total" -> ((s, d) => customerRunningTotal(s, d).orderBy("o_custkey", "o_orderdate", "o_orderkey")),
@@ -450,6 +487,7 @@ object Relational {
     "events_props_json" -> propsJsonStatsOracle,
     "events_cube" -> eventsCubeOracle,
     "events_scd2" -> scd2Oracle,
+    "tpch_q18" -> q18Oracle,
     "tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sqlExactSum("l_quantity")} AS sum_qty,
