@@ -79,9 +79,13 @@ object SqOps {
     */
   def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
     val (mn, dl) = statsArr(spark, dir)
-    val e = emb(spark, dir)
-    val corp = e.select(col("vec_id"), deqCol(codesCol(col("v"), mn, dl), mn, dl).as("dq"))
-    val q = e.filter(col("vec_id") < NumQueries)
+    // corpus side reads the RAW float column through the fused Sq8Deq kernel:
+    // the HOF transform-cast chain is CodegenFallback and pushed the whole
+    // scoring stage out of WholeStageCodegen (SqSpec pins the fixed plan)
+    val corp = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        graft.plans.VectorFunctions.sq8_deq(col("embedding"), mn, dl).as("dq"))
+    val q = emb(spark, dir).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val scored = corp.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))

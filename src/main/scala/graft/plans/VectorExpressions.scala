@@ -152,6 +152,76 @@ case class L2SqFx6(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused SQ8 quantize→dequantize kernel over a raw ARRAY<FLOAT> (or
+  * ARRAY<DOUBLE>) embedding column: per element, code = clamp(⌊(x−mn_d)/Δ_d⌋,
+  * 0, 255) and output mn_d + (code+½)·Δ_d — exactly the composed
+  * transform(codes(transform(cast)))) chain it replaces, but ONE codegen'd
+  * loop with the per-dimension stats as flat reference arrays. The chain it
+  * replaces was the stage-killer: higher-order `transform` lambdas are
+  * CodegenFallback, so their presence pushed the ENTIRE scoring stage —
+  * including the downstream [[L2SqFx6]] Project — out of WholeStageCodegen
+  * (SqSpec asserts the stage now codegens).
+  */
+case class Sq8Deq(child: Expression, mn: Seq[Double], dl: Seq[Double])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val mnArr: Array[Double] = mn.toArray
+  private lazy val dlArr: Array[Double] = dl.toArray
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), mnArr.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      val m = mnArr(i); val s = dlArr(i)
+      val code = if (s == 0.0) 0L
+        else math.min(math.max(math.floor((x - m) / s).toLong, 0L), 255L)
+      out(i) = m + (code + 0.5) * s
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("mn", mnArr, "double[]")
+    val dlRef = ctx.addReferenceObj("dl", dlArr, "double[]")
+    val get = if (isFloat) "(double) %s.getFloat(%s)" else "%s.getDouble(%s)"
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val x = ctx.freshName("x")
+      val m = ctx.freshName("m")
+      val sv = ctx.freshName("sv")
+      val code = ctx.freshName("code")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $mnRef.length);
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${get.format(a, i)};
+         |  double $m = $mnRef[$i];
+         |  double $sv = $dlRef[$i];
+         |  long $code = ($sv == 0.0) ? 0L
+         |    : java.lang.Math.min(java.lang.Math.max((long) java.lang.Math.floor(($x - $m) / $sv), 0L), 255L);
+         |  $out[$i] = $m + ($code + 0.5) * $sv;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fused product-quantization ENCODE kernel: for each subspace m, the id of
   * the nearest codebook entry to the vector's m-th [[subDim]]-dim slice
   * (squared L2, r6-rounded, (dist, id)-lexicographic tiebreak — the identical
@@ -376,6 +446,10 @@ object VectorFunctions {
   /** Column wrapper: fused fx6 fixed-point squared-L2 (long micros sum). */
   def l2_sq_fx6(a: Column, b: Column): Column =
     Bridge.column(L2SqFx6(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column wrapper: fused SQ8 quantize→dequantize with literal stats. */
+  def sq8_deq(v: Column, mn: Seq[Double], dl: Seq[Double]): Column =
+    Bridge.column(Sq8Deq(Bridge.expression(v), mn, dl))
 
   /** Column wrapper: PQ encode — per-subspace nearest-codeword ids.
     * `entries` = (m, c, subDim weights), sorted by (m, c). */
