@@ -72,6 +72,29 @@ class StreamingSpec extends SparkSpec {
     assert(perUser.agg(sum("total")).collect()(0).getLong(0) == 500)
   }
 
+  test("late rows beyond the watermark are dropped and the drop is OBSERVABLE in progress metrics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, hour: Long) =
+      Ev(id, new Timestamp(base + hour * 3600000L), 1L, "click", 1.0)
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.tumblingCounts(stream.toDF()) // 2h watermark inside
+      .writeStream.outputMode("update").format("memory").queryName("late_out").start()
+    stream.addData(ev(1, 10)) // after this batch the watermark sits at 08:00
+    q.processAllAvailable()
+    stream.addData(ev(2, 0)) // 8h late → must be dropped, not aggregated
+    q.processAllAvailable()
+    q.stop()
+    // the drop is not silent: ops teams watch numRowsDroppedByWatermark, and
+    // an engine that aggregated the row instead would corrupt closed windows
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    assert(dropped == 1L, s"expected exactly the late row dropped, got $dropped")
+    assert(spark.table("late_out")
+      .filter(col("ws") === new Timestamp(base)).count() == 0)
+  }
+
   test("left-outer interval join emits null-padded purchases once the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
