@@ -541,6 +541,94 @@ object EventsOps {
       |SELECT 'ALL', count(DISTINCT user_id), true FROM events
       |ORDER BY event_type""".stripMargin
 
+  /** EWMA smoothing constant and truncation depth. */
+  val EwmaAlpha = 0.3
+  val EwmaK = 8
+
+  /** Truncated exponentially-weighted moving average per user — the
+    * smoothing pass next to the plain trailing window of `ts_rolling_anomaly`:
+    * weights α(1−α)^j over the last [[EwmaK]] positions, renormalized over
+    * the lags that EXIST so the series head is unbiased instead of
+    * zero-padded. The recursive EWMA is inherently sequential; the truncated
+    * form (the tail weight (1−α)^K ≈ 0.058 is the documented approximation)
+    * is a fixed fan of lag() columns — pure window arithmetic, no
+    * per-partition state, which is what makes it embarrassingly parallel
+    * per key at scale.
+    *
+    * Determinism: each weighted term is fx9-quantized before the literal-fold
+    * sum, and the weight normalizer is a sum of the same plan-time literal
+    * doubles in a fixed fold order in both engines.
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val weights = (0 until EwmaK).map(j => EwmaAlpha * math.pow(1 - EwmaAlpha, j))
+    val lagged = (0 until EwmaK).foldLeft(
+      Tables.events(spark, dir).select(col("user_id"), col("ts"), col("event_id"), col("value"))) {
+      (df, j) => df.withColumn(s"l$j", lag(col("value"), j).over(w))
+    }
+    val num = (0 until EwmaK).map(j =>
+      when(col(s"l$j").isNotNull, fx(col(s"l$j") * weights(j), 9)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val den = (0 until EwmaK).map(j =>
+      when(col(s"l$j").isNotNull, lit(weights(j))).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    lagged.select(col("user_id"), col("ts"), col("event_id"), col("value"),
+      r6(num.cast("double") / 1e9 / den).as("ewma"))
+  }
+
+  def ewmaOracle: String = {
+    val weights = (0 until EwmaK).map(j => EwmaAlpha * math.pow(1 - EwmaAlpha, j))
+    val lags = (0 until EwmaK).map(j =>
+      s"lag(value, $j) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l$j").mkString(", ")
+    def d(x: Double) = graft.functions.Num.sqlD(x)
+    val num = (0 until EwmaK).map(j =>
+      s"(CASE WHEN l$j IS NOT NULL THEN ${sqlFx(s"l$j * ${d(weights(j))}", 9)} ELSE 0 END)").mkString(" + ")
+    val den = (0 until EwmaK).map(j =>
+      s"(CASE WHEN l$j IS NOT NULL THEN ${d(weights(j))} ELSE 0.0e0 END)").mkString(" + ")
+    s"""WITH l AS (
+       |  SELECT user_id, ts, event_id, value,
+       |         $lags
+       |  FROM events
+       |)
+       |SELECT user_id, ts, event_id, value,
+       |       ${sqlR6(s"CAST($num AS DOUBLE) / 1e9 / ($den)")} AS ewma
+       |FROM l ORDER BY user_id, ts, event_id""".stripMargin
+  }
+
+  /** Per-user event-type transition matrix — the Markov-chain profile of the
+    * event log (the next-event-prediction baseline and the funnel
+    * generalization): counts of consecutive (prev_type → type) pairs across
+    * all users, with the row-normalized transition probability. One lag
+    * window over the natural per-user ordering + one hash agg on the
+    * |types|² keyspace; output is constant in corpus size.
+    */
+  def typeTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val wRow = Window.partitionBy("prev_type")
+    pairs.withColumn("row_total", sum(col("n")).over(wRow))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        r6(col("n").cast("double") / col("row_total").cast("double")).as("p"))
+  }
+
+  def typeTransitionsOracle: String =
+    s"""WITH l AS (
+       |  SELECT event_type AS next_type,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+       |  FROM events
+       |), c AS (
+       |  SELECT prev_type, next_type, count(*) AS n FROM l
+       |  WHERE prev_type IS NOT NULL GROUP BY 1, 2
+       |)
+       |SELECT prev_type, next_type, n,
+       |       ${sqlR6("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)")} AS p
+       |FROM c ORDER BY prev_type, next_type""".stripMargin
+
   /** Seasonal lag (in per-user event positions) for the forecast benchmark. */
   val ForecastSeason = 24
 
@@ -961,6 +1049,8 @@ object EventsOps {
     "events_hll_union" -> ((s, d) => hllUnion(s, d).orderBy("event_type")),
     "events_retention_cohorts" -> ((s, d) => retentionCohorts(s, d).orderBy("cohort_date", "day_offset")),
     "ts_forecast_eval" -> ((s, d) => forecastEval(s, d).orderBy("user_id")),
+    "ts_ewma" -> ((s, d) => ewma(s, d).orderBy("user_id", "ts", "event_id")),
+    "events_type_transitions" -> ((s, d) => typeTransitions(s, d).orderBy("prev_type", "next_type")),
     "ts_value_quantiles_sketch" -> ((s, d) => valueQuantilesSketch(s, d).orderBy("event_type")),
     "ts_tumbling_agg" -> ((s, d) => tumbling(s, d))
   )
@@ -987,6 +1077,8 @@ object EventsOps {
     "events_hll_union" -> hllUnionOracle,
     "events_retention_cohorts" -> retentionCohortsOracle,
     "ts_forecast_eval" -> forecastEvalOracle,
+    "ts_ewma" -> ewmaOracle,
+    "events_type_transitions" -> typeTransitionsOracle,
     "ts_value_quantiles_sketch" -> valueQuantilesSketchOracle,
     "ts_tumbling_agg" -> tumblingOracle
   )
