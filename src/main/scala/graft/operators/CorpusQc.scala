@@ -242,6 +242,49 @@ object CorpusQc {
         (fx(col("avg_nll"), 6) * col("n_docs") > col("thr_fx")).as("above_mean"))
   }
 
+  // ---------------- bigram-LM negative log-likelihood ----------------
+
+  /** Add-k smoothing constant for the bigram model. */
+  val BigramK = 0.5
+
+  /** Per-doc mean bigram negative log-likelihood — the unigram gate
+    * ([[unigramNll]]) upgraded to a first-order model: score(doc) =
+    * −Σ ln p(w_i | w_{i−1}) / (n−1) with add-k smoothed conditionals
+    * p(w2|w1) = (c(w1,w2)+k)/(c(w1)+k·V). Word salad that passes the unigram
+    * gate (common words in nonsense order) scores high here — the reason
+    * CCNet-class filters use an n-gram LM, not frequencies. Same determinism
+    * discipline: one ln per DISTINCT (observed) bigram, fx9-quantized before
+    * the per-doc integer sum.
+    *
+    * Scale: bigram and unigram count tables are vocabulary-bounded and
+    * broadcast; the corpus side is one adjacent-pair projection + two
+    * broadcast joins — text never shuffles.
+    */
+  def bigramNll(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(spark, dir).select(col("doc_id"), words.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = docs(spark, dir).select(explode(words).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocabN = uni.agg(count(lit(1)).as("v"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    pairs
+      .join(broadcast(bi), Seq("w1", "w2"))
+      .join(broadcast(uni), Seq("w1"))
+      .crossJoin(broadcast(vocabN))
+      .select(col("doc_id"),
+        fx9(-log((col("c12").cast("double") + lit(BigramK)) /
+          (col("c1").cast("double") + lit(BigramK) * col("v").cast("double")))).as("nll_fx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_fx")).as("sfx"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r6(col("sfx").cast("double") / 1e9 / col("n_bigrams").cast("double")).as("avg_nll2"))
+  }
+
   // ---------------- hash-stable train/val/test split ----------------
 
   /** Split percentages: doc bucket = md5("split:" + doc_id) mod 100 →
@@ -310,6 +353,7 @@ object CorpusQc {
     "docs_decontam" -> ((s, d) => decontam(s, d).orderBy("doc_id")),
     "docs_chunk_dedup" -> ((s, d) => chunkDedup(s, d).orderBy("doc_id")),
     "text_unigram_nll" -> ((s, d) => unigramNll(s, d).orderBy("doc_id")),
+    "text_bigram_nll" -> ((s, d) => bigramNll(s, d).orderBy("doc_id")),
     "docs_split_stable" -> ((s, d) => docSplit(s, d).orderBy("source", "split")),
     "docs_mixture_sample" -> ((s, d) => mixtureSample(s, d).orderBy("source", "pick_order"))
   )
@@ -394,6 +438,29 @@ object CorpusQc {
          |SELECT doc_id, n_tokens, avg_nll,
          |       ${sqlFx("avg_nll", 6)} * t.n_docs > t.thr_fx AS above_mean
          |FROM res CROSS JOIN thr t ORDER BY doc_id""".stripMargin,
+    "text_bigram_nll" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+         |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+         |  WHERE len(ws) >= 2
+         |), uni AS (
+         |  SELECT w1, count(*) AS c1 FROM (
+         |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w1 FROM documents)
+         |  GROUP BY 1
+         |), vocab AS (SELECT count(*) AS v FROM uni),
+         |bi AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT p.doc_id,
+         |         ${sqlFx(s"-ln((CAST(b.c12 AS DOUBLE) + ${sqlD(BigramK)}) / (CAST(u.c1 AS DOUBLE) + ${sqlD(BigramK)} * CAST(vb.v AS DOUBLE)))", 9)} AS nll_fx
+         |  FROM pairs p
+         |  JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+         |  JOIN uni u ON u.w1 = p.w1
+         |  CROSS JOIN vocab vb
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       ${sqlR6("CAST(sum(nll_fx) AS DOUBLE) / 1e9 / count(*)")} AS avg_nll2
+         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "docs_split_stable" ->
       s"""WITH b AS (
          |  SELECT source,

@@ -305,6 +305,51 @@ object Relational {
        | AND c.ts >= p.ts - INTERVAL $IntervalMin MINUTE AND c.ts < p.ts
        |GROUP BY 1, 2, 3 ORDER BY p.event_id""".stripMargin
 
+  /** Conversion-latency profile — the "how fast do clicks convert" view the
+    * funnel counts don't give: for every purchase with at least one same-user
+    * click in the preceding 60 minutes, the delay from the LAST such click,
+    * rolled up per day with exact integer-seconds stats. Uses the same
+    * hour-bucketed candidate probe as `events_interval_join` (each purchase
+    * checks exactly 2 buckets), so there is no per-user nested loop; the
+    * per-purchase max-click reduction collapses map-side.
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+        floor(unix_micros(col("ts")).cast("double") / BucketUs).cast("long").as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), unix_micros(col("ts")).as("p_us"))
+      .withColumn("pb", floor(unix_micros(col("ts")).cast("double") / BucketUs).cast("long"))
+      .withColumn("bucket", explode(array(col("pb"), col("pb") - 1)))
+    purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("c_us") >= col("p_us") - BucketUs && col("c_us") < col("p_us"))
+      .groupBy("event_id", "ts", "p_us")
+      .agg(max(col("c_us")).as("last_c_us"))
+      .select(to_date(col("ts")).as("event_date"),
+        expr("(p_us - last_c_us) div 1000000").as("delay_s"))
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n_conversions"),
+        min(col("delay_s")).as("min_delay_s"),
+        max(col("delay_s")).as("max_delay_s"),
+        r6(sum(col("delay_s")).cast("double") / count(lit(1))).as("avg_delay_s"))
+  }
+
+  def funnelLatencyOracle: String =
+    s"""WITH conv AS (
+       |  SELECT p.event_id, p.ts,
+       |         (epoch_us(p.ts) - max(epoch_us(c.ts))) // 1000000 AS delay_s
+       |  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+       |  JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+       |    ON c.user_id = p.user_id
+       |   AND c.ts >= p.ts - INTERVAL $IntervalMin MINUTE AND c.ts < p.ts
+       |  GROUP BY 1, 2
+       |)
+       |SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_conversions,
+       |       min(delay_s) AS min_delay_s, max(delay_s) AS max_delay_s,
+       |       ${sqlR6("CAST(sum(delay_s) AS DOUBLE) / count(*)")} AS avg_delay_s
+       |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The pivot vocabulary, fixed at plan time. Passing the value list to
     * `pivot` matters at scale twice over: it skips the eager
     * distinct-discovery JOB Spark otherwise runs before it can even plan,
@@ -477,6 +522,7 @@ object Relational {
     "customers_without_orders" -> ((s, d) => customersWithoutOrders(s, d).orderBy("c_custkey")),
     "events_asof_join" -> ((s, d) => asofJoin(s, d).orderBy("event_id")),
     "events_interval_join" -> ((s, d) => intervalJoin(s, d).orderBy("event_id")),
+    "events_funnel_latency" -> ((s, d) => funnelLatency(s, d).orderBy("event_date")),
     "events_sessionize" -> ((s, d) => sessionize(s, d).orderBy("user_id", "session_seq")),
     "events_scd2" -> ((s, d) => scd2(s, d).orderBy("user_id", "event_type", "valid_from", "event_id")),
     "events_type_pivot" -> ((s, d) => typePivot(s, d).orderBy("user_id")),
@@ -487,6 +533,7 @@ object Relational {
     "events_props_json" -> propsJsonStatsOracle,
     "events_cube" -> eventsCubeOracle,
     "events_scd2" -> scd2Oracle,
+    "events_funnel_latency" -> funnelLatencyOracle,
     "tpch_q18" -> q18Oracle,
     "tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
