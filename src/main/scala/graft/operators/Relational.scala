@@ -126,6 +126,103 @@ object Relational {
        |JOIN customer c ON c.c_custkey = o.o_custkey
        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin
 
+  /** Q4-shape order-priority checking: orders in a one-year window with at
+    * least one line shipped more than 60 days after the order date (the
+    * fixture has no l_commitdate/l_receiptdate, so "late" is derived from the
+    * two dates it does carry), counted per priority. The EXISTS collapses to a
+    * LEFT SEMI join on the order key with the date inequality as a residual
+    * condition — one fact-fact shuffle on l_orderkey, lineitem pruned to two
+    * columns at the scan, no duplication of matched orders however many lines
+    * qualify. That shape is unchanged at 100 TB: semi-join output is bounded
+    * by the orders side.
+    */
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  def q4Oracle: String =
+    s"""SELECT o_orderpriority, count(*) AS order_count
+       |FROM orders o
+       |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+       |  AND EXISTS (SELECT 1 FROM lineitem l
+       |              WHERE l.l_orderkey = o.o_orderkey
+       |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q14-shape promo revenue share: one month of lineitem joined to part,
+    * conditional aggregation of the PROMO slice against the total in a single
+    * scan. part broadcasts (it is a dimension); the month filter pushes to the
+    * lineitem scan. Both sums are exact integer micros; the percentage is one
+    * double division over the two exact totals, so both engines divide the
+    * same pair of doubles.
+    */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        exactSum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))).as("promo_revenue"),
+        exactSum(rev).as("total_revenue"))
+      .select(
+        r6(lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_pct"),
+        col("promo_revenue"), col("total_revenue"))
+  }
+
+  def q14Oracle: String = {
+    val rev = "l.l_extendedprice * (1.0e0 - l.l_discount)"
+    s"""WITH t AS (
+       |  SELECT ${sqlExactSum(s"CASE WHEN p.p_type = 'PROMO' THEN $rev ELSE 0.0e0 END")} AS promo_revenue,
+       |         ${sqlExactSum(rev)} AS total_revenue
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' AND l.l_shipdate < TIMESTAMP '1997-10-01'
+       |)
+       |SELECT ${sqlR6("100.0e0 * promo_revenue / total_revenue")} AS promo_pct,
+       |       promo_revenue, total_revenue
+       |FROM t""".stripMargin
+  }
+
+  /** Q19-shape disjunctive-predicate join: revenue over an OR of three
+    * AND-branches, each constraining (p_brand, p_size, l_quantity) jointly.
+    * The plan this must produce: part broadcasts, and Catalyst pushes the
+    * per-side restriction of the disjunction to each scan (every branch bounds
+    * l_quantity ≤ 30, and the part side keeps only the three brands), so the
+    * join probes a pre-shrunk build side instead of evaluating the full OR on
+    * the cross of both tables — the difference between a predicate evaluated
+    * once per scanned row and once per joined row at 100 TB.
+    */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val branch = (brand: String, szHi: Int, qLo: Double, qHi: Double) =>
+      col("p_brand") === brand && col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    li.join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#11", 15, 1.0, 11.0) ||
+        branch("Brand#22", 25, 10.0, 20.0) ||
+        branch("Brand#15", 35, 20.0, 30.0))
+      .agg(
+        exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  def q19Oracle: String =
+    s"""SELECT ${sqlExactSum("l.l_extendedprice * (1.0e0 - l.l_discount)")} AS revenue,
+       |       count(*) AS n_items
+       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1.0e0 AND 11.0e0)
+       |   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10.0e0 AND 20.0e0)
+       |   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20.0e0 AND 30.0e0)""".stripMargin
+
   /** Hierarchical rollup: revenue at (region, nation), per-region subtotal,
     * and grand total in ONE pass — Catalyst's Expand operator computes all
     * grouping sets from a single scan (SURVEY §2.3: grouping sets are a free
@@ -514,6 +611,9 @@ object Relational {
     "tpch_q3" -> ((s, d) => q3(s, d)),
     "tpch_q5" -> ((s, d) => q5(s, d).orderBy("r_name", "n_name")),
     "tpch_q6" -> ((s, d) => q6(s, d)),
+    "tpch_q4" -> ((s, d) => q4(s, d).orderBy("o_orderpriority")),
+    "tpch_q14" -> ((s, d) => q14(s, d)),
+    "tpch_q19" -> ((s, d) => q19(s, d)),
     "tpch_q18" -> ((s, d) => q18(s, d)),
     "revenue_rollup" -> ((s, d) => revenueRollup(s, d).orderBy("r_name", "n_name")),
     "top_customers_per_nation" -> ((s, d) => topCustomersPerNation(s, d).orderBy("n_name", "rank")),
@@ -535,6 +635,9 @@ object Relational {
     "events_scd2" -> scd2Oracle,
     "events_funnel_latency" -> funnelLatencyOracle,
     "tpch_q18" -> q18Oracle,
+    "tpch_q4" -> q4Oracle,
+    "tpch_q14" -> q14Oracle,
+    "tpch_q19" -> q19Oracle,
     "tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sqlExactSum("l_quantity")} AS sum_qty,
