@@ -595,6 +595,125 @@ object EventsOps {
        |FROM l ORDER BY user_id, ts, event_id""".stripMargin
   }
 
+  /** ACF depth: sample autocorrelation at lags 1..[[AcfK]]. */
+  val AcfK = 6
+
+  /** Per-series sample autocorrelation function — the first diagnostic a
+    * time-series pipeline computes (is there serial structure worth a
+    * seasonal model? how fast does it decay?): r_k = Σ(x_t−μ)(x_{t−k}−μ) /
+    * Σ(x_t−μ)², lags 1..[[AcfK]] in ONE pass.
+    *
+    * Scale shape: the per-key mean is an unordered frame over the same
+    * hash-partitioning the lag fan and the final groupBy reuse, so the whole
+    * statistic costs ONE shuffle on user_id; all [[AcfK]] numerators are
+    * sibling aggregates of a single scan, not K self-joins. Determinism: μ is
+    * an exact integer mean (fx9 sum ÷ count), every deviation product is
+    * fx6-quantized before summing, so partial-merge order cannot move the
+    * ratio (the [[graft.functions.Num.fx]] discipline).
+    */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wAll = Window.partitionBy("user_id")
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("mu",
+        sum(fx(col("value"), 9)).over(wAll).cast("double") / 1e9 / count(lit(1)).over(wAll))
+    val lagged = (1 to AcfK).foldLeft(base)((df, k) =>
+      df.withColumn(s"l$k", lag(col("value"), k).over(wOrd)))
+    val dev = col("value") - col("mu")
+    val aggs =
+      sum(fx(dev * dev, 6)).as("den") +:
+        (1 to AcfK).map(k =>
+          sum(when(col(s"l$k").isNotNull, fx(dev * (col(s"l$k") - col("mu")), 6))
+            .otherwise(lit(0L))).as(s"num$k"))
+    val acfCols = (1 to AcfK).map(k =>
+      r6(col(s"num$k").cast("double") / col("den").cast("double")).as(s"acf_$k"))
+    val allAggs = count(lit(1)).as("n") +: aggs
+    lagged.groupBy("user_id")
+      .agg(allAggs.head, allAggs.tail: _*)
+      .select(col("user_id") +: col("n") +: acfCols: _*)
+  }
+
+  def autocorrOracle: String = {
+    val lags = (1 to AcfK).map(k =>
+      s"lag(e.value, $k) OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS l$k").mkString(", ")
+    val nums = (1 to AcfK).map(k =>
+      s"sum(CASE WHEN l$k IS NOT NULL THEN ${sqlFx(s"(value - mu) * (l$k - mu)", 6)} ELSE 0 END) AS num$k")
+      .mkString(",\n       |         ")
+    val accs = (1 to AcfK).map(k =>
+      s"${sqlR6(s"CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE)")} AS acf_$k")
+      .mkString(",\n       |       ")
+    s"""WITH m AS (
+       |  SELECT user_id, CAST(sum(${sqlFx("value", 9)}) AS DOUBLE) / 1e9 / count(*) AS mu
+       |  FROM events GROUP BY 1
+       |), l AS (
+       |  SELECT e.user_id, e.value, m.mu, $lags
+       |  FROM events e JOIN m ON m.user_id = e.user_id
+       |), a AS (
+       |  SELECT user_id, count(*) AS n,
+       |         sum(${sqlFx("(value - mu) * (value - mu)", 6)}) AS den,
+       |         $nums
+       |  FROM l GROUP BY 1
+       |)
+       |SELECT user_id, n,
+       |       $accs
+       |FROM a ORDER BY user_id""".stripMargin
+  }
+
+  /** CUSUM mean-shift changepoint per series: S_t = Σ_{i≤t}(x_i − μ) peaks at
+    * the instant the running mean departs from the global one, so argmax|S_t|
+    * is the classic single-changepoint estimator (Page, Biometrika 1954).
+    * Reported per user: the peak position, its |CUSUM| magnitude, and the
+    * fraction of the series before it.
+    *
+    * Scale shape: one shuffle on user_id covers the exact mean (unordered
+    * frame), the cumulative sum (ordered frame), and the deterministic argmax
+    * (a WindowGroupLimit rank-1 filter, per-partition 1-row heap — no second
+    * aggregation). The cumulative sum runs entirely in fx6 integers, so the
+    * peak choice is exact arithmetic, not float comparison: ties broken by
+    * earliest (ts, event_id).
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy("user_id")
+    val wCum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("mu",
+        sum(fx(col("value"), 9)).over(wAll).cast("double") / 1e9 / count(lit(1)).over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("pos", row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id")))
+      .withColumn("cus", sum(fx(col("value") - col("mu"), 6)).over(wCum))
+    val wPick = Window.partitionBy("user_id")
+      .orderBy(abs(col("cus")).desc, col("ts").asc, col("event_id").asc)
+    base.withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
+      .select(col("user_id"), col("n"), col("event_id").as("cp_event_id"),
+        col("ts").as("cp_ts"),
+        r6(abs(col("cus")).cast("double") / 1e6).as("cusum_peak"),
+        r6(col("pos").cast("double") / col("n").cast("double")).as("frac_before"))
+  }
+
+  def changepointOracle: String =
+    s"""WITH m AS (
+       |  SELECT user_id, CAST(sum(${sqlFx("value", 9)}) AS DOUBLE) / 1e9 / count(*) AS mu,
+       |         count(*) AS n
+       |  FROM events GROUP BY 1
+       |), c AS (
+       |  SELECT e.user_id, m.n, e.event_id, e.ts,
+       |         row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS pos,
+       |         sum(${sqlFx("e.value - m.mu", 6)})
+       |           OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cus
+       |  FROM events e JOIN m ON m.user_id = e.user_id
+       |), p AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY abs(cus) DESC, ts, event_id) AS rk
+       |  FROM c
+       |)
+       |SELECT user_id, n, event_id AS cp_event_id, ts AS cp_ts,
+       |       ${sqlR6("CAST(abs(cus) AS DOUBLE) / 1e6")} AS cusum_peak,
+       |       ${sqlR6("CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)")} AS frac_before
+       |FROM p WHERE rk = 1 ORDER BY user_id""".stripMargin
+
   /** Per-user event-type transition matrix — the Markov-chain profile of the
     * event log (the next-event-prediction baseline and the funnel
     * generalization): counts of consecutive (prev_type → type) pairs across
@@ -1050,6 +1169,8 @@ object EventsOps {
     "events_retention_cohorts" -> ((s, d) => retentionCohorts(s, d).orderBy("cohort_date", "day_offset")),
     "ts_forecast_eval" -> ((s, d) => forecastEval(s, d).orderBy("user_id")),
     "ts_ewma" -> ((s, d) => ewma(s, d).orderBy("user_id", "ts", "event_id")),
+    "ts_autocorr" -> ((s, d) => autocorr(s, d).orderBy("user_id")),
+    "ts_changepoint" -> ((s, d) => changepoint(s, d).orderBy("user_id")),
     "events_type_transitions" -> ((s, d) => typeTransitions(s, d).orderBy("prev_type", "next_type")),
     "ts_value_quantiles_sketch" -> ((s, d) => valueQuantilesSketch(s, d).orderBy("event_type")),
     "ts_tumbling_agg" -> ((s, d) => tumbling(s, d))
@@ -1078,6 +1199,8 @@ object EventsOps {
     "events_retention_cohorts" -> retentionCohortsOracle,
     "ts_forecast_eval" -> forecastEvalOracle,
     "ts_ewma" -> ewmaOracle,
+    "ts_autocorr" -> autocorrOracle,
+    "ts_changepoint" -> changepointOracle,
     "events_type_transitions" -> typeTransitionsOracle,
     "ts_value_quantiles_sketch" -> valueQuantilesSketchOracle,
     "ts_tumbling_agg" -> tumblingOracle
