@@ -34,6 +34,7 @@ object SparkEntry {
       (PqOps.queries, PqOps.oracles),
       (OpqOps.queries, OpqOps.oracles),
       (SqOps.queries, SqOps.oracles),
+      (BqOps.queries, BqOps.oracles),
       (graft.sources.Bucketed.queries, graft.sources.Bucketed.oracles),
       (graft.sources.Partitioned.queries, graft.sources.Partitioned.oracles),
       (graft.sources.Compaction.queries, graft.sources.Compaction.oracles),
