@@ -541,6 +541,51 @@ object EventsOps {
       |SELECT 'ALL', count(DISTINCT user_id), true FROM events
       |ORDER BY event_type""".stripMargin
 
+  /** Intersection tolerance (%): inclusion-exclusion SUBTRACTS estimates, so
+    * the relative error of the difference is larger than any single sketch's —
+    * the gate is deliberately wider than [[HllTolPct]]. */
+  val HllIntersectTolPct = 15.0
+
+  /** Sketch set-INTERSECTION — the audience-overlap question ("how many users
+    * both browse and buy?") answered from sketches alone via
+    * inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where all three
+    * sketches build in ONE conditional-aggregation scan (the union sketch
+    * ingests both slices directly). HLL supports union natively but not
+    * intersection; this identity is how sketch stores serve overlap at 100 TB
+    * without a distinct-pair shuffle. Exact twins power the in-tolerance gate
+    * only (the [[dailyUsersSketch]] oracle design) — and the exact overlap
+    * itself comes from the same identity over exact counts, so the output
+    * carries no order-dependent float at all.
+    */
+  def hllIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val sliced = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+    sliced.agg(
+        hll_sketch_agg(when(col("event_type") === "view", col("user_id"))).as("ska"),
+        hll_sketch_agg(when(col("event_type") === "purchase", col("user_id"))).as("skb"),
+        hll_sketch_agg(col("user_id")).as("sku"),
+        countDistinct(when(col("event_type") === "view", col("user_id"))).as("n_view_exact"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("n_purchase_exact"),
+        countDistinct(col("user_id")).as("n_union_exact"))
+      .select(
+        col("n_view_exact"), col("n_purchase_exact"),
+        (col("n_view_exact") + col("n_purchase_exact") - col("n_union_exact")).as("n_both_exact"),
+        ((abs(hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb")) -
+          hll_sketch_estimate(col("sku")) -
+          (col("n_view_exact") + col("n_purchase_exact") - col("n_union_exact"))).cast("double") * 100.0 /
+          (col("n_view_exact") + col("n_purchase_exact") - col("n_union_exact")).cast("double"))
+          <= HllIntersectTolPct).as("intersect_within_tol"))
+  }
+
+  def hllIntersectOracle: String =
+    """SELECT count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS n_view_exact,
+      |       count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS n_purchase_exact,
+      |       count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+      |         + count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+      |         - count(DISTINCT user_id) AS n_both_exact,
+      |       true AS intersect_within_tol
+      |FROM events WHERE event_type IN ('view', 'purchase')""".stripMargin
+
   /** EWMA smoothing constant and truncation depth. */
   val EwmaAlpha = 0.3
   val EwmaK = 8
@@ -1166,6 +1211,7 @@ object EventsOps {
     "events_funnel_windowed" -> ((s, d) => funnelWindowed(s, d).orderBy("user_id")),
     "events_daily_users_hll" -> ((s, d) => dailyUsersSketch(s, d).orderBy("event_date")),
     "events_hll_union" -> ((s, d) => hllUnion(s, d).orderBy("event_type")),
+    "events_type_overlap_hll" -> ((s, d) => hllIntersect(s, d)),
     "events_retention_cohorts" -> ((s, d) => retentionCohorts(s, d).orderBy("cohort_date", "day_offset")),
     "ts_forecast_eval" -> ((s, d) => forecastEval(s, d).orderBy("user_id")),
     "ts_ewma" -> ((s, d) => ewma(s, d).orderBy("user_id", "ts", "event_id")),
@@ -1196,6 +1242,7 @@ object EventsOps {
     "events_funnel_windowed" -> funnelWindowedOracle,
     "events_daily_users_hll" -> dailyUsersSketchOracle,
     "events_hll_union" -> hllUnionOracle,
+    "events_type_overlap_hll" -> hllIntersectOracle,
     "events_retention_cohorts" -> retentionCohortsOracle,
     "ts_forecast_eval" -> forecastEvalOracle,
     "ts_ewma" -> ewmaOracle,

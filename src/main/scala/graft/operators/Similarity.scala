@@ -858,7 +858,50 @@ object Similarity {
        |$steps""".stripMargin
   }
 
+  /** Hard negatives per query for contrastive training. */
+  val HardNegK = 5
+
+  /** Hard-negative mining — the batch-construction pass of contrastive
+    * embedding training (SimCLR/CLIP-style): for each query vector, the
+    * [[HardNegK]] most-similar vectors whose LABEL DIFFERS. Those are the
+    * pairs a margin loss learns most from; random negatives are trivially
+    * separated and contribute no gradient. Same broadcast-query × partitioned-
+    * corpus shape as [[bruteForceTopK]] with the label inequality fused into
+    * the scan filter, so at 100 TB the negative miner costs exactly what the
+    * neighbor search costs.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .withColumn("cos", r6(cosine_sim(col("qv"), col("v"))))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= HardNegK)
+      .select(col("qid"), col("qlabel"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"), col("rank"), col("cos"))
+  }
+
+  def hardNegativesOracle: String =
+    s"""WITH $flatSql,
+       |hnd AS (
+       |  SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS vid, b.label AS neg_label,
+       |         sum(a.x * b.x) AS dot
+       |  FROM flat a JOIN flat b ON b.d = a.d
+       |  WHERE a.vec_id < $NumQueries AND b.vec_id <> a.vec_id AND b.label <> a.label
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT qid, qlabel, vid AS neighbor_id, neg_label, CAST(rn AS INT) AS rank, cos
+       |FROM (
+       |  SELECT qid, qlabel, vid, neg_label, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn
+       |  FROM (SELECT qid, qlabel, vid, neg_label, ${sqlR6("dot / (na.nrm * nb.nrm)")} AS cos
+       |        FROM hnd JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = vid))
+       |WHERE rn <= $HardNegK ORDER BY qid, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_hard_negatives" -> ((s, d) => hardNegatives(s, d).orderBy("qid", "rank")),
     "ann_bruteforce_topk" -> ((s, d) => bruteForceTopK(s, d).orderBy("qid", "rank")),
     "ann_lsh_topk" -> ((s, d) => lshTopK(s, d).orderBy("qid", "rank")),
     "ann_lsh_buckets" -> ((s, d) => buckets(s, d).orderBy("vec_id")),
@@ -882,6 +925,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "emb_hard_negatives" -> hardNegativesOracle,
     "ann_bruteforce_topk" -> cosTopKSql(bucketJoin = false),
     "ann_lsh_topk" -> cosTopKSql(bucketJoin = true),
     "ann_lsh_buckets" ->
