@@ -438,7 +438,36 @@ object PqOps {
        |  WHERE rn <= $TopK
        |)""".stripMargin
 
+  /** IVF cell-size balance profile — the operational metric an index builder
+    * reads BEFORE committing a 100-TB build: a coarse quantizer whose largest
+    * cell holds several times its fair share turns nprobe into a lie (hot
+    * cells dominate every probe's latency and the biggest cell's partition
+    * straggles the build). load_factor = n·K/total, so 1.0 is perfectly
+    * balanced and the max row is the straggler multiple. Rides the shared
+    * cached quantizer; one narrow groupBy over the literal cell assignment.
+    */
+  def cellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    corpusCells(spark, dir)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(w))
+      .select(col("cell"), col("n"),
+        r6(col("n").cast("double") / col("total").cast("double")).as("share"),
+        r6(col("n").cast("double") * Similarity.KMeansK.toDouble /
+          col("total").cast("double")).as("load_factor"))
+  }
+
+  def cellBalanceOracle: String =
+    s"""WITH ${Similarity.flatSql},
+       |${Similarity.ivfBucketCtes},
+       |cnt AS (SELECT c AS cell, count(*) AS n FROM bkt GROUP BY 1)
+       |SELECT cell, n,
+       |       ${sqlR6("CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)")} AS share,
+       |       ${sqlR6(s"CAST(n AS DOUBLE) * ${Similarity.KMeansK}.0e0 / CAST(sum(n) OVER () AS DOUBLE)")} AS load_factor
+       |FROM cnt ORDER BY cell""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_cell_balance" -> ((s, d) => cellBalance(s, d).orderBy("cell")),
     "ann_pq_codebooks" -> ((s, d) => codebooksFlat(s, d).orderBy("m", "c", "sd")),
     "ann_pq_codes" -> ((s, d) => codes(s, d).orderBy("vec_id", "m")),
     "ann_pq_topk" -> ((s, d) => adcTopK(s, d).orderBy("qid", "rank")),
@@ -450,6 +479,7 @@ object PqOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "emb_cell_balance" -> cellBalanceOracle,
     "ann_pq_codebooks" ->
       s"""WITH ${Similarity.flatSql},
          |$pqChainSql
