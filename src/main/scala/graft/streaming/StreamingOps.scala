@@ -156,6 +156,32 @@ object StreamingOps {
         r6(col("sum_value") / col("n_events")).as("avg_value"))
   }
 
+  /** Driver-visible run of [[dedupWithinWatermark]] — a REAL incremental
+    * execution (the engine rejects `dropDuplicatesWithinWatermark` under a
+    * batch plan), fed a DELIBERATE redelivery: a second file source re-streams
+    * every 10th event, so suppression is observable in the output row count —
+    * the memory sink must hold exactly the original id set or the oracle's
+    * rows_match fails. Both sources drain under AvailableNow in one
+    * micro-batch, so the 2-hour watermark cannot evict state between an
+    * original and its replay (cross-batch eviction timing is StreamingSpec's
+    * concern). Projected to the dedup key: the survivor ROW per key is
+    * first-seen, which across two racing sources is nondeterministic.
+    */
+  def streamDedupReplay(spark: SparkSession, dir: String): DataFrame = {
+    val sink = "stream_dedup_sink"
+    spark.catalog.dropTempView(sink)
+    val ev = Tables.eventsStream(spark, dir)
+    val replay = Tables.eventsStream(spark, dir).filter(col("event_id") % 10 === 0)
+    val q = dedupWithinWatermark(ev.unionByName(replay))
+      .select("event_id")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_agg" -> ((s, d) => streamTumbling(s, d).orderBy("ws", "event_type")),
     // the sliding-window transform run in BATCH mode over the same events
@@ -169,6 +195,7 @@ object StreamingOps {
     // StreamingSpec) — previously spec-only, now oracle-checked
     "events_session_window" -> ((s, d) =>
       sessionCounts(Tables.events(s, d)).orderBy("user_id", "session_start")),
+    "stream_dedup_replay" -> ((s, d) => streamDedupReplay(s, d).orderBy("event_id")),
     // the left-outer join transform under a batch plan (same code path the
     // incremental run takes; watermark-gated null emission is StreamingSpec's)
     "events_interval_left_join" -> ((s, d) => {
@@ -214,6 +241,9 @@ object StreamingOps {
         |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
         |       user_id, count(*) AS n_events
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    // the replayed 10% must collapse back to the original unique id set
+    "stream_dedup_replay" ->
+      """SELECT DISTINCT event_id FROM events ORDER BY event_id""".stripMargin,
     "events_interval_left_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
         |       p.ts AS purchase_ts, c.ts AS click_ts
