@@ -348,7 +348,102 @@ object CorpusQc {
 
   // ---------------- DuckDB oracle twins ----------------
 
+  /** Histogram ladder: power-of-two length buckets up to 2^[[HistMaxBucket]]. */
+  val HistMaxBucket = 14
+
+  private def bucketLadder(n: Column): Column =
+    (HistMaxBucket to 2 by -1).foldLeft(when(n >= (1L << HistMaxBucket) * 2, HistMaxBucket + 1)) {
+      (acc, k) => acc.when(n >= (1L << k), k)
+    }.otherwise(lit(1))
+
+  private def bucketLadderSql(n: String): String = {
+    val whens = (HistMaxBucket to 2 by -1)
+      .map(k => s"WHEN $n >= ${1L << k} THEN $k")
+      .mkString(" ")
+    s"(CASE WHEN $n >= ${(1L << HistMaxBucket) * 2} THEN ${HistMaxBucket + 1} $whens ELSE 1 END)"
+  }
+
+  /** Document-length profile — the histogram a curation pass reads to set
+    * truncation/packing thresholds: per (source, power-of-two word-count
+    * bucket), document and token counts plus each bucket's share of its
+    * source. Text lengths are power-law-ish, so buckets are log-spaced; the
+    * bucket id comes from an integer CASE ladder, not floor(log2(n)) — libm
+    * log at an exact power boundary is the kind of 1-ulp cross-engine skew
+    * the ladder makes impossible. One scan, counts collapse map-side, text
+    * never shuffles.
+    */
+  def lengthHist(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(words).cast("long")
+    val wSrc = Window.partitionBy("source")
+    docs(spark, dir)
+      .select(col("source"), bucketLadder(n).as("bucket"), n.as("n_words"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+      .withColumn("src_docs", sum(col("n_docs")).over(wSrc))
+      .select(col("source"), col("bucket"), col("n_docs"), col("n_tokens"),
+        r6(col("n_docs").cast("double") / col("src_docs").cast("double")).as("share"))
+  }
+
+  def lengthHistOracle: String =
+    s"""WITH b AS (
+       |  SELECT source,
+       |         ${bucketLadderSql("len(regexp_split_to_array(text, '\\s+'))")} AS bucket,
+       |         len(regexp_split_to_array(text, '\\s+'))::BIGINT AS n_words
+       |  FROM documents
+       |), g AS (
+       |  SELECT source, bucket, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens
+       |  FROM b GROUP BY 1, 2
+       |)
+       |SELECT source, bucket, n_docs, n_tokens,
+       |       ${sqlR6("CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE)")} AS share
+       |FROM g ORDER BY source, bucket""".stripMargin
+
+  /** Source-mixture entropy — the one-number diagnostic of how concentrated
+    * the training mix is: per-source token shares p_s and their Shannon
+    * terms −p·log₂p, plus an ALL row whose h_bits is the mixture entropy
+    * (log₂#sources when perfectly balanced, → 0 as one source dominates).
+    * The entropy sum runs over fx9-quantized terms so the ALL row cannot
+    * depend on partial-merge order; the per-source pass is one narrow agg
+    * and the rollup touches #sources rows.
+    */
+  def mixEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val per = docs(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(size(words).cast("long")).as("n_tokens"))
+      .withColumn("total", sum(col("n_tokens")).over(Window.partitionBy()))
+      .withColumn("p", col("n_tokens").cast("double") / col("total").cast("double"))
+      .withColumn("term", -col("p") * log2(col("p")))
+      .localCheckpoint(true) // ≤ #sources rows; reused by both output legs
+    val perOut = per.select(col("source"), col("n_docs"), col("n_tokens"),
+      r6(col("p")).as("share"), r6(col("term")).as("h_bits"))
+    val allOut = per
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        (sum(fx9(col("term"))).cast("double") / 1e9).as("h"))
+      .select(lit("ALL").as("source"), col("n_docs"), col("n_tokens"),
+        lit(1.0).as("share"), r6(col("h")).as("h_bits"))
+    perOut.unionByName(allOut)
+  }
+
+  def mixEntropyOracle: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(len(regexp_split_to_array(text, '\\s+'))::BIGINT) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1
+       |), t AS (
+       |  SELECT *, CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS p
+       |  FROM per
+       |), u AS (SELECT *, -p * log2(p) AS term FROM t)
+       |SELECT source, n_docs, n_tokens, ${sqlR6("p")} AS share, ${sqlR6("term")} AS h_bits
+       |FROM u
+       |UNION ALL
+       |SELECT 'ALL', CAST(sum(n_docs) AS BIGINT), CAST(sum(n_tokens) AS BIGINT), 1.0e0,
+       |       ${sqlR6(s"CAST(sum(${sqlFx9("term")}) AS DOUBLE) / 1e9")}
+       |FROM u
+       |ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_length_hist" -> ((s, d) => lengthHist(s, d).orderBy("source", "bucket")),
+    "docs_mix_entropy" -> ((s, d) => mixEntropy(s, d).orderBy("source")),
     "text_repetition" -> ((s, d) => repetition(s, d).orderBy("doc_id")),
     "docs_decontam" -> ((s, d) => decontam(s, d).orderBy("doc_id")),
     "docs_chunk_dedup" -> ((s, d) => chunkDedup(s, d).orderBy("doc_id")),
@@ -359,6 +454,8 @@ object CorpusQc {
   )
 
   def oracles: Map[String, String] = Map(
+    "docs_length_hist" -> lengthHistOracle,
+    "docs_mix_entropy" -> mixEntropyOracle,
     "text_repetition" ->
       s"""WITH ${gramCteSql("g2", 2)},
          |${gramCteSql("g5", 5)},

@@ -759,6 +759,49 @@ object EventsOps {
        |       ${sqlR6("CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)")} AS frac_before
        |FROM p WHERE rk = 1 ORDER BY user_id""".stripMargin
 
+  /** Join-key skew profile — the diagnostic read BEFORE deciding whether a
+    * join needs salting (`events_skew_salted_join`) or AQE skew handling:
+    * per-key event counts summarized as mean, max, exact p99 and the skew
+    * factor max/mean. The p99 is computed the scalable way: per-key counts
+    * collapse to (count-value, #keys) pairs first, so the only global window
+    * runs over DISTINCT count values (bounded by max events-per-key), never
+    * over the keys themselves — at 100 TB the keys side stays a hash agg.
+    */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir).groupBy("user_id").agg(count(lit(1)).as("c"))
+    val stats = per
+      .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_events"), max(col("c")).as("max_c"))
+      .localCheckpoint(true) // 1 row, reused by the p99 leg and the output
+    val wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p99 = per.groupBy("c").agg(count(lit(1)).as("k"))
+      .withColumn("cum", sum(col("k")).over(wc))
+      .crossJoin(stats.select(col("n_keys").as("nk")))
+      .filter(col("cum") >= ceil(col("nk").cast("double") * lit(0.99)))
+      .agg(min(col("c")).as("p99_c"))
+    stats.crossJoin(p99).select(
+      col("n_keys"), col("n_events"), col("max_c"), col("p99_c"),
+      r6(col("n_events").cast("double") / col("n_keys").cast("double")).as("mean_c"),
+      r6(col("max_c").cast("double") /
+        (col("n_events").cast("double") / col("n_keys").cast("double"))).as("skew_factor"))
+  }
+
+  def keySkewOracle: String =
+    s"""WITH per AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+       |s AS (
+       |  SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_events, max(c) AS max_c
+       |  FROM per
+       |), cum AS (
+       |  SELECT c, sum(k) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM (SELECT c, count(*) AS k FROM per GROUP BY 1)
+       |), p AS (
+       |  SELECT min(c) AS p99_c FROM cum, s
+       |  WHERE cum >= ceil(CAST(n_keys AS DOUBLE) * 0.99e0)
+       |)
+       |SELECT n_keys, n_events, max_c, p99_c,
+       |       ${sqlR6("CAST(n_events AS DOUBLE) / CAST(n_keys AS DOUBLE)")} AS mean_c,
+       |       ${sqlR6("CAST(max_c AS DOUBLE) / (CAST(n_events AS DOUBLE) / CAST(n_keys AS DOUBLE))")} AS skew_factor
+       |FROM s, p""".stripMargin
+
   /** Per-user event-type transition matrix — the Markov-chain profile of the
     * event log (the next-event-prediction baseline and the funnel
     * generalization): counts of consecutive (prev_type → type) pairs across
@@ -1217,6 +1260,7 @@ object EventsOps {
     "ts_ewma" -> ((s, d) => ewma(s, d).orderBy("user_id", "ts", "event_id")),
     "ts_autocorr" -> ((s, d) => autocorr(s, d).orderBy("user_id")),
     "ts_changepoint" -> ((s, d) => changepoint(s, d).orderBy("user_id")),
+    "events_key_skew" -> ((s, d) => keySkew(s, d)),
     "events_type_transitions" -> ((s, d) => typeTransitions(s, d).orderBy("prev_type", "next_type")),
     "ts_value_quantiles_sketch" -> ((s, d) => valueQuantilesSketch(s, d).orderBy("event_type")),
     "ts_tumbling_agg" -> ((s, d) => tumbling(s, d))
@@ -1248,6 +1292,7 @@ object EventsOps {
     "ts_ewma" -> ewmaOracle,
     "ts_autocorr" -> autocorrOracle,
     "ts_changepoint" -> changepointOracle,
+    "events_key_skew" -> keySkewOracle,
     "events_type_transitions" -> typeTransitionsOracle,
     "ts_value_quantiles_sketch" -> valueQuantilesSketchOracle,
     "ts_tumbling_agg" -> tumblingOracle
