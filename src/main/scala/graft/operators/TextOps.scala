@@ -330,7 +330,76 @@ object TextOps {
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("w1"), asc("w2")).limit(MergeTopK)
 
+  /** One full BPE training iteration — `text_bigram_merges` is the COUNT
+    * step; this is the rest of the loop: pick the winning pair (deterministic
+    * tiebreak, restricted to a ≠ b so occurrences can never overlap and the
+    * greedy-leftmost merge is exact set arithmetic), rewrite the whole corpus
+    * with that pair fused into one token, and recount the pair table — the
+    * state the next iteration consumes (Sennrich et al., ACL 2016, at word
+    * granularity to match the merge-counting twin).
+    *
+    * Scale shape: apply is two window passes over the SAME (doc_id) shuffle —
+    * mark-and-drop consumed positions, then re-derive adjacency over the
+    * survivors — so an iteration costs one shuffle plus the count agg; the
+    * 1-row winning pair broadcasts. The NULL edges matter: a doc's first
+    * token has prv = NULL, and `prv <> a` is NULL there, so the keep filter
+    * must short-circuit on IS NULL or the filter silently drops every doc
+    * head.
+    */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val adj = docs(spark, dir)
+      .select(col("doc_id"), posexplode(words).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(wd))
+      .withColumn("prv", lag(col("tok"), 1).over(wd))
+    val top1 = adj.filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+      .groupBy(col("tok").as("a"), col("nxt").as("b")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+      .select("a", "b")
+      .localCheckpoint(true) // 1 row; breaks the self-lineage for the crossJoin
+    val applied = adj.crossJoin(broadcast(top1))
+      .filter(col("prv").isNull || col("prv") =!= col("a") || col("tok") =!= col("b"))
+      .withColumn("tok2",
+        when(col("tok") === col("a") && col("nxt") === col("b"),
+          concat(col("a"), lit("_"), col("b"))).otherwise(col("tok")))
+    val pairs2 = applied
+      .withColumn("w2", lead(col("tok2"), 1).over(wd))
+      .filter(col("w2").isNotNull)
+    pairs2.groupBy(col("tok2").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("w1"), asc("w2")).limit(MergeTopK)
+  }
+
+  def bpeApplyOracle: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |toks AS (
+       |  SELECT doc_id, g.i AS pos, ws[g.i] AS tok
+       |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+       |), adj AS (
+       |  SELECT doc_id, pos, tok,
+       |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+       |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prv
+       |  FROM toks
+       |), top1 AS (
+       |  SELECT tok AS a, nxt AS b FROM (
+       |    SELECT tok, nxt, count(*) AS cnt FROM adj
+       |    WHERE nxt IS NOT NULL AND tok <> nxt GROUP BY 1, 2)
+       |  ORDER BY cnt DESC, tok, nxt LIMIT 1
+       |), app AS (
+       |  SELECT x.doc_id, x.pos,
+       |         CASE WHEN x.tok = t.a AND x.nxt = t.b THEN x.tok || '_' || t.b
+       |              ELSE x.tok END AS tok2
+       |  FROM adj x, top1 t
+       |  WHERE x.prv IS NULL OR x.prv <> t.a OR x.tok <> t.b
+       |), adj2 AS (
+       |  SELECT tok2 AS w1, lead(tok2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM app
+       |)
+       |SELECT w1, w2, count(*) AS cnt FROM adj2 WHERE w2 IS NOT NULL GROUP BY 1, 2
+       |ORDER BY cnt DESC, w1, w2 LIMIT $MergeTopK""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_apply" -> ((s, d) => bpeApply(s, d)),
     "text_bigram_merges" -> ((s, d) => bigramMerges(s, d)),
     "text_token_counts" -> ((s, d) => tokenCounts(s, d).orderBy("doc_id")),
     "text_quality" -> ((s, d) => quality(s, d).orderBy("doc_id")),
@@ -344,6 +413,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_bpe_apply" -> bpeApplyOracle,
     "text_bigram_merges" ->
       s"""WITH w AS (SELECT $wordsSql AS ws FROM documents),
          |pairs AS (
