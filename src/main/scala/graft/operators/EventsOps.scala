@@ -656,11 +656,17 @@ object EventsOps {
     * fx6-quantized before summing, so partial-merge order cannot move the
     * ratio (the [[graft.functions.Num.fx]] discipline).
     */
-  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+  def autocorr(spark: SparkSession, dir: String): DataFrame =
+    autocorrOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value")))
+
+  /** Frame-parameterized form of [[autocorr]] over any (user_id, ts,
+    * event_id, value) input — the synthetic-series boundary spec drives it.
+    */
+  def autocorrOf(in: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wAll = Window.partitionBy("user_id")
-    val base = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val base = in
       .withColumn("mu",
         sum(fx(col("value"), 9)).over(wAll).cast("double") / 1e9 / count(lit(1)).over(wAll))
     val lagged = (1 to AcfK).foldLeft(base)((df, k) =>
@@ -718,12 +724,18 @@ object EventsOps {
     * peak choice is exact arithmetic, not float comparison: ties broken by
     * earliest (ts, event_id).
     */
-  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+  def changepoint(spark: SparkSession, dir: String): DataFrame =
+    changepointOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value")))
+
+  /** Frame-parameterized form of [[changepoint]] — the known-shift boundary
+    * spec drives it with a synthetic step series.
+    */
+  def changepointOf(in: DataFrame): DataFrame = {
     val wAll = Window.partitionBy("user_id")
     val wCum = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val base = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val base = in
       .withColumn("mu",
         sum(fx(col("value"), 9)).over(wAll).cast("double") / 1e9 / count(lit(1)).over(wAll))
       .withColumn("n", count(lit(1)).over(wAll))
