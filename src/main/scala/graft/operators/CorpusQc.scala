@@ -441,7 +441,125 @@ object CorpusQc {
        |FROM u
        |ORDER BY source""".stripMargin
 
+  // ---------------- per-source unigram-distribution divergence ----------------
+
+  /** Per-source distribution drift over TEXT — the lexical twin of
+    * `emb_drift`: KL(P_source ‖ P_corpus) over unigram distributions, the
+    * standard "did this source's language shift away from the mixture"
+    * monitor a corpus pipeline alarms on. One divergence number per source,
+    * plus the vocabulary/token mass it was computed from.
+    *
+    * Determinism: each (source, word) contributes p·ln(p/q) with p, q exact
+    * double ratios of BIGINT counts; the one ln() per pair is fx9-quantized
+    * BEFORE the per-source integer sum (the [[unigramNll]] discipline), so
+    * aggregation order cannot perturb the r6 output.
+    *
+    * Scale: both count tables collapse map-side (vocabulary ≪ corpus); the
+    * per-source totals and the corpus total are tiny broadcast joins — the
+    * only vocab-sized shuffle is the (source, word) group itself. Raw text
+    * never moves.
+    */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir).select(col("source"), explode(words).as("w"))
+    val srcCnt = tok.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val srcTot = srcCnt.groupBy("source").agg(sum(col("c_sw")).as("tot_s"))
+    val wCnt = srcCnt.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
+    val tot = wCnt.agg(sum(col("c_w")).as("tot"))
+    val p = col("c_sw").cast("double") / col("tot_s").cast("double")
+    val q = col("c_w").cast("double") / col("tot").cast("double")
+    srcCnt
+      .join(broadcast(srcTot), "source")
+      .join(broadcast(wCnt), "w")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("tot_s"), fx9(p * log(p / q)).as("kfx"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_vocab"), max(col("tot_s")).as("n_tokens"),
+        r6(sum(col("kfx")).cast("double") / 1e9).as("kl_nats"))
+  }
+
+  def sourceDivergenceOracle: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents
+       |), sc AS (
+       |  SELECT source, w, count(*) AS c_sw FROM tok GROUP BY 1, 2
+       |), st AS (
+       |  SELECT source, CAST(sum(c_sw) AS BIGINT) AS tot_s FROM sc GROUP BY 1
+       |), wc AS (
+       |  SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sc GROUP BY 1
+       |), t AS (SELECT CAST(sum(c_w) AS BIGINT) AS tot FROM wc),
+       |terms AS (
+       |  SELECT sc.source, st.tot_s,
+       |         ${sqlFx9("(CAST(sc.c_sw AS DOUBLE)/CAST(st.tot_s AS DOUBLE)) * ln((CAST(sc.c_sw AS DOUBLE)/CAST(st.tot_s AS DOUBLE)) / (CAST(wc.c_w AS DOUBLE)/CAST(t.tot AS DOUBLE)))")} AS kfx
+       |  FROM sc JOIN st USING (source) JOIN wc USING (w) CROSS JOIN t
+       |)
+       |SELECT source, count(*) AS n_vocab, max(tot_s) AS n_tokens,
+       |       ${sqlR6("CAST(sum(kfx) AS DOUBLE) / 1e9")} AS kl_nats
+       |FROM terms GROUP BY 1 ORDER BY source""".stripMargin
+
+  // ---------------- Zipf rank-frequency fit ----------------
+
+  /** Top-N word ranks the Zipf regression runs over. */
+  val ZipfTopN = 100
+
+  /** Zipf rank-frequency fit per source: OLS slope/intercept of ln(freq) on
+    * ln(rank) over the top-[[ZipfTopN]] words. Natural text sits near slope
+    * −1; templated or synthetic text flattens — a one-number corpus
+    * health check next to [[mixEntropy]].
+    *
+    * Determinism: both ln() values are fx6-quantized per (source, word); the
+    * five OLS sums are then EXACT BIGINT arithmetic (bounds: |x|≤ln(100)·1e6,
+    * |y|≤ln(corpus)·1e6, so n·Σxy and Σx·Σy stay ≤ ~5·10¹⁷ ≪ 2⁶³), and both
+    * engines cast the same exact integers to double for the two final
+    * divisions. Rank ties break on the word itself.
+    *
+    * Scale: the count table collapses map-side; the top-N filter is a
+    * WindowGroupLimit (per-partition heaps, no global sort); the regression
+    * is a 5-sum aggregate per source.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = docs(spark, dir).select(col("source"), explode(words).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val byFreq = Window.partitionBy("source").orderBy(desc("c"), asc("w"))
+    val top = cnt.withColumn("rnk", row_number().over(byFreq))
+      .filter(col("rnk") <= ZipfTopN)
+      .select(col("source"),
+        fx(log(col("rnk").cast("double")), 6).as("xi"),
+        fx(log(col("c").cast("double")), 6).as("yi"))
+    val n = count(lit(1))
+    val den = (n * sum(col("xi") * col("xi")) - sum(col("xi")) * sum(col("xi"))).cast("double")
+    val slope = (n * sum(col("xi") * col("yi")) - sum(col("xi")) * sum(col("yi"))).cast("double") / den
+    val intercept = (sum(col("yi")).cast("double") / 1e6 -
+      slope * (sum(col("xi")).cast("double") / 1e6)) / n.cast("double")
+    top.groupBy("source")
+      .agg(n.as("n_top"), r6(slope).as("slope"), r6(intercept).as("intercept"))
+  }
+
+  def zipfFitOracle: String =
+    s"""WITH cnt AS (
+       |  SELECT source, w, count(*) AS c
+       |  FROM (SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT source,
+       |         ${sqlFx("ln(CAST(row_number() OVER (PARTITION BY source ORDER BY c DESC, w ASC) AS DOUBLE))", 6)} AS xi,
+       |         ${sqlFx("ln(CAST(c AS DOUBLE))", 6)} AS yi,
+       |         row_number() OVER (PARTITION BY source ORDER BY c DESC, w ASC) AS rnk
+       |  FROM cnt
+       |), top AS (SELECT * FROM ranked WHERE rnk <= $ZipfTopN),
+       |s AS (
+       |  SELECT source, count(*) AS n,
+       |         CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(yi) AS BIGINT) AS sy,
+       |         CAST(sum(xi*yi) AS BIGINT) AS sxy, CAST(sum(xi*xi) AS BIGINT) AS sxx
+       |  FROM top GROUP BY 1
+       |)
+       |SELECT source, n AS n_top,
+       |       ${sqlR6("CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)")} AS slope,
+       |       ${sqlR6("(CAST(sy AS DOUBLE)/1e6 - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) * (CAST(sx AS DOUBLE)/1e6)) / CAST(n AS DOUBLE)")} AS intercept
+       |FROM s ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_source_divergence" -> ((s, d) => sourceDivergence(s, d).orderBy("source")),
+    "text_zipf_fit" -> ((s, d) => zipfFit(s, d).orderBy("source")),
     "docs_length_hist" -> ((s, d) => lengthHist(s, d).orderBy("source", "bucket")),
     "docs_mix_entropy" -> ((s, d) => mixEntropy(s, d).orderBy("source")),
     "text_repetition" -> ((s, d) => repetition(s, d).orderBy("doc_id")),
@@ -454,6 +572,8 @@ object CorpusQc {
   )
 
   def oracles: Map[String, String] = Map(
+    "docs_source_divergence" -> sourceDivergenceOracle,
+    "text_zipf_fit" -> zipfFitOracle,
     "docs_length_hist" -> lengthHistOracle,
     "docs_mix_entropy" -> mixEntropyOracle,
     "text_repetition" ->

@@ -223,6 +223,237 @@ object Relational {
        |   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10.0e0 AND 20.0e0)
        |   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20.0e0 AND 30.0e0)""".stripMargin
 
+  /** Q10-shape returned-item reporting: revenue lost to returns ('R' lines)
+    * for one quarter of orders, per customer, top 20. The canonical
+    * fact-fact-then-dimension shape: both fact filters push to their scans,
+    * the orderkey join is the only shuffle, customer/nation broadcast, and
+    * the top-20 is TakeOrdered (per-partition heaps, no global sort) — at
+    * 100 TB the output is 20 rows regardless of input size.
+    */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), r6(col("c_acctbal")).as("c_acctbal"),
+        col("n_name"), col("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  def q10Oracle: String =
+    s"""SELECT c.c_custkey, c.c_name, ${sqlR6("c.c_acctbal")} AS c_acctbal, n.n_name,
+       |       ${sqlExactSum("l.l_extendedprice * (1.0e0 - l.l_discount)")} AS revenue
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |WHERE l.l_returnflag = 'R'
+       |  AND o.o_orderdate >= TIMESTAMP '1997-10-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** Q16's part-class filter: a handful of exact sizes, two excluded classes. */
+  val Q16Sizes = Seq(1, 5, 9, 14, 19, 23, 36, 45)
+
+  /** Q16-shape supplier-relationship count, adapted to this schema: the
+    * fixture carries no partsupp table, so the DISTINCT (l_partkey,
+    * l_suppkey) pairs of lineitem are the de-facto part-supplier relation,
+    * and (absent s_comment) "suppliers with complaints" are those with a
+    * NEGATIVE account balance — same NOT-IN/anti-join shape as the original.
+    * Plan: the distinct pair agg collapses map-side before anything joins;
+    * both the excluded-supplier set and the filtered part dimension
+    * broadcast; count(DISTINCT) is Catalyst's two-phase expand — no join
+    * ever sees raw lineitem rows twice.
+    */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey").distinct()
+    val badSupp = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(Q16Sizes: _*))
+    ps.join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+  }
+
+  def q16Oracle: String =
+    s"""SELECT p.p_brand, p.p_type, p.p_size,
+       |       count(DISTINCT ps.l_suppkey) AS supplier_cnt
+       |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+       |JOIN part p ON p.p_partkey = ps.l_partkey
+       |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+       |  AND p.p_size IN (${Q16Sizes.mkString(", ")})
+       |  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0e0)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** A line is "late" when shipped > 90 days after its order date (the
+    * fixture has no commit/receipt dates — same derivation as [[q4]]). */
+  val Q21LateDays = 90
+
+  /** Q21-shape "suppliers who kept orders waiting": for finished orders with
+    * ≥ 2 distinct suppliers where EXACTLY ONE supplier shipped late, charge
+    * that supplier; top 10 by count. The textbook form is a double
+    * EXISTS/NOT-EXISTS self-correlation on lineitem; re-expressed for scale
+    * as ONE orders⋈lineitem join followed by a per-(order, supplier)
+    * aggregate and a per-order window — the fact table is scanned and
+    * shuffled once, instead of three correlated probes, and the window rides
+    * the agg's partitioning (orderkey prefix). The oracle mirrors the same
+    * reformulation, which is equivalent to the EXISTS form because "exactly
+    * one late supplier" ⇔ "this supplier is late ∧ no OTHER supplier late".
+    */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val ordF = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+    val perPair = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $Q21LateDays DAYS")).as("late"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg((sum(when(col("late"), 1L).otherwise(0L)) > 0L).as("late"))
+    val byOrder = Window.partitionBy("l_orderkey")
+    perPair
+      .withColumn("n_supp", count(lit(1)).over(byOrder))
+      .withColumn("n_late_supp", sum(when(col("late"), 1L).otherwise(0L)).over(byOrder))
+      .filter(col("late") && col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(10)
+  }
+
+  def q21Oracle: String =
+    s"""WITH pair AS (
+       |  SELECT l.l_orderkey, l.l_suppkey,
+       |         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL $Q21LateDays DAY THEN 1 ELSE 0 END) = 1 AS late
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  WHERE o.o_orderstatus = 'F'
+       |  GROUP BY 1, 2
+       |), flagged AS (
+       |  SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+       |         sum(CASE WHEN late THEN 1 ELSE 0 END) OVER (PARTITION BY l_orderkey) AS n_late_supp
+       |  FROM pair
+       |)
+       |SELECT s.s_name, count(*) AS numwait
+       |FROM flagged f JOIN supplier s ON s.s_suppkey = f.l_suppkey
+       |WHERE f.late AND f.n_supp >= 2 AND f.n_late_supp = 1
+       |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
+  /** Q22's customer cohort (nation-key group standing in for the phone
+    * country codes this schema doesn't carry) and inactivity cutoff (every
+    * fixture customer has SOME order, so "never ordered" is vacuous; "no
+    * order since the cutoff" keeps the anti-join non-degenerate at every
+    * scale — 58/564 qualifying customers at sf0.001/sf0.01).
+    */
+  val Q22Nations = Seq(1, 3, 5, 7, 9, 11, 13)
+  val Q22Cutoff = "2001-01-01"
+
+  /** Q22-shape global-sales-opportunity: well-funded-but-inactive customers —
+    * balance above the cohort's positive-balance average, no order since
+    * [[Q22Cutoff]] — counted per nation. Exercises the two decorrelations
+    * Catalyst must get right: the scalar AVG subquery becomes a 1-row
+    * broadcast cross join (never a per-row probe), and NOT EXISTS becomes a
+    * LEFT ANTI join against the distinct-key recent-buyer set. The average is
+    * exact integer micros over doubles, so the > threshold cut is
+    * bit-identical in both engines. At 100 TB: the anti-join build side is
+    * distinct customer KEYS of one date slice, the probe side a filtered
+    * dimension — both orders of magnitude below the fact table.
+    */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val cohort = Tables.customer(spark, dir)
+      .filter(col("c_nationkey").isin(Q22Nations.map(Integer.valueOf): _*))
+    val avgBal = cohort.filter(col("c_acctbal") > 0.0)
+      .agg((sum(floor(col("c_acctbal") * 1e6 + 0.5).cast("long")).cast("double") /
+        count(lit(1)) / 1e6).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(Q22Cutoff).cast("timestamp"))
+      .select("o_custkey").distinct()
+    cohort.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        exactSum(col("c_acctbal")).as("totacctbal"))
+  }
+
+  def q22Oracle: String =
+    s"""WITH cohort AS (
+       |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+       |  WHERE c_nationkey IN (${Q22Nations.mkString(", ")})
+       |), avgb AS (
+       |  SELECT ${sqlExactAvg("c_acctbal")} AS avg_bal FROM cohort WHERE c_acctbal > 0.0e0
+       |)
+       |SELECT c.c_nationkey, count(*) AS numcust, ${sqlExactSum("c.c_acctbal")} AS totacctbal
+       |FROM cohort c, avgb
+       |WHERE c.c_acctbal > avgb.avg_bal
+       |  AND NOT EXISTS (SELECT 1 FROM orders o
+       |                  WHERE o.o_custkey = c.c_custkey
+       |                    AND o.o_orderdate >= TIMESTAMP '$Q22Cutoff')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q2's part-class filter: one type, a size band. */
+  val Q2Type = "STANDARD"
+
+  /** Q2-shape min-cost supplier: for each qualifying part, the supplier(s)
+    * offering the groupwise-MINIMUM unit cost, with supplier/nation detail,
+    * top 100. The fixture has no partsupp, so the per-(part, supplier) min
+    * unit price observed in lineitem is the de-facto supply cost. Exercises
+    * the correlated-scalar-min decorrelation: the per-part min is an
+    * aggregate JOINED BACK on (partkey, cost) equality — costs are
+    * r6-quantized before the min so the double equality is engine-exact.
+    * Plan: part filter broadcasts and prunes BEFORE the per-part min, so
+    * both aggs run on the filtered slice; the join-back is on the agg's own
+    * partitioning; top-100 is TakeOrdered.
+    */
+  def q2(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_size").between(10, 20) && col("p_type") === Q2Type)
+      .select("p_partkey", "p_brand", "p_size")
+    val ps = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey", "p_brand", "p_size")
+      .agg(r6(min(col("l_extendedprice") / col("l_quantity"))).as("unit_cost"))
+    val minCost = ps.groupBy(col("l_partkey").as("mc_partkey"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    ps.join(minCost,
+        col("l_partkey") === col("mc_partkey") && col("unit_cost") === col("min_cost"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(r6(col("s_acctbal")).as("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("p_brand"), col("p_size"), col("unit_cost"))
+      .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
+      .limit(100)
+  }
+
+  def q2Oracle: String =
+    s"""WITH ps AS (
+       |  SELECT l.l_partkey, l.l_suppkey, p.p_brand, p.p_size,
+       |         ${sqlR6("min(l.l_extendedprice / l.l_quantity)")} AS unit_cost
+       |  FROM lineitem l
+       |  JOIN part p ON p.p_partkey = l.l_partkey
+       |   AND p.p_size BETWEEN 10 AND 20 AND p.p_type = '$Q2Type'
+       |  GROUP BY 1, 2, 3, 4
+       |), mc AS (
+       |  SELECT l_partkey, min(unit_cost) AS min_cost FROM ps GROUP BY 1
+       |)
+       |SELECT ${sqlR6("s.s_acctbal")} AS s_acctbal, s.s_name, n.n_name,
+       |       ps.l_partkey AS p_partkey, ps.p_brand, ps.p_size, ps.unit_cost
+       |FROM ps
+       |JOIN mc ON mc.l_partkey = ps.l_partkey AND ps.unit_cost = mc.min_cost
+       |JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+       |JOIN nation n ON n.n_nationkey = s.s_nationkey
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
   /** Hierarchical rollup: revenue at (region, nation), per-region subtotal,
     * and grand total in ONE pass — Catalyst's Expand operator computes all
     * grouping sets from a single scan (SURVEY §2.3: grouping sets are a free
@@ -615,6 +846,11 @@ object Relational {
     "tpch_q14" -> ((s, d) => q14(s, d)),
     "tpch_q19" -> ((s, d) => q19(s, d)),
     "tpch_q18" -> ((s, d) => q18(s, d)),
+    "tpch_q10" -> ((s, d) => q10(s, d)),
+    "tpch_q16" -> ((s, d) => q16(s, d)),
+    "tpch_q21" -> ((s, d) => q21(s, d)),
+    "tpch_q22" -> ((s, d) => q22(s, d).orderBy("c_nationkey")),
+    "tpch_q2" -> ((s, d) => q2(s, d)),
     "revenue_rollup" -> ((s, d) => revenueRollup(s, d).orderBy("r_name", "n_name")),
     "top_customers_per_nation" -> ((s, d) => topCustomersPerNation(s, d).orderBy("n_name", "rank")),
     "customer_running_total" -> ((s, d) => customerRunningTotal(s, d).orderBy("o_custkey", "o_orderdate", "o_orderkey")),
@@ -638,6 +874,11 @@ object Relational {
     "tpch_q4" -> q4Oracle,
     "tpch_q14" -> q14Oracle,
     "tpch_q19" -> q19Oracle,
+    "tpch_q10" -> q10Oracle,
+    "tpch_q16" -> q16Oracle,
+    "tpch_q21" -> q21Oracle,
+    "tpch_q22" -> q22Oracle,
+    "tpch_q2" -> q2Oracle,
     "tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sqlExactSum("l_quantity")} AS sum_qty,

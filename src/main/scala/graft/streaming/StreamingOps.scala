@@ -182,8 +182,43 @@ object StreamingOps {
     spark.table(sink)
   }
 
+  /** Stream-static join + aggregation: the event stream enriched against the
+    * STATIC customer dimension (market segment by key), then aggregated per
+    * (segment, type). The stream-static join is its own streaming join class —
+    * unlike stream-stream it needs NO join state at all: the static side is a
+    * broadcast build, each micro-batch probes it map-side, and only the
+    * aggregation keeps state (#segments × #types rows). That is the 100-TB
+    * ingest-enrichment shape: dimension lookups never shuffle the stream.
+    *
+    * Run incrementally (readStream + AvailableNow, memory sink in complete
+    * mode as the verification surface); the oracle is the batch join — the
+    * same plan under `spark.read` — which streaming must agree with on
+    * finite input.
+    */
+  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val sink = "stream_enrich_sink"
+    spark.catalog.dropTempView(sink)
+    val dim = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val agg = Tables.eventsStream(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(col("c_mktsegment"), col("event_type"), col("n_events"),
+        r6(col("sum_value")).as("sum_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_agg" -> ((s, d) => streamTumbling(s, d).orderBy("ws", "event_type")),
+    "stream_static_enrich" -> ((s, d) =>
+      streamStaticEnrich(s, d).orderBy("c_mktsegment", "event_type")),
     // the sliding-window transform run in BATCH mode over the same events
     // parquet (withWatermark is a no-op under a batch plan, so this is
     // literally the streaming code path, driver-oracle-checked; the
@@ -208,6 +243,11 @@ object StreamingOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "stream_static_enrich" ->
+      s"""SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,
+         |       ${sqlR6("sum(e.value)")} AS sum_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin,
     "stream_tumbling_agg" ->
       s"""SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n_events,
          |       ${sqlR6("sum(value)")} AS sum_value, ${sqlR6("sum(value) / count(*)")} AS avg_value
