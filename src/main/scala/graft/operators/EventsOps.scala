@@ -158,6 +158,33 @@ object EventsOps {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Seasonal/trend strength per series (Wang–Smith–Hyndman STL diagnostics):
+    * F_seasonal = max(0, 1 − Var(R)/Var(S+R)), F_trend = max(0, 1 −
+    * Var(R)/Var(T+R)) over the [[decompose]] components — the one-number
+    * "is this series worth a seasonal model" gate on top of W9.
+    *
+    * Determinism: the components are already r6-quantized, and each variance
+    * is computed from EXACT integer sums (fx7 for squares — the
+    * [[decomposeMse]] overflow headroom analysis — fx9 for the mean) so
+    * aggregation order cannot move the ratio; both engines then run the same
+    * double arithmetic on the same exact integers.
+    */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    def s2(x: Column) = sum(fx(x * x, 7)).cast("double") / 1e7
+    def s1(x: Column) = sum(fx9(x)).cast("double") / 1e9
+    val n = count(lit(1)).cast("double")
+    def vr(x: Column) = (s2(x) - s1(x) * s1(x) / n) / n
+    val r = col("residual")
+    val sr = col("seasonality") + col("residual")
+    val tr = col("trend") + col("residual")
+    decompose(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        r6(greatest(lit(0.0), lit(1.0) - vr(r) / vr(sr))).as("f_seasonal"),
+        r6(greatest(lit(0.0), lit(1.0) - vr(r) / vr(tr))).as("f_trend"))
+      .orderBy("event_type")
+  }
+
   /** Stride downsampling of a series (W10 — utils/visualisation.py:76). */
   def stride(spark: SparkSession, dir: String, s: Int = 5,
              key: String = "event_type"): DataFrame =
@@ -1210,6 +1237,18 @@ object EventsOps {
   def decomposeOracleK(key: String): String = seriesSqlK(key) + decomposeCtes(key) +
     s" SELECT * FROM dec ORDER BY 1, 2"
 
+  def seasonalStrengthOracle: String = {
+    def vr(x: String) =
+      s"((CAST(sum(${sqlFx(s"($x)*($x)", 7)}) AS DOUBLE)/1e7 - " +
+        s"(CAST(sum(${sqlFx9(x)}) AS DOUBLE)/1e9) * (CAST(sum(${sqlFx9(x)}) AS DOUBLE)/1e9) / CAST(count(*) AS DOUBLE)) " +
+        s"/ CAST(count(*) AS DOUBLE))"
+    seriesSqlK("event_type") + decomposeCtes("event_type") +
+      s""" SELECT event_type, count(*) AS n,
+         | ${sqlR6(s"greatest(0.0e0, 1.0e0 - ${vr("residual")} / ${vr("seasonality + residual")})")} AS f_seasonal,
+         | ${sqlR6(s"greatest(0.0e0, 1.0e0 - ${vr("residual")} / ${vr("trend + residual")})")} AS f_trend
+         | FROM dec GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def decomposeMseOracle: String = seriesSqlK("event_type") + decomposeCtes("event_type") +
     s""" SELECT event_type, ${sqlR6(s"(CAST(sum(${sqlFx("pow(value - trend - seasonality, 2)", 7)}) AS DOUBLE)/1e7)/count(*)")} AS mse, count(*) AS n
        | FROM dec GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -1253,6 +1292,7 @@ object EventsOps {
     "ts_decompose_by_user" -> ((s, d) => decompose(s, d, "user_id")),
     "ts_decompose_dim" -> ((s, _) => decomposeDim(s)),
     "ts_decompose_mse" -> ((s, d) => decomposeMse(s, d)),
+    "ts_seasonal_strength" -> ((s, d) => seasonalStrength(s, d)),
     "ts_stride" -> ((s, d) => stride(s, d, 5, "user_id")),
     "ts_skew_salted_agg" -> ((s, d) => saltedAgg(s, d).orderBy("event_type")),
     "events_skew_salted_join" -> ((s, d) => saltedJoin(s, d).orderBy("event_type")),
@@ -1285,6 +1325,7 @@ object EventsOps {
     "ts_decompose_by_user" -> decomposeOracleK("user_id"),
     "ts_decompose_dim" -> decomposeDimOracle,
     "ts_decompose_mse" -> decomposeMseOracle,
+    "ts_seasonal_strength" -> seasonalStrengthOracle,
     "ts_stride" -> strideOracleK("user_id"),
     "ts_skew_salted_agg" -> saltedAggOracle,
     "events_skew_salted_join" -> saltedJoinOracle,

@@ -582,6 +582,66 @@ object Relational {
        |FROM pu p ASOF JOIN cl c ON p.user_id = c.user_id AND p.ts >= c.ts
        |ORDER BY p.event_id""".stripMargin
 
+  /** Label-join horizon: a click "converts" if a purchase follows within this. */
+  val LabelHorizonHours = 24
+
+  /** FORWARD as-of join — the training-label generator: for every click, the
+    * NEXT purchase by the same user, and the supervised label "converted
+    * within [[LabelHorizonHours]] h" with its latency. The backward form
+    * ([[asofJoin]]) enriches features from the past; this one peeks forward to
+    * build the target, which is why it exists as its own operator — swapping
+    * direction by accident leaks the label into the features.
+    *
+    * Same merge-scan shape as [[asofJoin]], time-reversed: one union, one
+    * per-user window ordered ts DESC, running `last` purchase — so each
+    * click sees the nearest purchase with ts STRICTLY greater (at equal ts
+    * the click sorts first in the DESC scan and cannot see it). One shuffle
+    * on user_id; no per-user nested loop, no horizon-sized state: at 100 TB
+    * this is a sort-merge pass per user partition.
+    */
+  def labelJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // one purchase per (user, ts): the smallest event_id is "the" purchase
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(min(col("event_id")).as("event_id"))
+      .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), asc("side"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val horizon = expr(s"INTERVAL $LabelHorizonHours HOURS")
+    clicks.unionByName(purchases)
+      .withColumn("p_ts", last(when(col("side") === 1, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("p_id", last(when(col("side") === 1, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .withColumn("converted", col("p_ts").isNotNull && col("p_ts") <= col("ts") + horizon)
+      .select(col("event_id"), col("user_id"), col("ts"), col("converted"),
+        when(col("converted"),
+          expr("(unix_micros(p_ts) - unix_micros(ts)) div 1000000")).as("latency_s"),
+        when(col("converted"), col("p_id")).as("purchase_id"))
+  }
+
+  def labelJoinOracle: String =
+    s"""WITH pu AS (
+       |  SELECT user_id, ts, min(event_id) AS event_id
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+       |), cl AS (
+       |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+       |), nxt AS (
+       |  SELECT c.event_id, c.user_id, c.ts, min(p.ts) AS p_ts
+       |  FROM cl c LEFT JOIN pu p
+       |    ON p.user_id = c.user_id AND p.ts > c.ts
+       |   AND p.ts <= c.ts + INTERVAL $LabelHorizonHours HOUR
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT n.event_id, n.user_id, n.ts, (n.p_ts IS NOT NULL) AS converted,
+       |       CASE WHEN n.p_ts IS NOT NULL
+       |            THEN (epoch_us(n.p_ts) - epoch_us(n.ts)) // 1000000 END AS latency_s,
+       |       p2.event_id AS purchase_id
+       |FROM nxt n LEFT JOIN pu p2 ON p2.user_id = n.user_id AND p2.ts = n.p_ts
+       |ORDER BY n.event_id""".stripMargin
+
   /** Interval-join window length (minutes) and its bucket width (seconds). */
   val IntervalMin = 60
   private val BucketUs = IntervalMin * 60L * 1000000L
@@ -857,6 +917,7 @@ object Relational {
     "orders_with_returns" -> ((s, d) => ordersWithReturns(s, d).orderBy("o_orderpriority")),
     "customers_without_orders" -> ((s, d) => customersWithoutOrders(s, d).orderBy("c_custkey")),
     "events_asof_join" -> ((s, d) => asofJoin(s, d).orderBy("event_id")),
+    "events_label_join" -> ((s, d) => labelJoin(s, d).orderBy("event_id")),
     "events_interval_join" -> ((s, d) => intervalJoin(s, d).orderBy("event_id")),
     "events_funnel_latency" -> ((s, d) => funnelLatency(s, d).orderBy("event_date")),
     "events_sessionize" -> ((s, d) => sessionize(s, d).orderBy("user_id", "session_seq")),
@@ -942,6 +1003,7 @@ object Relational {
     "orders_with_returns" -> ordersWithReturnsOracle,
     "customers_without_orders" -> customersWithoutOrdersOracle,
     "events_asof_join" -> asofJoinOracle,
+    "events_label_join" -> labelJoinOracle,
     "events_interval_join" -> intervalJoinOracle,
     "events_sessionize" ->
       s"""WITH g AS (

@@ -398,7 +398,57 @@ object TextOps {
        |SELECT w1, w2, count(*) AS cnt FROM adj2 WHERE w2 IS NOT NULL GROUP BY 1, 2
        |ORDER BY cnt DESC, w1, w2 LIMIT $MergeTopK""".stripMargin
 
+  /** Lexical diversity per doc: type-token ratio and hapax share — the
+    * vocabulary-richness gate next to [[quality]]'s surface ratios (a doc
+    * with high TTR and high hapax share is word salad; near-zero TTR is a
+    * repeated template — both ends get cut in corpus curation).
+    *
+    * Zero-shuffle: in-doc type and hapax counts come from `aggregate` over
+    * the sorted word array (sorted ⇒ equal words adjacent ⇒ one pass counts
+    * runs), so this stays a narrow per-row projection — no explode, no
+    * (doc_id, word) shuffle, embarrassingly parallel at 100 TB.
+    */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val ws = sort_array(words)
+    // runs = #distinct, singles = #runs of length 1 — one fold, state
+    // (prev word, run length, types, hapax)
+    val folded = aggregate(
+      ws,
+      // the sentinel contains a space, which no \s+-split token can — a real
+      // (even empty) first token always starts a fresh run
+      struct(lit(" ").as("prev"), lit(0L).as("run"), lit(0L).as("types"), lit(0L).as("hapax")),
+      (acc, w) => struct(
+        w.as("prev"),
+        when(w === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+        when(w === acc.getField("prev"), acc.getField("types"))
+          .otherwise(acc.getField("types") + 1L).as("types"),
+        (acc.getField("hapax") +
+          when(w === acc.getField("prev"),
+            when(acc.getField("run") === 1L, lit(-1L)).otherwise(lit(0L)))
+            .otherwise(lit(1L))).as("hapax")),
+      acc => struct(acc.getField("types").as("types"), acc.getField("hapax").as("hapax")))
+    docs(spark, dir)
+      .select(col("doc_id"), nWordsCol.as("n_words"), folded.as("f"))
+      .select(col("doc_id"), col("n_words"),
+        col("f.types").as("n_types"), col("f.hapax").as("n_hapax"),
+        r6(col("f.types").cast("double") / col("n_words").cast("double")).as("ttr"),
+        r6(col("f.hapax").cast("double") / col("f.types").cast("double")).as("hapax_ratio"))
+  }
+
+  def lexicalDiversityOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents
+       |), cnt AS (
+       |  SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2
+       |)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_types,
+       |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |       ${sqlR6("CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)")} AS ttr,
+       |       ${sqlR6("CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS hapax_ratio
+       |FROM cnt GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lexical_diversity" -> ((s, d) => lexicalDiversity(s, d).orderBy("doc_id")),
     "text_bpe_apply" -> ((s, d) => bpeApply(s, d)),
     "text_bigram_merges" -> ((s, d) => bigramMerges(s, d)),
     "text_token_counts" -> ((s, d) => tokenCounts(s, d).orderBy("doc_id")),
@@ -413,6 +463,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_lexical_diversity" -> lexicalDiversityOracle,
     "text_bpe_apply" -> bpeApplyOracle,
     "text_bigram_merges" ->
       s"""WITH w AS (SELECT $wordsSql AS ws FROM documents),
