@@ -401,6 +401,52 @@ object Relational {
        |                    AND o.o_orderdate >= TIMESTAMP '$Q22Cutoff')
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Market-basket pair mining: parts co-purchased in the same order, with
+    * support counts and lift, top 50 — the "frequently bought together"
+    * co-occurrence operator (and the within-group pair-expansion shape:
+    * candidate pairs exist ONLY inside an order, never across the catalog).
+    * The self-join key is the order, so fan-out per key is bounded by order
+    * size (≤ 7 lines here) — at 100 TB the pair count grows linearly with
+    * orders, not quadratically with parts; the two singleton-count joins are
+    * item-keyed aggregates. Lift's numerator/denominator are exact BIGINT
+    * products cast once to double, top-50 is TakeOrdered with a total-order
+    * tiebreak.
+    */
+  def marketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = li.toDF("o", "p1")
+      .join(li.toDF("o", "p2"), "o")
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n_both"))
+    val item = li.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
+    val tot = li.select(countDistinct(col("o")).as("n_orders"))
+    pairs
+      .join(item.select(col("p").as("p1"), col("n_item").as("n_p1")), "p1")
+      .join(item.select(col("p").as("p2"), col("n_item").as("n_p2")), "p2")
+      .crossJoin(broadcast(tot))
+      .select(col("p1"), col("p2"), col("n_both"), col("n_p1"), col("n_p2"),
+        r6((col("n_both") * col("n_orders")).cast("double") /
+          (col("n_p1") * col("n_p2")).cast("double")).as("lift"))
+      .orderBy(desc("n_both"), asc("p1"), asc("p2"))
+      .limit(50)
+  }
+
+  def marketBasketOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pairs AS (
+       |  SELECT a.p AS p1, b.p AS p2, count(*) AS n_both
+       |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2
+       |), item AS (SELECT p, count(*) AS n_item FROM li GROUP BY 1),
+       |tot AS (SELECT count(DISTINCT o) AS n_orders FROM li)
+       |SELECT p.p1, p.p2, p.n_both, i1.n_item AS n_p1, i2.n_item AS n_p2,
+       |       ${sqlR6("CAST(p.n_both * t.n_orders AS DOUBLE) / CAST(i1.n_item * i2.n_item AS DOUBLE)")} AS lift
+       |FROM pairs p
+       |JOIN item i1 ON i1.p = p.p1
+       |JOIN item i2 ON i2.p = p.p2
+       |CROSS JOIN tot t
+       |ORDER BY n_both DESC, p1, p2 LIMIT 50""".stripMargin
+
   /** Q2's part-class filter: one type, a size band. */
   val Q2Type = "STANDARD"
 
@@ -738,6 +784,50 @@ object Relational {
        |       ${sqlR6("CAST(sum(delay_s) AS DOUBLE) / count(*)")} AS avg_delay_s
        |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Linear multi-touch attribution — the credit-assignment twin of
+    * [[funnelLatency]]: each purchase's value is split EQUALLY across the
+    * same user's clicks in the preceding [[IntervalMin]] minutes, and the
+    * credited value rolls up by the CLICK's day (the marketing-report axis:
+    * which day's clicks drove revenue). Uses the same hour-bucketed candidate
+    * probe (2 buckets per purchase, no per-user nested loop); the per-purchase
+    * click count is a window over the join output partitioned by purchase id.
+    * Credits are fx6-quantized before the daily integer sum, so split ratios
+    * aggregate order-independently.
+    */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), unix_micros(col("ts")).as("c_us"),
+        floor(unix_micros(col("ts")).cast("double") / BucketUs).cast("long").as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"), unix_micros(col("ts")).as("p_us"))
+      .withColumn("pb", floor(col("p_us").cast("double") / BucketUs).cast("long"))
+      .withColumn("bucket", explode(array(col("pb"), col("pb") - 1)))
+    val byPurchase = Window.partitionBy("event_id")
+    purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("c_us") >= col("p_us") - BucketUs && col("c_us") < col("p_us"))
+      .withColumn("n", count(lit(1)).over(byPurchase))
+      .select(to_date(col("c_ts")).as("click_date"),
+        fx(col("value") / col("n").cast("double"), 6).as("credit_fx"))
+      .groupBy("click_date")
+      .agg(count(lit(1)).as("n_credited_clicks"),
+        r6(sum(col("credit_fx")).cast("double") / 1e6).as("attributed_value"))
+  }
+
+  def attributionLinearOracle: String =
+    s"""WITH m AS (
+       |  SELECT p.event_id, p.value, c.ts AS c_ts
+       |  FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+       |  JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+       |    ON c.user_id = p.user_id
+       |   AND c.ts >= p.ts - INTERVAL $IntervalMin MINUTE AND c.ts < p.ts
+       |), w AS (
+       |  SELECT *, count(*) OVER (PARTITION BY event_id) AS n FROM m
+       |)
+       |SELECT CAST(c_ts AS DATE) AS click_date, count(*) AS n_credited_clicks,
+       |       ${sqlR6(s"CAST(sum(${sqlFx("value / CAST(n AS DOUBLE)", 6)}) AS DOUBLE) / 1e6")} AS attributed_value
+       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The pivot vocabulary, fixed at plan time. Passing the value list to
     * `pivot` matters at scale twice over: it skips the eager
     * distinct-discovery JOB Spark otherwise runs before it can even plan,
@@ -920,6 +1010,8 @@ object Relational {
     "events_label_join" -> ((s, d) => labelJoin(s, d).orderBy("event_id")),
     "events_interval_join" -> ((s, d) => intervalJoin(s, d).orderBy("event_id")),
     "events_funnel_latency" -> ((s, d) => funnelLatency(s, d).orderBy("event_date")),
+    "events_attribution" -> ((s, d) => attributionLinear(s, d).orderBy("click_date")),
+    "market_basket_pairs" -> ((s, d) => marketBasket(s, d)),
     "events_sessionize" -> ((s, d) => sessionize(s, d).orderBy("user_id", "session_seq")),
     "events_scd2" -> ((s, d) => scd2(s, d).orderBy("user_id", "event_type", "valid_from", "event_id")),
     "events_type_pivot" -> ((s, d) => typePivot(s, d).orderBy("user_id")),
@@ -931,6 +1023,8 @@ object Relational {
     "events_cube" -> eventsCubeOracle,
     "events_scd2" -> scd2Oracle,
     "events_funnel_latency" -> funnelLatencyOracle,
+    "events_attribution" -> attributionLinearOracle,
+    "market_basket_pairs" -> marketBasketOracle,
     "tpch_q18" -> q18Oracle,
     "tpch_q4" -> q4Oracle,
     "tpch_q14" -> q14Oracle,

@@ -37,7 +37,7 @@ class PlanHygieneSpec extends SparkSpec {
     */
   test("top-k rank filters push down to WindowGroupLimit") {
     val topk = Seq("ann_bruteforce_topk", "ann_sq8_topk", "ann_pq_topk",
-      "ts_topk_bins", "top_customers_per_nation")
+      "ts_topk_bins", "top_customers_per_nation", "text_zipf_fit")
     val bad = topk.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       if (!plan.contains("WindowGroupLimit")) Some(name) else None
@@ -59,7 +59,11 @@ class PlanHygieneSpec extends SparkSpec {
       "revenue_rollup",     // nation/region dims ⋈ orders rollup
       "diff_qsample",       // J1 schedule gather: 500-row schedule ⋈ states
       "class_embed_lookup", // J2 embedding-table lookup
-      "label_family_map")   // J3 label→family dim map
+      "label_family_map",   // J3 label→family dim map
+      "tpch_q10",           // customer/nation dims ⋈ the returns join
+      "tpch_q16",           // bad-supplier anti-join + part dim
+      "tpch_q21",           // supplier dim ⋈ the flagged pairs
+      "tpch_q2")            // part/supplier/nation dims ⋈ the min-cost pairs
     // (events_asof_join is deliberately absent: its whole point is that the
     // as-of is a union + LOCF window with NO join operator in the plan)
     val bad = mustBroadcast.flatMap { name =>

@@ -42,6 +42,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static join probes the static dim each micro-batch and accumulates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = (0L to 6L).map(k => (k, if (k % 2 == 0) "SEG_A" else "SEG_B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out").start()
+    val events = mkEvents
+    // two micro-batches: the second must re-probe the static build side and
+    // fold into the first batch's aggregation state
+    for (chunk <- events.grouped(250)) {
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("enrich_out").collect().map(_.toSeq).toSet
+    val batch = events.toDF()
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("foreachBatch runs a periodic side-effect per micro-batch (I5)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
