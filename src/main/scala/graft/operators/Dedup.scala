@@ -610,7 +610,20 @@ object Dedup {
        |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
        |)""".stripMargin
 
+  /** Duplication-severity histogram — the report a corpus owner reads before
+    * choosing a dedup policy: how many near-dup components exist at each
+    * size. Rides the same connected-components pass as `dedup_clusters`
+    * (components only contain docs with at least one near-dup edge, so sizes
+    * start at 2); output is bounded by the largest component size.
+    */
+  def clusterSizeHist(spark: SparkSession, dir: String): DataFrame =
+    duplicateClusters(spark, dir)
+      .select("cluster_id", "cluster_size").distinct()
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_sizes" -> ((s, d) => clusterSizeHist(s, d).orderBy("cluster_size")),
     "dedup_exact" -> ((s, d) => exact(s, d).orderBy("doc_id")),
     "dedup_canonical" -> ((s, d) => canonical(s, d).orderBy("doc_id")),
     "dedup_minhash_sig" -> ((s, d) => minhashBands(s, d).orderBy("doc_id", "band")),
@@ -690,6 +703,12 @@ object Dedup {
     // (member, reachable-node) pair of the undirected edge graph; min(r) per
     // member is the component's canonical id — the same fixpoint the Spark
     // label propagation converges to
+    "dedup_cluster_sizes" -> (minhashPairsSqlChain.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      clusterCtesSql +
+      s"""
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1)
+         |GROUP BY 1 ORDER BY cluster_size""".stripMargin),
     "dedup_clusters" -> (minhashPairsSqlChain.replaceFirst("WITH ", "WITH RECURSIVE ") +
       clusterCtesSql +
       s"""

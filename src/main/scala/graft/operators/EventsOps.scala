@@ -1157,6 +1157,39 @@ object EventsOps {
        |       count(*) AS n
        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Equal-count decile binning per event_type — the feature-engineering
+    * discretizer (rank-based binning is what a trainer wants when the raw
+    * value distribution is skewed): ntile(10) over (value, event_id), then
+    * per-bin count/bounds/mean. The deterministic tiebreak makes the binning
+    * total-ordered, so both engines assign identical bins.
+    *
+    * This is the EXACT twin (one sort per event_type partition — the same
+    * per-key-skew caveat as `ts_value_quantiles`); the scalable path for
+    * many-key data is `ts_value_quantiles_scalable`'s rank arithmetic, and
+    * at 100 TB bin EDGES from a quantile sketch replace true ntile.
+    */
+  def valueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("event_type", "decile")
+      .agg(count(lit(1)).as("n"),
+        r6(min(col("value"))).as("lo"),
+        r6(max(col("value"))).as("hi"),
+        r6(sum(fx(col("value"), 6)).cast("double") / 1e6 / count(lit(1))).as("mean_value"))
+  }
+
+  def valueDecilesOracle: String =
+    s"""WITH b AS (
+       |  SELECT event_type, value,
+       |         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+       |  FROM events
+       |)
+       |SELECT event_type, CAST(decile AS INT) AS decile, count(*) AS n,
+       |       ${sqlR6("min(value)")} AS lo, ${sqlR6("max(value)")} AS hi,
+       |       ${sqlR6(s"CAST(sum(${sqlFx("value", 6)}) AS DOUBLE) / 1e6 / count(*)")} AS mean_value
+       |FROM b GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin
+
   /** Tumbling-window aggregate over event time (§7.5 streaming-shaped, batch form). */
   def tumbling(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -1299,6 +1332,7 @@ object EventsOps {
     "events_type_counts_cms" -> ((s, d) => typeCountsCms(s, d).orderBy("event_type")),
     "events_quality_report" -> ((s, d) => qualityReport(s, d).orderBy("check_name")),
     "ts_value_quantiles" -> ((s, d) => valueQuantiles(s, d).orderBy("event_type")),
+    "events_value_deciles" -> ((s, d) => valueDeciles(s, d).orderBy("event_type", "decile")),
     "ts_value_quantiles_scalable" -> ((s, d) => valueQuantilesScalable(s, d).orderBy("event_type")),
     "events_stratified_sample" -> ((s, d) => stratifiedSampleAudit(s, d).orderBy("event_type")),
     "ts_rolling_anomaly" -> ((s, d) => rollingAnomaly(s, d).orderBy("event_type", "event_id")),
@@ -1332,6 +1366,7 @@ object EventsOps {
     "events_type_counts_cms" -> typeCountsCmsOracle,
     "events_quality_report" -> qualityReportOracle,
     "ts_value_quantiles" -> valueQuantilesOracle,
+    "events_value_deciles" -> valueDecilesOracle,
     "ts_value_quantiles_scalable" -> valueQuantilesScalableOracle,
     "events_stratified_sample" -> stratifiedSampleOracle,
     "ts_rolling_anomaly" -> rollingAnomalyOracle,

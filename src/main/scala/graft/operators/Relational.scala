@@ -881,6 +881,65 @@ object Relational {
        |  USING (user_id, event_type)
        |ORDER BY user_id, event_type""".stripMargin
 
+  /** CDC merge boundary: events before it are the standing snapshot, events
+    * from it on are the change batch. Chosen so the change window leaves some
+    * users untouched (base-only rows survive) at every fixture scale. */
+  val CdcCutoff = "2024-01-30"
+
+  /** CDC upsert/delete merge — the MERGE INTO shape incremental pipelines
+    * apply on every sync: a keyed snapshot (latest state per user before
+    * [[CdcCutoff]]) FULL OUTER joined with the change batch's per-key latest
+    * operation; the delta wins where present, an 'error'-typed latest change
+    * is a tombstone that DELETES the key, untouched keys pass through. This
+    * is [[scd2]]'s complement: SCD-2 keeps history, CDC merge maintains the
+    * current-state table.
+    *
+    * Scale: both sides collapse to one row per key BEFORE the join (window
+    * rn=1 — a WindowGroupLimit, per-partition 1-row heaps), so the full
+    * outer join is key-sized, not event-sized; at 100 TB the snapshot side
+    * would be the stored table and only the delta is computed.
+    */
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    def latest(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val cut = lit(CdcCutoff).cast("timestamp")
+    val base = latest(ev.filter(col("ts") < cut))
+      .select(col("user_id"), col("ts").as("b_ts"), col("value").as("b_value"))
+    val delta = latest(ev.filter(col("ts") >= cut))
+      .select(col("user_id"), col("ts").as("d_ts"), col("value").as("d_value"),
+        (col("event_type") === "error").as("tombstone"))
+    base.join(delta, Seq("user_id"), "full_outer")
+      .filter(!coalesce(col("tombstone"), lit(false)))
+      .select(col("user_id"),
+        coalesce(col("d_ts"), col("b_ts")).as("ts"),
+        r6(coalesce(col("d_value"), col("b_value"))).as("value"),
+        when(col("d_ts").isNotNull, "delta").otherwise("base").as("src"))
+  }
+
+  def cdcMergeOracle: String =
+    s"""WITH base AS (
+       |  SELECT user_id, ts, value FROM (
+       |    SELECT user_id, ts, value,
+       |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts < TIMESTAMP '$CdcCutoff')
+       |  WHERE rn = 1
+       |), delta AS (
+       |  SELECT user_id, ts, value, event_type = 'error' AS tombstone FROM (
+       |    SELECT user_id, ts, value, event_type,
+       |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts >= TIMESTAMP '$CdcCutoff')
+       |  WHERE rn = 1
+       |)
+       |SELECT coalesce(d.user_id, b.user_id) AS user_id,
+       |       coalesce(d.ts, b.ts) AS ts,
+       |       ${sqlR6("coalesce(d.value, b.value)")} AS value,
+       |       CASE WHEN d.ts IS NOT NULL THEN 'delta' ELSE 'base' END AS src
+       |FROM base b FULL OUTER JOIN delta d ON d.user_id = b.user_id
+       |WHERE NOT coalesce(d.tombstone, false)
+       |ORDER BY user_id""".stripMargin
+
   /** Gap-based sessionization of events: new session when > 30 min idle. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1014,6 +1073,7 @@ object Relational {
     "market_basket_pairs" -> ((s, d) => marketBasket(s, d)),
     "events_sessionize" -> ((s, d) => sessionize(s, d).orderBy("user_id", "session_seq")),
     "events_scd2" -> ((s, d) => scd2(s, d).orderBy("user_id", "event_type", "valid_from", "event_id")),
+    "events_cdc_merge" -> ((s, d) => cdcMerge(s, d).orderBy("user_id")),
     "events_type_pivot" -> ((s, d) => typePivot(s, d).orderBy("user_id")),
     "events_type_unpivot" -> ((s, d) => typeUnpivot(s, d).orderBy("user_id", "event_type"))
   )
@@ -1022,6 +1082,7 @@ object Relational {
     "events_props_json" -> propsJsonStatsOracle,
     "events_cube" -> eventsCubeOracle,
     "events_scd2" -> scd2Oracle,
+    "events_cdc_merge" -> cdcMergeOracle,
     "events_funnel_latency" -> funnelLatencyOracle,
     "events_attribution" -> attributionLinearOracle,
     "market_basket_pairs" -> marketBasketOracle,
