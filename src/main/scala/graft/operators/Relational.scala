@@ -645,8 +645,13 @@ object Relational {
     * on user_id; no per-user nested loop, no horizon-sized state: at 100 TB
     * this is a sort-merge pass per user partition.
     */
-  def labelJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def labelJoin(spark: SparkSession, dir: String): DataFrame =
+    labelJoinOf(Tables.events(spark, dir))
+
+  /** Frame-parameterized form of [[labelJoin]] — boundary semantics (strictly
+    * after; horizon inclusive) are pinned by RelBoundarySpec on synthetic
+    * events, not assumed. */
+  def labelJoinOf(ev: DataFrame): DataFrame = {
     // one purchase per (user, ts): the smallest event_id is "the" purchase
     val purchases = ev.filter(col("event_type") === "purchase")
       .groupBy("user_id", "ts")
@@ -899,8 +904,12 @@ object Relational {
     * outer join is key-sized, not event-sized; at 100 TB the snapshot side
     * would be the stored table and only the delta is computed.
     */
-  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame =
+    cdcMergeOf(Tables.events(spark, dir))
+
+  /** Frame-parameterized form of [[cdcMerge]]; RelBoundarySpec drives the
+    * three merge cases (base-only, delta-wins, tombstone) on synthetic keys. */
+  def cdcMergeOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
     def latest(df: DataFrame): DataFrame =
       df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

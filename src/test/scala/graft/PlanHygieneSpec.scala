@@ -37,7 +37,7 @@ class PlanHygieneSpec extends SparkSpec {
     */
   test("top-k rank filters push down to WindowGroupLimit") {
     val topk = Seq("ann_bruteforce_topk", "ann_sq8_topk", "ann_pq_topk",
-      "ts_topk_bins", "top_customers_per_nation", "text_zipf_fit")
+      "ann_bq_topk", "ts_topk_bins", "top_customers_per_nation", "text_zipf_fit")
     val bad = topk.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       if (!plan.contains("WindowGroupLimit")) Some(name) else None
