@@ -1157,6 +1157,49 @@ object EventsOps {
        |       count(*) AS n
        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** MAD outlier multiplier: 3σ-equivalent under normality (1.4826·MAD ≈ σ). */
+  val MadK: Double = 3.0 * 1.4826
+
+  /** Robust anomaly summary per series: median + MAD (median absolute
+    * deviation) and the count of |x − med| > [[MadK]]·MAD outliers — the
+    * robust twin of `ts_rolling_anomaly`'s mean/std z-scores (mean and std
+    * are themselves dragged by the outliers they're meant to flag; the
+    * median pair is breakdown-point-0.5). Flags ~5% of these heavy-tailed
+    * fixtures where a clean Gaussian would flag ~0.3%.
+    *
+    * Two exact percentile passes (per-type buffering — the exact-twin caveat
+    * shared with `ts_value_quantiles`; the scalable path is the rank-based
+    * or sketch variant), each reduced to a 5-row broadcast.
+    */
+  def madAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val med = ev.groupBy("event_type").agg(percentile(col("value"), lit(0.5)).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("value") - col("med")).as("d"))
+      .groupBy("event_type").agg(percentile(col("d"), lit(0.5)).as("mad"))
+    ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        r6(max(col("med"))).as("med"),
+        r6(max(col("mad"))).as("mad"),
+        sum(when(abs(col("value") - col("med")) > lit(MadK) * col("mad"), 1L)
+          .otherwise(0L)).as("n_anomalies"))
+  }
+
+  def madAnomalyOracle: String =
+    s"""WITH med AS (
+       |  SELECT event_type, quantile_cont(value, 0.5e0) AS med FROM events GROUP BY 1
+       |), mad AS (
+       |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5e0) AS mad
+       |  FROM events e JOIN med m USING (event_type) GROUP BY 1
+       |)
+       |SELECT e.event_type, count(*) AS n,
+       |       ${sqlR6("max(m.med)")} AS med, ${sqlR6("max(d.mad)")} AS mad,
+       |       CAST(sum(CASE WHEN abs(e.value - m.med) > ${sqlD(MadK)} * d.mad
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+       |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** Equal-count decile binning per event_type — the feature-engineering
     * discretizer (rank-based binning is what a trainer wants when the raw
     * value distribution is skewed): ntile(10) over (value, event_id), then
@@ -1333,6 +1376,7 @@ object EventsOps {
     "events_quality_report" -> ((s, d) => qualityReport(s, d).orderBy("check_name")),
     "ts_value_quantiles" -> ((s, d) => valueQuantiles(s, d).orderBy("event_type")),
     "events_value_deciles" -> ((s, d) => valueDeciles(s, d).orderBy("event_type", "decile")),
+    "ts_mad_anomaly" -> ((s, d) => madAnomaly(s, d).orderBy("event_type")),
     "ts_value_quantiles_scalable" -> ((s, d) => valueQuantilesScalable(s, d).orderBy("event_type")),
     "events_stratified_sample" -> ((s, d) => stratifiedSampleAudit(s, d).orderBy("event_type")),
     "ts_rolling_anomaly" -> ((s, d) => rollingAnomaly(s, d).orderBy("event_type", "event_id")),
@@ -1367,6 +1411,7 @@ object EventsOps {
     "events_quality_report" -> qualityReportOracle,
     "ts_value_quantiles" -> valueQuantilesOracle,
     "events_value_deciles" -> valueDecilesOracle,
+    "ts_mad_anomaly" -> madAnomalyOracle,
     "ts_value_quantiles_scalable" -> valueQuantilesScalableOracle,
     "events_stratified_sample" -> stratifiedSampleOracle,
     "ts_rolling_anomaly" -> rollingAnomalyOracle,
