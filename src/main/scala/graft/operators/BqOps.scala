@@ -44,21 +44,34 @@ object BqOps {
       .agg((sum(fx(col("col"), 9)).cast("double") / 1e9 / count(lit(1))).as("mu"))
       .orderBy("pos").collect().map(_.getDouble(1)).toSeq
 
-  /** One 32-bit sign word: Σ_j 2^j · [v[base+j] > μ_{base+j}] — a literal
-    * fold of comparisons, fully codegen'd (contrast the HOF form, which is
-    * CodegenFallback and would evict the stage from WholeStageCodegen).
+  /** One 32-bit sign word: Σ_j 2^j · [v[base+j] > μ_{base+j}] — the literal
+    * fold of comparisons. Correct and codegen'd, but kept ONLY as the
+    * equivalence oracle for the fused kernel (BqSpec): four of these 32-term
+    * trees per plan cost seconds of Catalyst analysis + Janino compilation
+    * per query BUILD (measured 6.1 s build vs 3.2 s exec at sf0.01) — the
+    * same >16-literal-tree trap PqCodes closed for PQ.
     */
-  private def wordCol(v: Column, mu: Seq[Double], base: Int): Column =
+  private[graft] def wordColLiteral(v: Column, mu: Seq[Double], base: Int): Column =
     (0 until WordBits).map(j =>
       when(element_at(v, base + j + 1) > mu(base + j), lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  /** The binary code table: (vec_id, lo, hi) — 8 B of payload per vector. */
+  /** The binary code table: (vec_id, lo, hi) — 8 B of payload per vector.
+    * Encoding runs the fused [[graft.plans.BqPack]] kernel (thresholds as one
+    * reference array, compact codegen'd loop). */
   def codes(spark: SparkSession, dir: String): DataFrame = {
     val mu = thresholds(spark, dir)
     PqOps.emb(spark, dir).select(col("vec_id"),
-      wordCol(col("v"), mu, 0).as("lo"),
-      wordCol(col("v"), mu, WordBits).as("hi"))
+      graft.plans.VectorFunctions.bq_pack(col("v"), mu, 0).as("lo"),
+      graft.plans.VectorFunctions.bq_pack(col("v"), mu, WordBits).as("hi"))
+  }
+
+  /** [[codes]] in the literal-fold form — BqSpec's kernel-equivalence twin. */
+  private[graft] def codesLiteral(spark: SparkSession, dir: String): DataFrame = {
+    val mu = thresholds(spark, dir)
+    PqOps.emb(spark, dir).select(col("vec_id"),
+      wordColLiteral(col("v"), mu, 0).as("lo"),
+      wordColLiteral(col("v"), mu, WordBits).as("hi"))
   }
 
   /** Symmetric Hamming top-k: both sides binarized, distance = popcount of

@@ -434,6 +434,61 @@ case class MatVecFx(child: Expression, matrix: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Fused binary-quantization sign packing: one 32-bit word of sign bits,
+  * bit j = [v[base+j] > thr[base+j]], as a LONG — the [[PqCodes]]-pattern
+  * replacement for the 32-term literal CASE fold. The literal tree was
+  * CORRECT and codegen'd, but four 32-term trees per BQ plan cost seconds of
+  * Catalyst analysis + Janino compilation per query build (measured: 6.1 s
+  * plan build vs 3.2 s execution at sf0.01); the thresholds as one reference
+  * array compile to a compact loop instead. Same comparison semantics, so
+  * results are bit-identical (BqSpec asserts kernel == literal-fold).
+  */
+case class BqPack(child: Expression, thresholds: Seq[Double], base: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val thrArr: Array[Double] = thresholds.toArray
+  @transient private lazy val bits: Int = math.min(32, thrArr.length - base)
+  @transient private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    var acc = 0L
+    var j = 0
+    while (j < bits) {
+      val x = if (isFloat) v.getFloat(base + j).toDouble else v.getDouble(base + j)
+      if (x > thrArr(base + j)) acc |= (1L << j)
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val thrRef = ctx.addReferenceObj("bqThr", thrArr, "double[]")
+    val get = if (isFloat) "(double) %s.getFloat(%s)" else "%s.getDouble(%s)"
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      s"""
+         |long $acc = 0L;
+         |for (int $j = 0; $j < $bits; $j++) {
+         |  double $x = ${get.format(a, s"$base + $j")};
+         |  if ($x > $thrRef[$base + $j]) $acc |= (1L << $j);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column wrapper: fused cosine similarity of two ARRAY<DOUBLE> columns. */
   def cosine_sim(a: Column, b: Column): Column =
@@ -464,4 +519,8 @@ object VectorFunctions {
     * ARRAY<DOUBLE> column (rows in output order, 1e-9 resolution). */
   def mat_vec_fx(v: Column, matrix: Seq[Seq[Double]]): Column =
     Bridge.column(MatVecFx(Bridge.expression(v), matrix))
+
+  /** Column wrapper: fused BQ sign-bit word pack (bits [base, base+32)). */
+  def bq_pack(v: Column, thresholds: Seq[Double], base: Int): Column =
+    Bridge.column(BqPack(Bridge.expression(v), thresholds, base))
 }

@@ -28,6 +28,14 @@ class BqSpec extends SparkSpec {
     wscg.foreach(_.doCodeGen()) // no silent interpreted fallback
   }
 
+  test("fused BqPack kernel encodes identically to the literal comparison fold") {
+    val kernel = BqOps.codes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val literal = BqOps.codesLiteral(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kernel == literal && kernel.nonEmpty)
+  }
+
   test("BQ code words are 32-bit and Hamming distances are bounded by Dim") {
     val words = BqOps.codes(spark, sf)
       .filter(col("lo") < 0L || col("lo") > 0xFFFFFFFFL ||
