@@ -38,11 +38,13 @@ object BqOps {
     * discipline.
     */
   private def thresholds(spark: SparkSession, dir: String): Seq[Double] =
-    PqOps.emb(spark, dir)
-      .select(posexplode(col("v")))
-      .groupBy(col("pos"))
-      .agg((sum(fx(col("col"), 9)).cast("double") / 1e9 / count(lit(1))).as("mu"))
-      .orderBy("pos").collect().map(_.getDouble(1)).toSeq
+    Similarity.statsFor(spark, s"$dir#bq") {
+      PqOps.emb(spark, dir)
+        .select(posexplode(col("v")))
+        .groupBy(col("pos"))
+        .agg((sum(fx(col("col"), 9)).cast("double") / 1e9 / count(lit(1))).as("mu"))
+        .orderBy("pos").collect().map(_.getDouble(1)).toSeq
+    }
 
   /** One 32-bit sign word: Σ_j 2^j · [v[base+j] > μ_{base+j}] — the literal
     * fold of comparisons. Correct and codegen'd, but kept ONLY as the

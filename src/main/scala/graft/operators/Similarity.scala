@@ -278,6 +278,26 @@ object Similarity {
     * rewrite inside mtime granularity preserving part lengths) could miss
     * invalidation and serve stale centroids (ADVICE r5).
     */
+  /** Generic fingerprint-guarded cache for cheap per-corpus literal stats
+    * (BQ sign thresholds, SQ8 min/Δ) — the same index stance as the IVF
+    * quantizer and PQ codebook caches: fit once per corpus content, refit
+    * when the listing fingerprint changes, per-key lock held outside the
+    * CHM bins. Keys embed the dir before an optional `#variant` suffix.
+    */
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Any)]()
+  private val statsLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[operators] def statsFor[T](spark: SparkSession, key: String)(fit: => T): T = {
+    val fp = corpusFingerprint(spark, key.takeWhile(_ != '#'))
+    val lock = statsLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val prev = statsCache.get(key)
+      if (prev != null && prev._1 == fp) prev._2.asInstanceOf[T]
+      else { val t = fit; statsCache.put(key, (fp, t)); t }
+    }
+  }
+
   private[operators] def corpusFingerprint(spark: SparkSession, dir: String): String = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

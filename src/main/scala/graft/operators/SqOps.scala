@@ -39,14 +39,15 @@ object SqOps {
     * Δ = (max − min)/255; a constant dimension (Δ = 0) maps to code 0 and
     * reconstructs to mn + Δ/2 = mn exactly.
     */
-  private def statsArr(spark: SparkSession, dir: String): (Seq[Double], Seq[Double]) = {
-    val rows = emb(spark, dir)
-      .select(posexplode(col("v")))
-      .groupBy(col("pos")).agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
-      .orderBy("pos").collect()
-    (rows.map(_.getDouble(1)).toSeq,
-      rows.map(r => (r.getDouble(2) - r.getDouble(1)) / Levels).toSeq)
-  }
+  private def statsArr(spark: SparkSession, dir: String): (Seq[Double], Seq[Double]) =
+    Similarity.statsFor(spark, s"$dir#sq8") {
+      val rows = emb(spark, dir)
+        .select(posexplode(col("v")))
+        .groupBy(col("pos")).agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+        .orderBy("pos").collect()
+      (rows.map(_.getDouble(1)).toSeq,
+        rows.map(r => (r.getDouble(2) - r.getDouble(1)) / Levels).toSeq)
+    }
 
   /** 8-bit code per element: clamp(⌊(x − mn_d)/Δ_d⌋, 0, 255). The x = mx_d
     * edge lands on 255 via the clamp whichever side of the representable
