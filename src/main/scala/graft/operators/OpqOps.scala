@@ -157,6 +157,40 @@ object OpqOps {
   def opqAdcRecall(spark: SparkSession, dir: String): DataFrame =
     Similarity.recallOf(PqOps.bfL2TopK(spark, dir), opqAdcTopK(spark, dir))
 
+  /** Dimensionality-reduction rung: dims kept for the PCA-truncated search. */
+  val PcaD = 16
+
+  /** PCA-truncated brute-force top-k: vectors projected onto the top
+    * [[PcaD]] eigenvectors (the Matryoshka-style dim-reduction axis of the
+    * compression ladder — 64→16 dims = 4× scan-width cut with NO codebook,
+    * orthogonal to the quantization axes PQ/SQ8/BQ take), then exact L2
+    * ranking in the reduced space. Rides the cached full eigenbasis and the
+    * fused [[graft.plans.MatVecFx]] kernel; ranking follows the
+    * [[PqOps.bfL2TopK]] shape (corpus partitioned, 100 projected queries
+    * broadcast, WindowGroupLimit top-k).
+    */
+  def pcaTopK(spark: SparkSession, dir: String): DataFrame = {
+    val mat: Seq[Seq[Double]] =
+      (0 until PcaD).map(p => basisFor(spark, dir).loadings(p).toSeq)
+    val proj = PqOps.emb(spark, dir).select(col("vec_id"),
+      graft.plans.VectorFunctions.mat_vec_fx(col("v"), mat).as("pv"))
+    val q = proj.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("qid"), col("pv").as("qv"))
+    val scored = proj.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dist", r6(graft.plans.VectorFunctions.l2_sq(col("qv"), col("pv"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(asc("dist"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= PqOps.TopK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"), col("dist"))
+  }
+
+  /** Recall@[[PqOps.TopK]] of the 16-dim truncated ranking vs exact L2 on
+    * the raw 64-dim vectors — prices the variance discarded with the 48
+    * dropped dimensions, next to the quantization rows at similar budgets. */
+  def pcaRecall(spark: SparkSession, dir: String): DataFrame =
+    Similarity.recallOf(PqOps.bfL2TopK(spark, dir), pcaTopK(spark, dir))
+
   /** The head of the spectrum: (p, d, loading, eigenvalue) for the top
     * [[BasisK]] eigenpairs — rank 0 is bit-identical to `emb_pca_top`'s
     * loading column (same procedure, same quantization). */
@@ -225,13 +259,53 @@ object OpqOps {
        |  GROUP BY 1, 2
        |)""".stripMargin
 
+  /** proj (vec_id, d, x): the top-[[PcaD]] projection — the fx9-accumulated
+    * twin of [[graft.plans.MatVecFx]] over the truncated basis. */
+  private def pcaProjSql: String =
+    s"""proj AS MATERIALIZED (
+       |  SELECT f.vec_id, p.i AS d,
+       |         CAST(sum(CAST(floor(e.loads[p.i * $Dim + f.d + 1] * f.x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS x
+       |  FROM flat f, range(0, $PcaD) p(i), eigf e
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  private def pcaTopkSql: String =
+    s"""pd AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS vid, ${sqlR6("sum(pow(a.x - b.x, 2))")} AS dist
+       |  FROM proj a JOIN proj b ON b.d = a.d
+       |  WHERE a.vec_id < ${Similarity.NumQueries} AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2
+       |), pca_topk AS (
+       |  SELECT qid, vid, rn, dist FROM (
+       |    SELECT qid, vid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rn FROM pd)
+       |  WHERE rn <= ${PqOps.TopK}
+       |)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pca_topk" -> ((s, d) => pcaTopK(s, d).orderBy("qid", "rank")),
+    "ann_pca_recall" -> ((s, d) => pcaRecall(s, d).orderBy("qid")),
     "emb_pca_basis" -> ((s, d) => basisFlat(s, d).orderBy("p", "d")),
     "ann_opq_topk" -> ((s, d) => opqAdcTopK(s, d).orderBy("qid", "rank")),
     "ann_opq_recall" -> ((s, d) => opqAdcRecall(s, d).orderBy("qid"))
   )
 
   def oracles: Map[String, String] = Map(
+    "ann_pca_topk" ->
+      s"""WITH RECURSIVE ${Similarity.flatSql},
+         |${Similarity.covSql},
+         |${eigStateSql(PcaD)},
+         |$pcaProjSql,
+         |$pcaTopkSql
+         |SELECT qid, vid AS neighbor_id, CAST(rn AS INT) AS rank, dist
+         |FROM pca_topk ORDER BY qid, rank""".stripMargin,
+    "ann_pca_recall" ->
+      s"""WITH RECURSIVE ${Similarity.flatSql},
+         |${Similarity.covSql},
+         |${eigStateSql(PcaD)},
+         |$pcaProjSql,
+         |$pcaTopkSql,
+         |${PqOps.bfL2Ctes},
+         |${PqOps.recallTailSql("pca_topk")}""".stripMargin,
     "emb_pca_basis" ->
       s"""WITH RECURSIVE ${Similarity.flatSql},
          |${Similarity.covSql},
