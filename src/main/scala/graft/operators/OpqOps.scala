@@ -169,7 +169,10 @@ object OpqOps {
     * [[PqOps.bfL2TopK]] shape (corpus partitioned, 100 projected queries
     * broadcast, WindowGroupLimit top-k).
     */
-  def pcaTopK(spark: SparkSession, dir: String): DataFrame = {
+  def pcaTopK(spark: SparkSession, dir: String): DataFrame =
+    pcaTopKWidth(spark, dir, PqOps.TopK)
+
+  private def pcaTopKWidth(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val mat: Seq[Seq[Double]] =
       (0 until PcaD).map(p => basisFor(spark, dir).loadings(p).toSeq)
     val proj = PqOps.emb(spark, dir).select(col("vec_id"),
@@ -181,9 +184,32 @@ object OpqOps {
       .withColumn("dist", r6(graft.plans.VectorFunctions.l2_sq(col("qv"), col("pv"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(asc("dist"), asc("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= PqOps.TopK)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"), col("dist"))
   }
+
+  /** PCA shortlist + exact re-rank — the [[PqOps.ivfPqRerankTopK]] two-stage
+    * composition on the DIMENSIONALITY axis: the truncated space prunes the
+    * corpus to [[PqOps.RerankWidth]] candidates per query (4× narrower
+    * scan), then only those fetch raw 64-dim vectors for exact L2. End
+    * recall is bounded by shortlist membership, exactly as in IVF-PQ. */
+  def pcaRerankTopK(spark: SparkSession, dir: String): DataFrame = {
+    val short = pcaTopKWidth(spark, dir, PqOps.RerankWidth)
+      .select(col("qid"), col("neighbor_id").as("vec_id"))
+    val e = PqOps.emb(spark, dir).select(col("vec_id"), col("v"))
+    val q = PqOps.emb(spark, dir).filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = short.join(e, "vec_id").join(broadcast(q), "qid")
+      .withColumn("dist", r6(graft.plans.VectorFunctions.l2_sq(col("qv"), col("v"))))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(asc("dist"), asc("vec_id"))
+    exact.withColumn("rank", row_number().over(rw)).filter(col("rank") <= PqOps.TopK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"), col("dist"))
+  }
+
+  /** Recall@[[PqOps.TopK]] of the re-ranked truncated search vs exact L2. */
+  def pcaRerankRecall(spark: SparkSession, dir: String): DataFrame =
+    Similarity.recallOf(PqOps.bfL2TopK(spark, dir), pcaRerankTopK(spark, dir))
 
   /** Recall@[[PqOps.TopK]] of the 16-dim truncated ranking vs exact L2 on
     * the raw 64-dim vectors — prices the variance discarded with the 48
@@ -284,6 +310,7 @@ object OpqOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pca_topk" -> ((s, d) => pcaTopK(s, d).orderBy("qid", "rank")),
     "ann_pca_recall" -> ((s, d) => pcaRecall(s, d).orderBy("qid")),
+    "ann_pca_rerank_recall" -> ((s, d) => pcaRerankRecall(s, d).orderBy("qid")),
     "emb_pca_basis" -> ((s, d) => basisFlat(s, d).orderBy("p", "d")),
     "ann_opq_topk" -> ((s, d) => opqAdcTopK(s, d).orderBy("qid", "rank")),
     "ann_opq_recall" -> ((s, d) => opqAdcRecall(s, d).orderBy("qid"))
@@ -306,6 +333,33 @@ object OpqOps {
          |$pcaTopkSql,
          |${PqOps.bfL2Ctes},
          |${PqOps.recallTailSql("pca_topk")}""".stripMargin,
+    "ann_pca_rerank_recall" ->
+      s"""WITH RECURSIVE ${Similarity.flatSql},
+         |${Similarity.covSql},
+         |${eigStateSql(PcaD)},
+         |$pcaProjSql,
+         |pd AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vid, ${sqlR6("sum(pow(a.x - b.x, 2))")} AS dist
+         |  FROM proj a JOIN proj b ON b.d = a.d
+         |  WHERE a.vec_id < ${Similarity.NumQueries} AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2
+         |), pshort AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rn FROM pd)
+         |  WHERE rn <= ${PqOps.RerankWidth}
+         |), rrd AS (
+         |  SELECT s.qid, s.vid, ${sqlR6("sum(pow(a.x - b.x, 2))")} AS dist
+         |  FROM pshort s
+         |  JOIN flat a ON a.vec_id = s.qid
+         |  JOIN flat b ON b.vec_id = s.vid AND b.d = a.d
+         |  GROUP BY 1, 2
+         |), prr_topk AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rn FROM rrd)
+         |  WHERE rn <= ${PqOps.TopK}
+         |),
+         |${PqOps.bfL2Ctes},
+         |${PqOps.recallTailSql("prr_topk")}""".stripMargin,
     "emb_pca_basis" ->
       s"""WITH RECURSIVE ${Similarity.flatSql},
          |${Similarity.covSql},
