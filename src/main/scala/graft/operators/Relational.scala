@@ -886,6 +886,43 @@ object Relational {
        |  USING (user_id, event_type)
        |ORDER BY user_id, event_type""".stripMargin
 
+  /** Fuzzy-match block width: names sharing this prefix are candidates. */
+  val FuzzyBlockLen = 16
+
+  /** Blocked fuzzy entity matching — the candidate-generation pass of entity
+    * resolution: customers whose names sit within edit distance 1, found via
+    * prefix BLOCKING (names sharing the first [[FuzzyBlockLen]] chars) + an
+    * in-block levenshtein filter. Blocking is to ER what banding is to
+    * MinHash dedup: candidate pairs are bounded by block size (≤ 100 here —
+    * the last-two-character tail), never table², and the edit distance only
+    * runs inside blocks — the one shape that survives 100 TB, since the full
+    * cross-product levenshtein is exactly what it avoids. Pairs differing
+    * inside the blocked prefix are out of scope BY CONTRACT (the documented
+    * recall trade every blocked matcher makes).
+    */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 1, FuzzyBlockLen).as("blk"))
+    c.select(col("c_custkey").as("a_key"), col("c_name").as("a_name"), col("blk"))
+      .join(c.select(col("c_custkey").as("b_key"), col("c_name").as("b_name"), col("blk")), "blk")
+      .filter(col("a_key") =!= col("b_key") &&
+        levenshtein(col("a_name"), col("b_name")) <= 1)
+      .groupBy(col("a_key").as("c_custkey"))
+      .agg(count(lit(1)).as("n_near"), min(col("b_key")).as("min_match_key"))
+  }
+
+  def fuzzyMatchOracle: String =
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_name, substr(c_name, 1, $FuzzyBlockLen) AS blk FROM customer
+       |), p AS (
+       |  SELECT a.c_custkey AS a_key, b.c_custkey AS b_key
+       |  FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey <> b.c_custkey
+       |  WHERE levenshtein(a.c_name, b.c_name) <= 1
+       |)
+       |SELECT a_key AS c_custkey, count(*) AS n_near, min(b_key) AS min_match_key
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** CDC merge boundary: events before it are the standing snapshot, events
     * from it on are the change batch. Chosen so the change window leaves some
     * users untouched (base-only rows survive) at every fixture scale. */
@@ -1083,6 +1120,7 @@ object Relational {
     "events_sessionize" -> ((s, d) => sessionize(s, d).orderBy("user_id", "session_seq")),
     "events_scd2" -> ((s, d) => scd2(s, d).orderBy("user_id", "event_type", "valid_from", "event_id")),
     "events_cdc_merge" -> ((s, d) => cdcMerge(s, d).orderBy("user_id")),
+    "customers_fuzzy_match" -> ((s, d) => fuzzyMatch(s, d).orderBy("c_custkey")),
     "events_type_pivot" -> ((s, d) => typePivot(s, d).orderBy("user_id")),
     "events_type_unpivot" -> ((s, d) => typeUnpivot(s, d).orderBy("user_id", "event_type"))
   )
@@ -1092,6 +1130,7 @@ object Relational {
     "events_cube" -> eventsCubeOracle,
     "events_scd2" -> scd2Oracle,
     "events_cdc_merge" -> cdcMergeOracle,
+    "customers_fuzzy_match" -> fuzzyMatchOracle,
     "events_funnel_latency" -> funnelLatencyOracle,
     "events_attribution" -> attributionLinearOracle,
     "market_basket_pairs" -> marketBasketOracle,
