@@ -401,6 +401,123 @@ object Relational {
        |                    AND o.o_orderdate >= TIMESTAMP '$Q22Cutoff')
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q7's trading-nation pair. */
+  val Q7NationA = "NATION_1"
+  val Q7NationB = "NATION_2"
+
+  /** Q7-shape volume shipping between two nations: revenue by (supplier
+    * nation, customer nation, year) for the two directed flows of one nation
+    * pair. The shape this adds: ONE dimension (nation) joined in TWO ROLES,
+    * with a disjunctive pair predicate that cannot sit on any single scan.
+    * The scale-correct plan prunes FIRST: supplier and customer are each
+    * pre-filtered to the two nations (broadcast), so the fact join runs on
+    * the ~8% slice and the OR over role pairs is a residual on joined rows —
+    * not a post-join filter over the full fact table.
+    */
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(Q7NationA, Q7NationB))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === Q7NationA && col("cust_nation") === Q7NationB) ||
+        (col("supp_nation") === Q7NationB && col("cust_nation") === Q7NationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  def q7Oracle: String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       |       ${sqlExactSum("l.l_extendedprice * (1.0e0 - l.l_discount)")} AS revenue,
+       |       count(*) AS n_items
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND ((sn.n_name = '$Q7NationA' AND cn.n_name = '$Q7NationB')
+       |    OR (sn.n_name = '$Q7NationB' AND cn.n_name = '$Q7NationA'))
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  /** Q8's market: one region's customers, one part class, one focal nation. */
+  val Q8Region = "ASIA"
+  val Q8Nation = "NATION_2"
+  val Q8PartType = "PROMO"
+
+  /** Q8-shape national market share: of the [[Q8Region]]-region customers'
+    * spend on [[Q8PartType]] parts, the share supplied by [[Q8Nation]], per
+    * order year — the conditional-share aggregation (CASE inside one sum
+    * divided by the other) over a deep star join where nation again plays
+    * two roles (customer region membership, supplier share split). All five
+    * dimension arms broadcast; both sums are exact micros, so the share is
+    * one double division of two exact totals.
+    */
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir).filter(col("p_type") === Q8PartType)
+      .select("p_partkey")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === Q8Region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        exactSum(when(col("supp_nation") === Q8Nation, rev).otherwise(lit(0.0))).as("nation_volume"),
+        exactSum(rev).as("total_volume"))
+      .select(col("o_year"),
+        r6(col("nation_volume") / col("total_volume")).as("mkt_share"),
+        col("nation_volume"), col("total_volume"))
+  }
+
+  def q8Oracle: String = {
+    val rev = "l.l_extendedprice * (1.0e0 - l.l_discount)"
+    s"""WITH t AS (
+       |  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       |         ${sqlExactSum(s"CASE WHEN sn.n_name = '$Q8Nation' THEN $rev ELSE 0.0e0 END")} AS nation_volume,
+       |         ${sqlExactSum(rev)} AS total_volume
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '$Q8PartType'
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = '$Q8Region'
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+       |  GROUP BY 1
+       |)
+       |SELECT o_year, ${sqlR6("nation_volume / total_volume")} AS mkt_share,
+       |       nation_volume, total_volume
+       |FROM t ORDER BY o_year""".stripMargin
+  }
+
   /** Market-basket pair mining: parts co-purchased in the same order, with
     * support counts and lift, top 50 — the "frequently bought together"
     * co-occurrence operator (and the within-group pair-expansion shape:
@@ -1106,6 +1223,8 @@ object Relational {
     "tpch_q21" -> ((s, d) => q21(s, d)),
     "tpch_q22" -> ((s, d) => q22(s, d).orderBy("c_nationkey")),
     "tpch_q2" -> ((s, d) => q2(s, d)),
+    "tpch_q7" -> ((s, d) => q7(s, d).orderBy("supp_nation", "cust_nation", "l_year")),
+    "tpch_q8" -> ((s, d) => q8(s, d).orderBy("o_year")),
     "revenue_rollup" -> ((s, d) => revenueRollup(s, d).orderBy("r_name", "n_name")),
     "top_customers_per_nation" -> ((s, d) => topCustomersPerNation(s, d).orderBy("n_name", "rank")),
     "customer_running_total" -> ((s, d) => customerRunningTotal(s, d).orderBy("o_custkey", "o_orderdate", "o_orderkey")),
@@ -1143,6 +1262,8 @@ object Relational {
     "tpch_q21" -> q21Oracle,
     "tpch_q22" -> q22Oracle,
     "tpch_q2" -> q2Oracle,
+    "tpch_q7" -> q7Oracle,
+    "tpch_q8" -> q8Oracle,
     "tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sqlExactSum("l_quantity")} AS sum_qty,
