@@ -454,6 +454,46 @@ object Relational {
        |GROUP BY 1, 2, 3
        |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Q17's brand slice. */
+  val Q17Brand = "Brand#11"
+
+  /** Q17-shape small-quantity-order revenue: for one brand, the yearly
+    * revenue from lineitems whose quantity is below 20% of that PART's
+    * average quantity — the per-GROUP scalar-average decorrelation (vs Q22's
+    * global scalar and Q2's groupwise-min): the correlated `avg` subquery
+    * becomes a per-part aggregate joined back on the part key. The brand
+    * filter prunes BEFORE the average, so both the agg and the join-back run
+    * on the brand slice only; the average is exact integer micros, making
+    * the 20% threshold cut engine-exact.
+    */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir).filter(col("p_brand") === Q17Brand)
+      .select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val perPart = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((lit(0.2) * (sum(floor(col("l_quantity") * 1e6 + 0.5).cast("long")).cast("double") /
+        count(lit(1)) / 1e6)).as("qty_thr"))
+    li.join(perPart, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_thr"))
+      .agg(r6(exactSum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  def q17Oracle: String =
+    s"""WITH br AS (
+       |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+       |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       |  WHERE p.p_brand = '$Q17Brand'
+       |), thr AS (
+       |  SELECT l_partkey, 0.2e0 * ${sqlExactAvg("l_quantity")} AS qty_thr
+       |  FROM br GROUP BY 1
+       |)
+       |SELECT ${sqlR6(s"${sqlExactSum("b.l_extendedprice")} / 7.0e0")} AS avg_yearly,
+       |       count(*) AS n_items
+       |FROM br b JOIN thr t ON t.l_partkey = b.l_partkey
+       |WHERE b.l_quantity < t.qty_thr""".stripMargin
+
   /** Q8's market: one region's customers, one part class, one focal nation. */
   val Q8Region = "ASIA"
   val Q8Nation = "NATION_2"
@@ -1224,6 +1264,7 @@ object Relational {
     "tpch_q22" -> ((s, d) => q22(s, d).orderBy("c_nationkey")),
     "tpch_q2" -> ((s, d) => q2(s, d)),
     "tpch_q7" -> ((s, d) => q7(s, d).orderBy("supp_nation", "cust_nation", "l_year")),
+    "tpch_q17" -> ((s, d) => q17(s, d)),
     "tpch_q8" -> ((s, d) => q8(s, d).orderBy("o_year")),
     "revenue_rollup" -> ((s, d) => revenueRollup(s, d).orderBy("r_name", "n_name")),
     "top_customers_per_nation" -> ((s, d) => topCustomersPerNation(s, d).orderBy("n_name", "rank")),
@@ -1263,6 +1304,7 @@ object Relational {
     "tpch_q22" -> q22Oracle,
     "tpch_q2" -> q2Oracle,
     "tpch_q7" -> q7Oracle,
+    "tpch_q17" -> q17Oracle,
     "tpch_q8" -> q8Oracle,
     "tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
