@@ -1245,6 +1245,257 @@ object Relational {
        |GROUP BY CUBE (event_type, CAST(ts AS DATE))
        |ORDER BY gid, event_type, event_date""".stripMargin
 
+  /** Q9's part-name slice and the unit-cost stand-in (the fixture has no
+    * partsupp, so supply cost is modeled as a fixed fraction of the part's
+    * retail price — the join shape is unchanged).
+    */
+  val Q9NameWord = "widget"
+  val Q9CostFrac = 0.6
+
+  /** Q9-shape product-type profit: for parts whose name contains
+    * [[Q9NameWord]], profit = revenue − modeled supply cost, aggregated by
+    * (supplier nation, order year). The widest TPC-H star — BOTH fact tables
+    * plus three dimension arms — with an arithmetic combining columns of
+    * lineitem AND part inside the aggregate. Plan: the part-name filter
+    * prunes the fact scan via a broadcast join BEFORE the orders shuffle;
+    * supplier→nation folds to one broadcast arm; the only shuffle is
+    * orders⋈lineitem on orderkey, then one partial-agg shuffle on the tiny
+    * (nation, year) grid.
+    */
+  def q9(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_name").contains(Q9NameWord))
+      .select("p_partkey", "p_retailprice")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(Q9CostFrac) * col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(exactSum(amount).as("sum_profit"), count(lit(1)).as("n_items"))
+  }
+
+  def q9Oracle: String = {
+    val amount = s"l.l_extendedprice * (1.0e0 - l.l_discount) - ${Q9CostFrac}e0 * p.p_retailprice * l.l_quantity"
+    s"""SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       |       ${sqlExactSum(amount)} AS sum_profit, count(*) AS n_items
+       |FROM lineitem l
+       |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%$Q9NameWord%'
+       |JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |JOIN nation n ON n.n_nationkey = s.s_nationkey
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Q11's supplier-nation cohort: key < 13 (a nation SET, not one nation —
+    * at sf0.001 only 10 suppliers exist across 25 nations, so a single
+    * nation can be empty).
+    */
+  val Q11NationMax = 13
+
+  /** Q11-shape important stock: per-part supplied value from the cohort's
+    * suppliers, keeping parts whose value exceeds a fraction of the cohort
+    * total — the aggregate-reused-as-its-own-scalar-threshold shape. TPC-H's
+    * `> 0.0001/SF · total` is re-expressed scale-stably as `> 2× the mean
+    * per-part value` (the fixed-fraction form degenerates as the part count
+    * grows 10× per scale step). Plan: ONE per-part aggregate feeds both the
+    * scalar (second tiny agg over it) and the HAVING filter via a 1-row
+    * broadcast cross join — the fact table is scanned once, never probed
+    * per-row. Exact-micros sums make the threshold cut engine-exact.
+    */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") < Q11NationMax).select("s_suppkey")
+    val perPart = Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("value"))
+    val thr = perPart.agg((lit(2.0) * exactAvg(col("value"))).as("thr"))
+    perPart.crossJoin(broadcast(thr))
+      .filter(col("value") > col("thr"))
+      .select(col("l_partkey").as("ps_partkey"), col("value"))
+  }
+
+  def q11Oracle: String =
+    s"""WITH per_part AS MATERIALIZED (
+       |  SELECT l.l_partkey, ${sqlExactSum("l.l_extendedprice * (1.0e0 - l.l_discount)")} AS value
+       |  FROM lineitem l
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey < $Q11NationMax
+       |  GROUP BY 1
+       |), thr AS (SELECT 2.0e0 * ${sqlExactAvg("value")} AS thr FROM per_part)
+       |SELECT p.l_partkey AS ps_partkey, p.value
+       |FROM per_part p, thr WHERE p.value > thr.thr
+       |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  /** Q12's window and lateness bound (the fixture has no ship modes or
+    * commit/receipt dates: the return flag is the lineitem categorical and
+    * "late" is shipped > 60 days after the order date, as in [[q4]]/[[q21]]).
+    */
+  val Q12LateDays = 60
+
+  /** Q12-shape late-shipment priority split: among late lines shipped in a
+    * two-year window, counts of critical- vs ordinary-priority orders per
+    * lineitem class — the conditional-count split (two CASE sums in one
+    * pass) after a fact⋈fact join whose selective filters all sit on the
+    * lineitem scan (pushed to parquet), so the orders side joins an already
+    * thin slice.
+    */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+    li.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $Q12LateDays DAYS"))
+      .groupBy(col("l_returnflag").as("ship_class"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+  }
+
+  def q12Oracle: String =
+    s"""SELECT l.l_returnflag AS ship_class,
+       |       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       |       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND l.l_shipdate > o.o_orderdate + INTERVAL $Q12LateDays DAY
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q13's counted-order class (stands in for the NOT LIKE comment filter:
+    * selective enough that zero-count customers exist at every scale). */
+  val Q13Priority = "5-LOW"
+
+  /** Q13-shape customer order-count distribution: per-customer count of
+    * [[Q13Priority]] orders — LEFT OUTER so customers with none contribute a
+    * 0 — then the histogram of those counts. The shape Q13 uniquely adds:
+    * the outer join must not drop empty groups (count(o_orderkey), not
+    * count(*)), and the double aggregation's second shuffle is on the tiny
+    * count domain. Plan: the priority filter sits on the orders scan
+    * (pushed), the first agg rides the join's custkey partitioning, the
+    * histogram agg is a ~dozen-row shuffle.
+    */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === Q13Priority)
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  def q13Oracle: String =
+    s"""WITH per_cust AS (
+       |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+       |  FROM customer c
+       |  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       |                    AND o.o_orderpriority = '$Q13Priority'
+       |  GROUP BY 1
+       |)
+       |SELECT c_count, count(*) AS custdist FROM per_cust
+       |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q15's revenue quarter. */
+  val Q15Start = "1997-01-01"
+  val Q15End = "1997-04-01"
+
+  /** Q15-shape top supplier: each supplier's revenue over one quarter, then
+    * the supplier(s) achieving the groupwise-global MAX — the
+    * view-reused-twice shape (revenue view → scalar max → join back on
+    * equality). Exact-micros revenue makes the double equality engine-exact
+    * (same discipline as [[q2]]'s min-cost join-back). Plan: one fact scan
+    * with the date filter pushed, per-supplier agg, 1-row broadcast max,
+    * supplier dim broadcast to decorate the winner.
+    */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(Q15Start).cast("timestamp") &&
+        col("l_shipdate") < lit(Q15End).cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  def q15Oracle: String =
+    s"""WITH revenue AS MATERIALIZED (
+       |  SELECT l_suppkey, ${sqlExactSum("l_extendedprice * (1.0e0 - l_discount)")} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$Q15Start' AND l_shipdate < TIMESTAMP '$Q15End'
+       |  GROUP BY 1
+       |), top AS (SELECT max(total_revenue) AS max_revenue FROM revenue)
+       |SELECT s.s_suppkey, s.s_name, r.total_revenue
+       |FROM revenue r CROSS JOIN top t
+       |JOIN supplier s ON s.s_suppkey = r.l_suppkey
+       |WHERE r.total_revenue = t.max_revenue
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** Q20's part-name slice and supplier-nation cohort. */
+  val Q20NameWord = "bolt"
+
+  /** Q20-shape excess-share suppliers: cohort suppliers who, for some
+    * [[Q20NameWord]] part, shipped MORE THAN 2× that part's mean
+    * per-supplier quantity — the nested correlated-threshold chain
+    * (per-(part,supplier) agg → correlated per-part scalar → semi-join up to
+    * the supplier list). TPC-H's `availqty > 0.5 · sum(l_quantity)` is
+    * re-expressed against the part's own mean because a fixed share
+    * degenerates as the supplier count grows 10× per scale step. Plan: the
+    * part-name filter broadcasts and prunes the fact scan first; the
+    * per-part threshold is an aggregate OVER the pair aggregate (no second
+    * fact scan); the final DISTINCT collapses to the supplier key before the
+    * broadcast dim join. Exact integer quantity-micros make the 2× cut
+    * engine-exact.
+    */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_name").contains(Q20NameWord)).select("p_partkey")
+    val supp = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") < Q11NationMax)
+    val pairQty = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(floor(col("l_quantity") * 1e6 + 0.5).cast("long")).as("qty_mi"))
+    val partThr = pairQty.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((lit(2.0) * avg(col("qty_mi"))).as("thr_mi"))
+    pairQty.join(partThr, col("l_partkey") === col("t_partkey"))
+      .filter(col("qty_mi").cast("double") > col("thr_mi"))
+      .select("l_suppkey").distinct()
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  def q20Oracle: String =
+    s"""WITH pair AS MATERIALIZED (
+       |  SELECT l.l_partkey, l.l_suppkey,
+       |         sum(CAST(floor(l.l_quantity*1e6 + 0.5) AS BIGINT)) AS qty_mi
+       |  FROM lineitem l
+       |  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%$Q20NameWord%'
+       |  GROUP BY 1, 2
+       |), thr AS (
+       |  SELECT l_partkey AS t_partkey, 2.0e0 * avg(qty_mi) AS thr_mi
+       |  FROM pair GROUP BY 1
+       |)
+       |SELECT DISTINCT s.s_suppkey, s.s_name
+       |FROM pair x
+       |JOIN thr t ON t.t_partkey = x.l_partkey
+       |JOIN supplier s ON s.s_suppkey = x.l_suppkey AND s.s_nationkey < $Q11NationMax
+       |WHERE CAST(x.qty_mi AS DOUBLE) > t.thr_mi
+       |ORDER BY s_suppkey""".stripMargin
+
   // ---------------- DuckDB oracle twins ----------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1266,6 +1517,12 @@ object Relational {
     "tpch_q7" -> ((s, d) => q7(s, d).orderBy("supp_nation", "cust_nation", "l_year")),
     "tpch_q17" -> ((s, d) => q17(s, d)),
     "tpch_q8" -> ((s, d) => q8(s, d).orderBy("o_year")),
+    "tpch_q9" -> ((s, d) => q9(s, d).orderBy("nation", "o_year")),
+    "tpch_q11" -> ((s, d) => q11(s, d).orderBy(desc("value"), asc("ps_partkey"))),
+    "tpch_q12" -> ((s, d) => q12(s, d).orderBy("ship_class")),
+    "tpch_q13" -> ((s, d) => q13(s, d)),
+    "tpch_q15" -> ((s, d) => q15(s, d)),
+    "tpch_q20" -> ((s, d) => q20(s, d)),
     "revenue_rollup" -> ((s, d) => revenueRollup(s, d).orderBy("r_name", "n_name")),
     "top_customers_per_nation" -> ((s, d) => topCustomersPerNation(s, d).orderBy("n_name", "rank")),
     "customer_running_total" -> ((s, d) => customerRunningTotal(s, d).orderBy("o_custkey", "o_orderdate", "o_orderkey")),
@@ -1306,6 +1563,12 @@ object Relational {
     "tpch_q7" -> q7Oracle,
     "tpch_q17" -> q17Oracle,
     "tpch_q8" -> q8Oracle,
+    "tpch_q9" -> q9Oracle,
+    "tpch_q11" -> q11Oracle,
+    "tpch_q12" -> q12Oracle,
+    "tpch_q13" -> q13Oracle,
+    "tpch_q15" -> q15Oracle,
+    "tpch_q20" -> q20Oracle,
     "tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sqlExactSum("l_quantity")} AS sum_qty,

@@ -63,7 +63,10 @@ class PlanHygieneSpec extends SparkSpec {
       "tpch_q10",           // customer/nation dims ⋈ the returns join
       "tpch_q16",           // bad-supplier anti-join + part dim
       "tpch_q21",           // supplier dim ⋈ the flagged pairs
-      "tpch_q2")            // part/supplier/nation dims ⋈ the min-cost pairs
+      "tpch_q2",            // part/supplier/nation dims ⋈ the min-cost pairs
+      "tpch_q9",            // part/supplier/nation arms ⋈ the profit star
+      "tpch_q15",           // 1-row max + supplier dim ⋈ the revenue view
+      "tpch_q20")           // part filter + supplier dim ⋈ the pair aggs
     // (events_asof_join is deliberately absent: its whole point is that the
     // as-of is a union + LOCF window with NO join operator in the plan)
     val bad = mustBroadcast.flatMap { name =>
