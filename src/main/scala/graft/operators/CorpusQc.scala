@@ -176,6 +176,50 @@ object CorpusQc {
     * shorter than one chunk emit none). Same materialize-hw-first discipline
     * as [[grams]] — the lambda must reference a column, not the md5 sweep.
     */
+  /** Bloom false-positive rate for [[decontamBloom]] (the prefilter is
+    * correctness-neutral — false positives are removed by the exact confirm
+    * join — so fpp only tunes how much of the train side survives to it). */
+  val BloomFpp = 0.03
+
+  /** Bloom-filter decontamination: same result as [[decontam]], computed the
+    * way a 100-TB pipeline would — the eval-gram set is folded into a Bloom
+    * filter ONCE (driver-side, like Spark's own runtime-filter subquery
+    * materialization; the benchmark set is small by construction), and the
+    * train side drops ~97% of its gram stream MAP-SIDE through a codegen'd
+    * `might_contain` before anything is shuffled into the exact join. The
+    * exact broadcast join then removes Bloom false positives, so the output
+    * is bit-identical to the exact operator (the oracle IS the exact SQL)
+    * while the shuffle/join volume scales with the contaminated sliver, not
+    * the corpus. This is Spark's InjectRuntimeFilter pattern made explicit
+    * as an operator. The bloom is rebuilt per query (in production it would
+    * persist beside the eval set; nothing here caches across fixture edits).
+    */
+  def decontamBloom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatalystLiteral}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val g = grams(spark, dir, DecontamN)
+    val evalG = g.filter(col("doc_id") % EvalMod === 0).select("g").distinct()
+    val bloomBytes: Array[Byte] = {
+      val bf = evalG.stat.bloomFilter("g", expectedNumItems = 300000L, fpp = BloomFpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      CatalystLiteral.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(col("g"))))
+    val trainHits = g.filter(col("doc_id") % EvalMod =!= 0)
+      .filter(mightContain)                       // map-side bloom prune
+      .join(broadcast(evalG), "g")                // exact confirm: FPs drop here
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val trainBase = docs(spark, dir).filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id"),
+        (greatest(size(words) - DecontamN, lit(0)) + 1).cast("long").as("n_shingles"))
+    trainBase.join(trainHits, "doc_id")
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        r6(col("n_hit").cast("double") / col("n_shingles").cast("double")).as("contam_frac"))
+  }
+
   private def chunks(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"), hw.as("hw"))
       .filter(size(col("hw")) >= ChunkWords)
@@ -564,12 +608,28 @@ object CorpusQc {
     "docs_mix_entropy" -> ((s, d) => mixEntropy(s, d).orderBy("source")),
     "text_repetition" -> ((s, d) => repetition(s, d).orderBy("doc_id")),
     "docs_decontam" -> ((s, d) => decontam(s, d).orderBy("doc_id")),
+    "docs_decontam_bloom" -> ((s, d) => decontamBloom(s, d).orderBy("doc_id")),
     "docs_chunk_dedup" -> ((s, d) => chunkDedup(s, d).orderBy("doc_id")),
     "text_unigram_nll" -> ((s, d) => unigramNll(s, d).orderBy("doc_id")),
     "text_bigram_nll" -> ((s, d) => bigramNll(s, d).orderBy("doc_id")),
     "docs_split_stable" -> ((s, d) => docSplit(s, d).orderBy("source", "split")),
     "docs_mixture_sample" -> ((s, d) => mixtureSample(s, d).orderBy("source", "pick_order"))
   )
+
+  private def decontamOracle: String =
+    s"""WITH ${gramCteSql("grams", DecontamN)},
+       |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % $EvalMod = 0),
+       |hits AS (
+       |  SELECT t.doc_id, count(*) AS n_hit
+       |  FROM grams t JOIN ev USING (g)
+       |  WHERE t.doc_id % $EvalMod <> 0 GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |       (greatest(len(regexp_split_to_array(d.text, '\\s+')) - $DecontamN, 0) + 1)::BIGINT AS n_shingles,
+       |       h.n_hit,
+       |       ${sqlR6(s"CAST(h.n_hit AS DOUBLE) / (greatest(len(regexp_split_to_array(d.text, '\\s+')) - $DecontamN, 0) + 1)")} AS contam_frac
+       |FROM documents d JOIN hits h ON h.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "docs_source_divergence" -> sourceDivergenceOracle,
@@ -598,20 +658,12 @@ object CorpusQc {
          |        OR ${sqlR6("CAST(p5.dup5 AS DOUBLE) / p5.n5")} > ${sqlD(Dup5Threshold)}) AS repetitive
          |FROM documents d JOIN p2 ON p2.doc_id = d.doc_id JOIN p5 ON p5.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
-    "docs_decontam" ->
-      s"""WITH ${gramCteSql("grams", DecontamN)},
-         |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % $EvalMod = 0),
-         |hits AS (
-         |  SELECT t.doc_id, count(*) AS n_hit
-         |  FROM grams t JOIN ev USING (g)
-         |  WHERE t.doc_id % $EvalMod <> 0 GROUP BY 1
-         |)
-         |SELECT d.doc_id,
-         |       (greatest(len(regexp_split_to_array(d.text, '\\s+')) - $DecontamN, 0) + 1)::BIGINT AS n_shingles,
-         |       h.n_hit,
-         |       ${sqlR6(s"CAST(h.n_hit AS DOUBLE) / (greatest(len(regexp_split_to_array(d.text, '\\s+')) - $DecontamN, 0) + 1)")} AS contam_frac
-         |FROM documents d JOIN hits h ON h.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+    "docs_decontam" -> decontamOracle,
+    // The bloom variant is DEFINED to produce the exact operator's output
+    // (the bloom only pre-filters; false positives die in the confirm join),
+    // so its oracle is the identical exact SQL — any bloom-induced deviation
+    // is a hash mismatch.
+    "docs_decontam_bloom" -> decontamOracle,
     "docs_chunk_dedup" ->
       s"""WITH ch_h AS (
          |  SELECT doc_id,

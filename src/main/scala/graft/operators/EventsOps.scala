@@ -273,6 +273,44 @@ object EventsOps {
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** Weighted-sample size and draw stream. */
+  val WSampleK = 200
+  private val WSampleStream = 29
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis 2006, the
+    * exponential-jumps A-ES form): each row draws a deterministic uniform u
+    * keyed on event_id and ranks by −ln(u)/w — the [[WSampleK]] SMALLEST keys
+    * are the sample, which is distributed exactly like sequential weighted
+    * draws without replacement with weight w = max(|value|, 0.001). Shape at
+    * scale: the key is map-side arithmetic, and the global top-K plans as
+    * TakeOrderedAndProject — per-partition size-K heaps merged at the driver,
+    * NO shuffle of the corpus; this is the importance-weighted curation draw
+    * ("sample documents proportional to quality") that a per-row `rand()`
+    * cannot reproduce and a sort-the-world approach cannot afford. The key is
+    * fx9-quantized to BIGINT (the [[graft.operators.CorpusQc.unigramNll]]
+    * discipline) so both engines rank identical integers; event_id breaks
+    * ties totally.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = greatest(abs(col("value")), lit(0.001))
+    val u = graft.functions.DetRand.u01(col("event_id"), WSampleStream)
+    val keyMi = floor((-log(u) / w) * 1e9 + 0.5).cast("long")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        r6(w).as("weight"), keyMi.as("key_mi"))
+      .orderBy(asc("key_mi"), asc("event_id"))
+      .limit(WSampleK)
+  }
+
+  def weightedSampleOracle: String = {
+    val u = graft.functions.DetRand.sqlU01("event_id", WSampleStream)
+    val w = "greatest(abs(value), 0.001e0)"
+    s"""SELECT event_id, event_type, value, ${sqlR6(w)} AS weight,
+       |       CAST(floor((-ln($u) / ($w)) * 1e9 + 0.5) AS BIGINT) AS key_mi
+       |FROM events
+       |ORDER BY key_mi, event_id LIMIT $WSampleK""".stripMargin
+  }
+
   /** Exact per-key value quantiles via the built-in `percentile` aggregate —
     * the SMALL-SCALE twin: it buffers each group's values in the aggregation
     * buffer, so memory grows with group size. Kept registered as the
@@ -1379,6 +1417,7 @@ object EventsOps {
     "ts_mad_anomaly" -> ((s, d) => madAnomaly(s, d).orderBy("event_type")),
     "ts_value_quantiles_scalable" -> ((s, d) => valueQuantilesScalable(s, d).orderBy("event_type")),
     "events_stratified_sample" -> ((s, d) => stratifiedSampleAudit(s, d).orderBy("event_type")),
+    "events_weighted_sample" -> ((s, d) => weightedSample(s, d)),
     "ts_rolling_anomaly" -> ((s, d) => rollingAnomaly(s, d).orderBy("event_type", "event_id")),
     "events_funnel" -> ((s, d) => funnel(s, d).orderBy("user_id")),
     "events_funnel_windowed" -> ((s, d) => funnelWindowed(s, d).orderBy("user_id")),
@@ -1414,6 +1453,7 @@ object EventsOps {
     "ts_mad_anomaly" -> madAnomalyOracle,
     "ts_value_quantiles_scalable" -> valueQuantilesScalableOracle,
     "events_stratified_sample" -> stratifiedSampleOracle,
+    "events_weighted_sample" -> weightedSampleOracle,
     "ts_rolling_anomaly" -> rollingAnomalyOracle,
     "events_funnel" -> funnelOracle,
     "events_funnel_windowed" -> funnelWindowedOracle,

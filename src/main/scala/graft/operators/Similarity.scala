@@ -920,7 +920,102 @@ object Similarity {
        |        FROM hnd JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = vid))
        |WHERE rn <= $HardNegK ORDER BY qid, rank""".stripMargin
 
+  /** Semantic-dedup flag threshold and sorted-neighborhood width. The
+    * fixture's embeddings are near-isotropic noise (max pairwise cosine
+    * 0.479, measured), so the threshold sits at the observed similarity TAIL
+    * (≥ 0.3 ≈ the top 0.1% of pairs) to keep the operator non-degenerate; a
+    * production corpus of real model embeddings would run the same operator
+    * at ~0.95. */
+  val SemThreshold = 0.3
+  val SemWindow = 8
+
+  /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023): cluster
+    * with the shared cached coarse quantizer, then flag vectors whose cosine
+    * to a CLOSER-TO-CENTROID clustermate exceeds [[SemThreshold]]; the keeper
+    * is that mate (so the survivor of a duplicate group is the one nearest
+    * its centroid, the paper's criterion). All-pairs-within-cell is
+    * quadratic, so candidates come from sorted-neighborhood blocking
+    * (Hernández & Stolfo 1995): order each cell by (r6 centroid distance,
+    * vec_id) and compare each vector to its [[SemWindow]] predecessors via a
+    * lag() fan — NO self-join at all, candidates are exactly N·W, and near
+    * vectors have near centroid-distances so the 1-D ordering concentrates
+    * true pairs inside the window. Output is the action view: every vector →
+    * keep/drop, keeper id, neighborhood hit count. Scale: one window shuffle
+    * on the cell key (parallelism = #cells; production uses a K sized to the
+    * corpus, as with every IVF operator here); the lag fan moves each vector
+    * W times within its partition, never across.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "v").localCheckpoint(true)
+    val cent = quantizerFor(spark, dir)(lloydCentroids(e))
+    val pairs = cent.map { case (c, w) =>
+      array(r6(l2_sq(col("v"), typedLit(w))), lit(c.toDouble))
+    }
+    val best = array_min(array(pairs: _*))
+    val eb = e.select(col("vec_id"), col("v"),
+      best.getItem(1).cast("int").as("c"), best.getItem(0).as("cdist"))
+    val w = Window.partitionBy("c").orderBy(asc("cdist"), asc("vec_id"))
+    val withLags = (1 to SemWindow).foldLeft(eb) { (df, k) =>
+      df.withColumn(s"cos_$k",
+          when(lag(col("v"), k).over(w).isNotNull,
+            r6(cosine_sim(col("v"), lag(col("v"), k).over(w)))).otherwise(lit(-2.0)))
+        .withColumn(s"pid_$k", lag(col("vec_id"), k).over(w))
+    }
+    val flagged = (1 to SemWindow).map(k =>
+      when(col(s"cos_$k") >= SemThreshold, col(s"pid_$k")))
+    val nNear = (1 to SemWindow).map(k =>
+      when(col(s"cos_$k") >= SemThreshold, 1L).otherwise(0L)).reduce(_ + _)
+    withLags
+      .select(col("vec_id"), col("c").as("cell"), col("cdist"),
+        least(flagged: _*).as("keeper0"), nNear.as("n_near"))
+      .select(col("vec_id"), col("cell"), col("cdist"),
+        col("keeper0").isNull.as("keep"),
+        coalesce(col("keeper0"), col("vec_id")).as("keeper"), col("n_near"))
+  }
+
+  def semanticDedupOracle: String = {
+    val lagCols = (1 to SemWindow).map(k =>
+      s"lag(v, $k) OVER w AS v$k, lag(vec_id, $k) OVER w AS p$k, lag(nrm, $k) OVER w AS m$k").mkString(",\n         ")
+    val cosCols = (1 to SemWindow).map(k =>
+      s"CASE WHEN v$k IS NULL THEN -2.0e0 ELSE ${sqlR6(s"list_inner_product(v, v$k) / (nrm * m$k)")} END AS cos_$k").mkString(",\n         ")
+    val thr = sqlD(SemThreshold)
+    val keeper = "least(" + (1 to SemWindow).map(k =>
+      s"CASE WHEN cos_$k >= $thr THEN p$k END").mkString(", ") + ")"
+    val nNear = (1 to SemWindow).map(k =>
+      s"CASE WHEN cos_$k >= $thr THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $flatSql,
+       |${kmeansSql(KMeansIters)},
+       |bdist AS (
+       |  SELECT f.vec_id, c.c, ${sqlR6("sum(pow(f.x - c.w, 2))")} AS dist
+       |  FROM flat f JOIN cent$KMeansIters c ON f.d = c.d GROUP BY f.vec_id, c.c
+       |), bkt AS (
+       |  SELECT vec_id, c, dist FROM (
+       |    SELECT vec_id, c, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM bdist)
+       |  WHERE rn = 1
+       |), base AS (
+       |  SELECT e.vec_id, k.c, k.dist AS cdist, e.embedding::DOUBLE[] AS v, n.nrm
+       |  FROM embeddings e
+       |  JOIN bkt k ON k.vec_id = e.vec_id
+       |  JOIN norms n ON n.vec_id = e.vec_id
+       |), lagd AS (
+       |  SELECT vec_id, c, cdist, v, nrm,
+       |         $lagCols
+       |  FROM base WINDOW w AS (PARTITION BY c ORDER BY cdist, vec_id)
+       |), scored AS (
+       |  SELECT vec_id, c, cdist,
+       |         $cosCols,
+       |         ${(1 to SemWindow).map(k => s"p$k").mkString(", ")}
+       |  FROM lagd
+       |)
+       |SELECT vec_id, c AS cell, cdist,
+       |       ($keeper) IS NULL AS keep,
+       |       coalesce($keeper, vec_id) AS keeper,
+       |       CAST($nNear AS BIGINT) AS n_near
+       |FROM scored ORDER BY vec_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> ((s, d) => semanticDedup(s, d).orderBy("vec_id")),
     "emb_hard_negatives" -> ((s, d) => hardNegatives(s, d).orderBy("qid", "rank")),
     "ann_bruteforce_topk" -> ((s, d) => bruteForceTopK(s, d).orderBy("qid", "rank")),
     "ann_lsh_topk" -> ((s, d) => lshTopK(s, d).orderBy("qid", "rank")),
@@ -945,6 +1040,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "dedup_semantic" -> semanticDedupOracle,
     "emb_hard_negatives" -> hardNegativesOracle,
     "ann_bruteforce_topk" -> cosTopKSql(bucketJoin = false),
     "ann_lsh_topk" -> cosTopKSql(bucketJoin = true),

@@ -447,7 +447,62 @@ object TextOps {
        |       ${sqlR6("CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS hapax_ratio
        |FROM cnt GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** RAG chunking geometry: [[ChunkWords]]-word windows advancing by
+    * [[ChunkStride]] (8-word overlap so a fact spanning a boundary survives
+    * in at least one chunk). */
+  val ChunkWords = 32
+  val ChunkStride = 24
+
+  /** Overlapping-window document chunking — the retrieval-corpus build step
+    * (every RAG/embedding pipeline runs exactly this before embedding):
+    * each doc explodes into word windows of [[ChunkWords]] advancing by
+    * [[ChunkStride]], keeping (doc_id, chunk_idx) identity, the chunk text,
+    * its word count, and a 28-bit LCG content digest (the [[fingerprint]]
+    * scheme) for downstream chunk-level dedup. The LAST window is the one
+    * starting at the largest stride multiple ≤ max(n−chunk, 0): a short tail
+    * is absorbed into that final (possibly short) window rather than
+    * emitting a sliver chunk. Scale: a narrow per-row explode — no shuffle,
+    * no join; output keys (doc_id, chunk_idx) keep chunks of a doc
+    * co-partitioned with the doc for the embedding pass that follows.
+    */
+  def ragChunks(spark: SparkSession, dir: String): DataFrame = {
+    val hw: Column =
+      transform(col("ws"), w => conv(substring(md5(w), 1, 7), 16, 10).cast("long"))
+    docs(spark, dir)
+      .select(col("doc_id"), words.as("ws"))
+      .withColumn("hw", hw)
+      .select(col("doc_id"), col("ws"), col("hw"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("ws")) - ChunkWords, lit(0)), lit(ChunkStride))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "start_word")
+      .select(col("doc_id"), col("chunk_idx"), col("start_word"),
+        size(slice(col("ws"), col("start_word") + 1, lit(ChunkWords))).cast("long").as("n_chunk_words"),
+        array_join(slice(col("ws"), col("start_word") + 1, lit(ChunkWords)), " ").as("chunk_text"),
+        aggregate(slice(col("hw"), col("start_word") + 1, lit(ChunkWords)),
+          lit(0L), (acc, h) => (acc * 69069L + h) % 2147483648L).as("chunk_digest"))
+  }
+
+  def ragChunksOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, $wordsSql AS ws,
+       |         list_transform($wordsSql, w -> ('0x' || substr(md5(w), 1, 7))::BIGINT) AS hw
+       |  FROM documents
+       |), st AS (
+       |  SELECT doc_id, ws, hw,
+       |         unnest(generate_series(0, greatest(len(ws) - $ChunkWords, 0), $ChunkStride)) AS start_word
+       |  FROM base
+       |)
+       |SELECT doc_id, (start_word / $ChunkStride)::INT AS chunk_idx, start_word::INT AS start_word,
+       |       len(ws[start_word + 1 : start_word + $ChunkWords])::BIGINT AS n_chunk_words,
+       |       array_to_string(ws[start_word + 1 : start_word + $ChunkWords], ' ') AS chunk_text,
+       |       CAST(list_reduce(list_prepend(0, hw[start_word + 1 : start_word + $ChunkWords]),
+       |                        (acc, h) -> (acc * 69069 + h) % 2147483648) AS BIGINT) AS chunk_digest
+       |FROM st
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_rag_chunks" -> ((s, d) => ragChunks(s, d).orderBy("doc_id", "chunk_idx")),
     "text_lexical_diversity" -> ((s, d) => lexicalDiversity(s, d).orderBy("doc_id")),
     "text_bpe_apply" -> ((s, d) => bpeApply(s, d)),
     "text_bigram_merges" -> ((s, d) => bigramMerges(s, d)),
@@ -463,6 +518,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "docs_rag_chunks" -> ragChunksOracle,
     "text_lexical_diversity" -> lexicalDiversityOracle,
     "text_bpe_apply" -> bpeApplyOracle,
     "text_bigram_merges" ->

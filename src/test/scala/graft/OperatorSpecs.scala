@@ -680,3 +680,42 @@ class IvfPqSpec extends SparkSpec {
     tk.unpersist()
   }
 }
+
+class BloomDecontamSpec extends SparkSpec {
+  import graft.operators.CorpusQc
+
+  test("bloom decontam ≡ exact decontam row-for-row") {
+    val exact = CorpusQc.decontam(spark, sf)
+    val bloom = CorpusQc.decontamBloom(spark, sf)
+    assert(exact.exceptAll(bloom).count() == 0)
+    assert(bloom.exceptAll(exact).count() == 0)
+  }
+
+  test("the bloom prefilter is actually planned (might_contain before the confirm join)") {
+    val plan = CorpusQc.decontamBloom(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom prefilter in plan:\n$plan")
+  }
+}
+
+class SemanticDedupSpec extends SparkSpec {
+  import graft.operators.Similarity
+
+  test("semantic dedup: keeper precedes its dropped vector in the cell ordering") {
+    val sd = Similarity.semanticDedup(spark, sf).cache()
+    // keeper of a dropped vector must (a) differ from it, (b) share its cell,
+    // (c) sort strictly earlier on (cdist, vec_id) — the survivor is the one
+    // nearer its centroid
+    val dropped = sd.filter(!col("keep"))
+      .select(col("vec_id").as("did"), col("cell").as("dcell"),
+        col("cdist").as("ddist"), col("keeper"))
+    val bad = dropped.join(sd.select(col("vec_id").as("keeper"),
+        col("cell").as("kcell"), col("cdist").as("kdist")), "keeper")
+      .filter(col("keeper") === col("did") || col("kcell") =!= col("dcell") ||
+        col("kdist") > col("ddist") ||
+        (col("kdist") === col("ddist") && col("keeper") >= col("did")))
+    assert(bad.count() == 0)
+    // kept vectors point at themselves with an empty neighborhood flag count
+    assert(sd.filter(col("keep") && (col("keeper") =!= col("vec_id"))).count() == 0)
+    sd.unpersist()
+  }
+}
