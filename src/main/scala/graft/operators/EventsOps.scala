@@ -273,6 +273,156 @@ object EventsOps {
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** Simulated late-arrival slice for [[mvMerge]]: every 10th event (by id)
+    * arrives in the delta batch, touching most (type, date) groups. */
+  private val MvDeltaMod = 10
+  private val MvDeltaRem = 7
+
+  /** Incremental materialized-view maintenance: the per-(event_type, date)
+    * daily rollup maintained as BASE PARTIALS + DELTA PARTIALS merged by the
+    * aggregate's own monoid — count adds, micros-sums add, min/max fold —
+    * with the average derived once from the merged sums. This is the
+    * incremental-ETL contract at 100 TB: the base partials are the STORED
+    * view (history is never rescanned), only the delta batch scans new data,
+    * and merge cost is proportional to the touched groups, not the history.
+    * Everything non-mergeable (the average) is derived FROM mergeable state,
+    * never maintained directly — the same algebra that makes the HLL
+    * sketches unionable (`events_hll_union`). The oracle recomputes the
+    * rollup flat from the raw table: if the merge algebra dropped or
+    * double-counted anything, the hash mismatches.
+    */
+  def mvMerge(spark: SparkSession, dir: String): DataFrame = {
+    def partials(df: DataFrame): DataFrame =
+      df.withColumn("event_date", to_date(col("ts")))
+        .groupBy("event_type", "event_date")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("sum_mi"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val ev = Tables.events(spark, dir)
+    val base = partials(ev.filter(col("event_id") % MvDeltaMod =!= MvDeltaRem))
+    val delta = partials(ev.filter(col("event_id") % MvDeltaMod === MvDeltaRem))
+    base.unionByName(delta)
+      .groupBy("event_type", "event_date")
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sum_mi")).as("sum_mi"),
+        min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
+      .select(col("event_type"), col("event_date"), col("n_events"),
+        (col("sum_mi").cast("double") / 1e6).as("sum_value"),
+        col("min_value"), col("max_value"),
+        r6(col("sum_mi").cast("double") / 1e6 / col("n_events").cast("double")).as("avg_value"))
+  }
+
+  def mvMergeOracle: String = {
+    val es = "(CAST(sum(CAST(floor((value)*1e6 + 0.5) AS BIGINT)) AS DOUBLE)/1e6)"
+    s"""SELECT event_type, CAST(ts AS DATE) AS event_date,
+       |       count(*) AS n_events,
+       |       $es AS sum_value,
+       |       min(value) AS min_value, max(value) AS max_value,
+       |       ${sqlR6(s"$es / count(*)")} AS avg_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** PSI cohort split: reference = first half of the fixture month. */
+  val PsiCutoff = "2024-01-16"
+  val PsiBins = 10
+
+  /** Population-stability-index drift monitor — the standard ML feature-drift
+    * metric (banking scorecard lineage; >0.25 ≈ retrain): per event_type,
+    * bin the CURRENT cohort's values by the REFERENCE cohort's decile
+    * boundaries and report per-bin (p_ref, p_cur) with the PSI term
+    * (p_cur−p_ref)·ln(p_cur/p_ref). The value-distribution twin of
+    * `emb_drift` (embedding SMD) and `docs_source_divergence` (lexical KL).
+    * Mechanics: reference deciles come from a per-type rank window (exact
+    * integer rank formula ⌈i·n/10⌉ = (i·n+9) div 10, identical in both
+    * engines); the ≤9 boundary VALUES per type collapse to a sorted array
+    * and broadcast, so binning both cohorts is one map-side array scan —
+    * no per-row join, no global sort; the only shuffles are the per-type
+    * rank window and the bins×types-bounded count aggs. Counts are Laplace-
+    * smoothed ((n+0.5)/(N+5), exact double arithmetic) so empty bins stay
+    * finite; the ln term is r9-quantized, absorbing libm skew.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+    val ref = ev.filter(col("ts") < lit(PsiCutoff).cast("timestamp"))
+    val cur = ev.filter(col("ts") >= lit(PsiCutoff).cast("timestamp"))
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    val ranked = ref.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    // ⌈i·n/10⌉ = (i·n+9) div 10; Column `/` is double division, so the div is
+    // floor(double) — exact here since i·n+9 < 2^53 and non-integer quotients
+    // sit ≥ 0.1 from the floor boundary
+    val bounds = ranked.filter(
+        (1 until PsiBins).map(i => col("rn") ===
+          floor((lit(i.toDouble) * col("n").cast("double") + (PsiBins - 1)) / PsiBins).cast("long"))
+          .reduce(_ || _))
+      .select(col("event_type"), col("value").as("b")).distinct()
+    val barr = bounds.groupBy("event_type")
+      .agg(sort_array(collect_list(col("b"))).as("bs"))
+    def binned(df: DataFrame, out: String): DataFrame =
+      df.join(broadcast(barr), "event_type")
+        .select(col("event_type"),
+          (size(filter(col("bs"), bv => col("value") > bv)) + 1).as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as(out))
+    val tot = ref.groupBy("event_type").agg(count(lit(1)).as("t_ref"))
+      .join(cur.groupBy("event_type").agg(count(lit(1)).as("t_cur")), "event_type")
+    val grid = barr.select(col("event_type"),
+      explode(sequence(lit(1), lit(PsiBins))).as("bin"))
+    val pRef = (col("n_ref").cast("double") + 0.5) / (col("t_ref").cast("double") + 5.0)
+    val pCur = (col("n_cur").cast("double") + 0.5) / (col("t_cur").cast("double") + 5.0)
+    grid
+      .join(binned(ref, "n_ref"), Seq("event_type", "bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("event_type", "bin"), "left")
+      .join(broadcast(tot), "event_type")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .select(col("event_type"), col("bin"),
+        col("n_ref"), col("n_cur"),
+        r6(pRef).as("p_ref"), r6(pCur).as("p_cur"),
+        graft.functions.Num.r((pCur - pRef) * log(pCur / pRef), 9).as("psi_term"))
+  }
+
+  def psiDriftOracle: String = {
+    val rnIn = (1 until PsiBins).map(i => s"($i*n + ${PsiBins - 1})//$PsiBins").mkString(", ")
+    val pRef = "((n_ref + 0.5)/(t_ref + 5.0))"
+    val pCur = "((n_cur + 0.5)/(t_cur + 5.0))"
+    s"""WITH ref AS (SELECT event_type, event_id, value FROM events WHERE ts < TIMESTAMP '$PsiCutoff'),
+       |cur AS (SELECT event_type, event_id, value FROM events WHERE ts >= TIMESTAMP '$PsiCutoff'),
+       |ranked AS (
+       |  SELECT event_type, value,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM ref
+       |), bounds AS (
+       |  SELECT DISTINCT event_type, value AS b FROM ranked WHERE rn IN ($rnIn)
+       |), barr AS (
+       |  SELECT event_type, list_sort(list(b)) AS bs FROM bounds GROUP BY 1
+       |), rcnt AS (
+       |  SELECT r.event_type, len(list_filter(a.bs, x -> r.value > x)) + 1 AS bin, count(*) AS n
+       |  FROM ref r JOIN barr a USING (event_type) GROUP BY 1, 2
+       |), ccnt AS (
+       |  SELECT c.event_type, len(list_filter(a.bs, x -> c.value > x)) + 1 AS bin, count(*) AS n
+       |  FROM cur c JOIN barr a USING (event_type) GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT r.event_type, r.t_ref, c.t_cur FROM
+       |    (SELECT event_type, count(*) AS t_ref FROM ref GROUP BY 1) r
+       |    JOIN (SELECT event_type, count(*) AS t_cur FROM cur GROUP BY 1) c USING (event_type)
+       |), grid AS (
+       |  SELECT event_type, unnest(generate_series(1, $PsiBins)) AS bin FROM barr
+       |), j AS (
+       |  SELECT g.event_type, CAST(g.bin AS INT) AS bin,
+       |         coalesce(rc.n, 0) AS n_ref, coalesce(cc.n, 0) AS n_cur,
+       |         t.t_ref, t.t_cur
+       |  FROM grid g
+       |  LEFT JOIN rcnt rc ON rc.event_type = g.event_type AND rc.bin = g.bin
+       |  LEFT JOIN ccnt cc ON cc.event_type = g.event_type AND cc.bin = g.bin
+       |  JOIN tot t ON t.event_type = g.event_type
+       |)
+       |SELECT event_type, bin, n_ref, n_cur,
+       |       ${sqlR6(pRef)} AS p_ref, ${sqlR6(pCur)} AS p_cur,
+       |       ${graft.functions.Num.sqlR(s"($pCur - $pRef) * ln($pCur / $pRef)", 9)} AS psi_term
+       |FROM j ORDER BY event_type, bin""".stripMargin
+  }
+
   /** Weighted-sample size and draw stream. */
   val WSampleK = 200
   private val WSampleStream = 29
@@ -1418,6 +1568,8 @@ object EventsOps {
     "ts_value_quantiles_scalable" -> ((s, d) => valueQuantilesScalable(s, d).orderBy("event_type")),
     "events_stratified_sample" -> ((s, d) => stratifiedSampleAudit(s, d).orderBy("event_type")),
     "events_weighted_sample" -> ((s, d) => weightedSample(s, d)),
+    "events_mv_merge" -> ((s, d) => mvMerge(s, d).orderBy("event_type", "event_date")),
+    "events_psi_drift" -> ((s, d) => psiDrift(s, d).orderBy("event_type", "bin")),
     "ts_rolling_anomaly" -> ((s, d) => rollingAnomaly(s, d).orderBy("event_type", "event_id")),
     "events_funnel" -> ((s, d) => funnel(s, d).orderBy("user_id")),
     "events_funnel_windowed" -> ((s, d) => funnelWindowed(s, d).orderBy("user_id")),
@@ -1454,6 +1606,8 @@ object EventsOps {
     "ts_value_quantiles_scalable" -> valueQuantilesScalableOracle,
     "events_stratified_sample" -> stratifiedSampleOracle,
     "events_weighted_sample" -> weightedSampleOracle,
+    "events_mv_merge" -> mvMergeOracle,
+    "events_psi_drift" -> psiDriftOracle,
     "ts_rolling_anomaly" -> rollingAnomalyOracle,
     "events_funnel" -> funnelOracle,
     "events_funnel_windowed" -> funnelWindowedOracle,
