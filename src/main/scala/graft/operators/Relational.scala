@@ -604,6 +604,83 @@ object Relational {
        |CROSS JOIN tot t
        |ORDER BY n_both DESC, p1, p2 LIMIT 50""".stripMargin
 
+  /** PageRank damping and iteration count (fixed unroll — each iteration is
+    * one join+agg pass in Spark and one CTE in the oracle). */
+  val PrDamping = 0.85
+  val PrIters = 3
+
+  /** PageRank over the part co-purchase graph — the graph-centrality twin of
+    * the label-propagation connected components in `dedup_clusters`: nodes
+    * are parts, directed edges connect parts co-purchased in some order
+    * (both directions, so every node in the graph has out-degree ≥ 1 — no
+    * dangling mass). Each iteration is the sparse mat-vec as a join+agg:
+    * contributions rank/outdeg flow along in-edges and collapse through a
+    * map-side partial sum; ranks are fx12-quantized BEFORE summation (the
+    * order-independence discipline) and r9-rounded before reuse (the
+    * round-before-reuse rule), so three unrolled iterations are bit-identical
+    * in both engines. Scale: edges ∝ Σ order_size² (bounded by order size,
+    * never catalog²); each iteration shuffles the edge list on its
+    * destination key — the canonical iterative-graph workload on a relational
+    * engine, with the iteration count a compile-time unroll.
+    */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.toDF("o", "src")
+      .join(li.toDF("o", "dst"), "o")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .localCheckpoint(true)
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = outdeg.select(col("src").as("node"), col("outdeg"))
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("node"), col("outdeg"), col("n_nodes"),
+        r(lit(1.0) / col("n_nodes").cast("double"), 9).as("rank"))
+    for (_ <- 1 to PrIters) {
+      val contrib = ranks
+        .join(edges, col("node") === col("src"))
+        .select(col("dst"),
+          floor(col("rank") / col("outdeg").cast("double") * 1e12 + 0.5).cast("long").as("c_mi"))
+        .groupBy("dst").agg(sum(col("c_mi")).as("sum_mi"))
+      ranks = ranks.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"), col("outdeg"), col("n_nodes"),
+          r(lit(1.0 - PrDamping) / col("n_nodes").cast("double") +
+            lit(PrDamping) * (coalesce(col("sum_mi"), lit(0L)).cast("double") / 1e12), 9).as("rank"))
+    }
+    ranks.select(col("node").as("p_partkey"), col("outdeg"), col("rank"))
+      .orderBy(desc("rank"), asc("p_partkey"))
+      .limit(100)
+  }
+
+  def pageRankOracle: String = {
+    val steps = (1 to PrIters).map { i =>
+      s"""contrib$i AS (
+         |  SELECT e.dst, sum(CAST(floor(r.rank / r.outdeg * 1e12 + 0.5) AS BIGINT)) AS sum_mi
+         |  FROM rank${i - 1} r JOIN edges e ON e.src = r.node GROUP BY 1
+         |), rank$i AS MATERIALIZED (
+         |  SELECT r.node, r.outdeg, r.n_nodes,
+         |         ${graft.functions.Num.sqlR(
+                      s"${1.0 - PrDamping}e0 / r.n_nodes + ${PrDamping}e0 * (CAST(coalesce(c.sum_mi, 0) AS DOUBLE) / 1e12)", 9)} AS rank
+         |  FROM rank${i - 1} r LEFT JOIN contrib$i c ON c.dst = r.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT a.p AS src, b.p AS dst FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+       |), outdeg AS (
+       |  SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1
+       |), rank0 AS MATERIALIZED (
+       |  SELECT node, outdeg, (SELECT CAST(count(*) AS DOUBLE) FROM outdeg) AS n_nodes,
+       |         ${graft.functions.Num.sqlR("1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM outdeg)", 9)} AS rank
+       |  FROM outdeg
+       |),
+       |$steps
+       |SELECT node AS p_partkey, outdeg, rank
+       |FROM rank$PrIters
+       |ORDER BY rank DESC, p_partkey LIMIT 100""".stripMargin
+  }
+
   /** Q2's part-class filter: one type, a size band. */
   val Q2Type = "STANDARD"
 
@@ -1523,6 +1600,7 @@ object Relational {
     "tpch_q13" -> ((s, d) => q13(s, d)),
     "tpch_q15" -> ((s, d) => q15(s, d)),
     "tpch_q20" -> ((s, d) => q20(s, d)),
+    "graph_pagerank" -> ((s, d) => pageRank(s, d)),
     "revenue_rollup" -> ((s, d) => revenueRollup(s, d).orderBy("r_name", "n_name")),
     "top_customers_per_nation" -> ((s, d) => topCustomersPerNation(s, d).orderBy("n_name", "rank")),
     "customer_running_total" -> ((s, d) => customerRunningTotal(s, d).orderBy("o_custkey", "o_orderdate", "o_orderkey")),
@@ -1569,6 +1647,7 @@ object Relational {
     "tpch_q13" -> q13Oracle,
     "tpch_q15" -> q15Oracle,
     "tpch_q20" -> q20Oracle,
+    "graph_pagerank" -> pageRankOracle,
     "tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sqlExactSum("l_quantity")} AS sum_qty,
