@@ -78,7 +78,12 @@ object Bench {
     // Correctness gating catches the breakage separately; this makes the perf
     // artifact self-auditing the way the steal/gc fields are.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter for local single-query iteration;
+    // the driver never sets it, so round benches always cover the registry
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
       val dts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try {

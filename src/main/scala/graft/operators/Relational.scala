@@ -638,12 +638,15 @@ object Relational {
       .select(col("node"), col("outdeg"), col("n_nodes"),
         r(lit(1.0) / col("n_nodes").cast("double"), 9).as("rank"))
     for (_ <- 1 to PrIters) {
-      val contrib = ranks
-        .join(edges, col("node") === col("src"))
+      // the rank vector (one row per node) broadcasts both ways, so the
+      // 30×-larger edge table never shuffles: contributions are a map-side
+      // broadcast join + partial-agg, the update a broadcast left join
+      val contrib = edges
+        .join(broadcast(ranks), col("src") === col("node"))
         .select(col("dst"),
           floor(col("rank") / col("outdeg").cast("double") * 1e12 + 0.5).cast("long").as("c_mi"))
         .groupBy("dst").agg(sum(col("c_mi")).as("sum_mi"))
-      ranks = ranks.join(contrib, col("node") === col("dst"), "left")
+      ranks = ranks.join(broadcast(contrib), col("node") === col("dst"), "left")
         .select(col("node"), col("outdeg"), col("n_nodes"),
           r(lit(1.0 - PrDamping) / col("n_nodes").cast("double") +
             lit(PrDamping) * (coalesce(col("sum_mi"), lit(0L)).cast("double") / 1e12), 9).as("rank"))

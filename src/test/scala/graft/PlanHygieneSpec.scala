@@ -66,7 +66,8 @@ class PlanHygieneSpec extends SparkSpec {
       "tpch_q2",            // part/supplier/nation dims ⋈ the min-cost pairs
       "tpch_q9",            // part/supplier/nation arms ⋈ the profit star
       "tpch_q15",           // 1-row max + supplier dim ⋈ the revenue view
-      "tpch_q20")           // part filter + supplier dim ⋈ the pair aggs
+      "tpch_q20",           // part filter + supplier dim ⋈ the pair aggs
+      "graph_pagerank")     // rank vector broadcasts; the edge table never shuffles
     // (events_asof_join is deliberately absent: its whole point is that the
     // as-of is a union + LOCF window with NO join operator in the plan)
     val bad = mustBroadcast.flatMap { name =>
