@@ -291,25 +291,36 @@ object EventsOps {
     * rollup flat from the raw table: if the merge algebra dropped or
     * double-counted anything, the hash mismatches.
     */
-  def mvMerge(spark: SparkSession, dir: String): DataFrame = {
-    def partials(df: DataFrame): DataFrame =
-      df.withColumn("event_date", to_date(col("ts")))
-        .groupBy("event_type", "event_date")
-        .agg(count(lit(1)).as("n"),
-          sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("sum_mi"),
-          min(col("value")).as("mn"), max(col("value")).as("mx"))
-    val ev = Tables.events(spark, dir)
-    val base = partials(ev.filter(col("event_id") % MvDeltaMod =!= MvDeltaRem))
-    val delta = partials(ev.filter(col("event_id") % MvDeltaMod === MvDeltaRem))
-    base.unionByName(delta)
+  /** The MV's partial-aggregate state for one input slice (mergeable monoid
+    * columns only). Shared by the batch [[mvMerge]] and the streaming
+    * foreachBatch maintenance ([[graft.streaming.StreamingOps.streamMvMerge]]). */
+  private[graft] def mvPartials(df: DataFrame): DataFrame =
+    df.withColumn("event_date", to_date(col("ts")))
       .groupBy("event_type", "event_date")
-      .agg(sum(col("n")).as("n_events"),
-        sum(col("sum_mi")).as("sum_mi"),
-        min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
-      .select(col("event_type"), col("event_date"), col("n_events"),
-        (col("sum_mi").cast("double") / 1e6).as("sum_value"),
-        col("min_value"), col("max_value"),
-        r6(col("sum_mi").cast("double") / 1e6 / col("n_events").cast("double")).as("avg_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("sum_mi"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+
+  /** Merge a union of partial-state frames by the aggregate monoid. */
+  private[graft] def mvCombine(parts: DataFrame): DataFrame =
+    parts.groupBy("event_type", "event_date")
+      .agg(sum(col("n")).as("n"), sum(col("sum_mi")).as("sum_mi"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+
+  /** Derive the user-facing view from merged state (the non-mergeable average
+    * computed once, never maintained). */
+  private[graft] def mvFinish(merged: DataFrame): DataFrame =
+    merged.select(col("event_type"), col("event_date"),
+      col("n").as("n_events"),
+      (col("sum_mi").cast("double") / 1e6).as("sum_value"),
+      col("mn").as("min_value"), col("mx").as("max_value"),
+      r6(col("sum_mi").cast("double") / 1e6 / col("n").cast("double")).as("avg_value"))
+
+  def mvMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val base = mvPartials(ev.filter(col("event_id") % MvDeltaMod =!= MvDeltaRem))
+    val delta = mvPartials(ev.filter(col("event_id") % MvDeltaMod === MvDeltaRem))
+    mvFinish(mvCombine(base.unionByName(delta)))
   }
 
   def mvMergeOracle: String = {

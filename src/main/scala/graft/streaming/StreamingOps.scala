@@ -215,7 +215,54 @@ object StreamingOps {
         r6(col("sum_value")).as("sum_value"))
   }
 
+  /** Streaming materialized-view maintenance — the foreachBatch MERGE-sink
+    * pattern every incremental lakehouse pipeline runs (a Delta MERGE INTO
+    * with the transaction log replaced by ping-pong state dirs): each
+    * micro-batch collapses to its partial aggregates ([[graft.operators.EventsOps.mvPartials]],
+    * the SAME monoid as the batch `events_mv_merge`), merges them with the
+    * persisted MV state, and writes the next state generation — alternating
+    * A/B paths because overwriting the path being read is illegal without a
+    * txn log. History is never rescanned: batch N touches only its own rows
+    * plus the (groups-sized) state table. The returned frame is the final
+    * state's user view; the oracle is the flat full-table rollup, so a
+    * dropped or double-merged batch is a hash mismatch. StreamingSpec drives
+    * the cross-batch accumulation over a MemoryStream; this registered run
+    * drains the events parquet under AvailableNow.
+    */
+  def streamMvMerge(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mv_").toFile.getAbsolutePath
+    val cur = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val q = Tables.eventsStream(spark, dir).writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mvMergeBatch(batch, id, tmp, cur)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.EventsOps.mvFinish(spark.read.parquet(cur.get))
+  }
+
+  /** One maintenance step: merge a micro-batch's partials into the persisted
+    * state and advance the state generation. Factored out so StreamingSpec
+    * can drive it through MemoryStream batches. */
+  private[graft] def mvMergeBatch(
+      batch: DataFrame, id: Long, tmp: String,
+      cur: java.util.concurrent.atomic.AtomicReference[String]): Unit = {
+    val spark = batch.sparkSession
+    val parts = graft.operators.EventsOps.mvPartials(batch)
+    val merged = Option(cur.get) match {
+      case Some(prev) =>
+        graft.operators.EventsOps.mvCombine(
+          spark.read.parquet(prev).unionByName(parts))
+      case None => graft.operators.EventsOps.mvCombine(parts)
+    }
+    val next = s"$tmp/state_${id % 2}"
+    merged.write.mode("overwrite").parquet(next)
+    cur.set(next)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_mv_merge" -> ((s, d) => streamMvMerge(s, d).orderBy("event_type", "event_date")),
     "stream_tumbling_agg" -> ((s, d) => streamTumbling(s, d).orderBy("ws", "event_type")),
     "stream_static_enrich" -> ((s, d) =>
       streamStaticEnrich(s, d).orderBy("c_mktsegment", "event_type")),
@@ -243,6 +290,8 @@ object StreamingOps {
   )
 
   def oracles: Map[String, String] = Map(
+    // streaming maintenance must land on the same answer as the flat rollup
+    "stream_mv_merge" -> graft.operators.EventsOps.mvMergeOracle,
     "stream_static_enrich" ->
       s"""SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,
          |       ${sqlR6("sum(e.value)")} AS sum_value

@@ -17,6 +17,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch MV maintenance accumulates across micro-batches to the flat rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents
+    val stream = MemoryStream[Ev]
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mv_spec_").toFile.getAbsolutePath
+    val cur = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val q = stream.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingOps.mvMergeBatch(df, id, tmp, cur)
+      }.start()
+    val chunks = events.grouped(200).toSeq
+    stream.addData(chunks.head)
+    q.processAllAvailable()
+    // after batch 1 the state covers ONLY batch 1 rows
+    val mid = graft.operators.EventsOps.mvFinish(spark.read.parquet(cur.get))
+      .agg(sum("n_events")).collect().head.getLong(0)
+    assert(mid == chunks.head.size)
+    chunks.tail.foreach { c => stream.addData(c); q.processAllAvailable() }
+    q.stop()
+    // final state equals the flat one-shot rollup of all rows
+    val streamed = graft.operators.EventsOps.mvFinish(spark.read.parquet(cur.get))
+      .collect().map(_.toSeq).toSet
+    val flat = graft.operators.EventsOps.mvFinish(
+      graft.operators.EventsOps.mvCombine(
+        graft.operators.EventsOps.mvPartials(events.toDF())))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == flat)
+  }
+
   test("streaming tumbling aggregate equals the batch plan on the same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
