@@ -1014,7 +1014,67 @@ object Similarity {
        |FROM scored ORDER BY vec_id""".stripMargin
   }
 
+  /** Per-cell clustering-quality summary — a squared-distance silhouette over
+    * the SAME cached coarse quantizer every IVF operator shares: for each
+    * vector, a = squared distance to its own centroid, b = squared distance
+    * to the nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1]. Negative s
+    * marks vectors closer to a foreign centroid than their own — with the
+    * deterministic lowest-index tiebreak these only arise on exact distance
+    * ties, so `n_negative` doubles as an assignment-consistency audit. This
+    * is the quality dial next to `emb_cell_balance`'s occupancy dial: balance
+    * says cells are evenly sized, silhouette says they are SEPARATED — the
+    * two numbers an operator reads before trusting nprobe=1 recall. Cost:
+    * the per-vector (a, b) falls out of the already-folded centroid distance
+    * pairs (one codegen'd projection, no join), the rollup is a K-row agg;
+    * per-vector scores are fx9-quantized before the order-nondeterministic
+    * mean.
+    */
+  def cellSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "v").localCheckpoint(true)
+    val cent = quantizerFor(spark, dir)(lloydCentroids(e))
+    val pairs = cent.map { case (c, w) =>
+      array(r6(l2_sq(col("v"), typedLit(w))), lit(c.toDouble))
+    }
+    val sorted = array_sort(array(pairs: _*))
+    val a = sorted.getItem(0).getItem(0)
+    val b = sorted.getItem(1).getItem(0)
+    val s = when(greatest(a, b) > 0.0, r6((b - a) / greatest(a, b))).otherwise(lit(0.0))
+    e.select(sorted.getItem(0).getItem(1).cast("int").as("cell"),
+        floor(s * 1e9 + 0.5).cast("long").as("s_fx"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        r6(sum(col("s_fx")).cast("double") / 1e9 / count(lit(1)).cast("double")).as("mean_silhouette"),
+        sum(when(col("s_fx") < 0L, 1L).otherwise(0L)).as("n_negative"))
+  }
+
+  def cellSilhouetteOracle: String =
+    s"""WITH $flatSql,
+       |${kmeansSql(KMeansIters)},
+       |bdist AS (
+       |  SELECT f.vec_id, c.c, ${sqlR6("sum(pow(f.x - c.w, 2))")} AS dist
+       |  FROM flat f JOIN cent$KMeansIters c ON f.d = c.d GROUP BY f.vec_id, c.c
+       |), ranked AS (
+       |  SELECT vec_id, c, dist,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+       |  FROM bdist
+       |), ab AS (
+       |  SELECT o.vec_id, o.c AS cell, o.dist AS a, t.dist AS b
+       |  FROM ranked o JOIN ranked t ON t.vec_id = o.vec_id AND t.rn = 2
+       |  WHERE o.rn = 1
+       |), scored AS (
+       |  SELECT cell,
+       |         CAST(floor((CASE WHEN greatest(a, b) > 0.0e0
+       |                          THEN ${sqlR6("(b - a) / greatest(a, b)")}
+       |                          ELSE 0.0e0 END) * 1e9 + 0.5) AS BIGINT) AS s_fx
+       |  FROM ab
+       |)
+       |SELECT cell, count(*) AS n_vectors,
+       |       ${sqlR6("CAST(sum(s_fx) AS DOUBLE) / 1e9 / count(*)")} AS mean_silhouette,
+       |       CAST(sum(CASE WHEN s_fx < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_cell_silhouette" -> ((s, d) => cellSilhouette(s, d).orderBy("cell")),
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d).orderBy("vec_id")),
     "emb_hard_negatives" -> ((s, d) => hardNegatives(s, d).orderBy("qid", "rank")),
     "ann_bruteforce_topk" -> ((s, d) => bruteForceTopK(s, d).orderBy("qid", "rank")),
@@ -1040,6 +1100,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "emb_cell_silhouette" -> cellSilhouetteOracle,
     "dedup_semantic" -> semanticDedupOracle,
     "emb_hard_negatives" -> hardNegativesOracle,
     "ann_bruteforce_topk" -> cosTopKSql(bucketJoin = false),
