@@ -333,6 +333,129 @@ object EventsOps {
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Target-encoding smoothing pseudo-count. */
+  val TeSmooth = 10.0
+
+  /** Leakage-safe target encoding — the categorical-feature encoder every
+    * tabular ML pipeline runs, with the one property that separates it from
+    * a plain group mean: each row's OWN value is excluded (leave-one-out),
+    * because a feature that contains its own label leaks the target into
+    * training. Two encodings per row: the raw LOO mean (Σ−x)/(n−1) and the
+    * smoothed form ((Σ−x) + m·prior)/(n−1+m) shrinking rare categories
+    * toward the global prior (m = [[TeSmooth]]). All sums are exact integer
+    * micros, so the divisions see identical operands in both engines; a
+    * singleton category's raw LOO is undefined and falls back to the global
+    * LOO mean. Plan shape: one tiny per-category aggregate + one 1-row
+    * global aggregate, both broadcast back over the fact scan — the encode
+    * itself is map-side arithmetic, no fact shuffle.
+    */
+  def targetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("x_mi"))
+    val cat = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x_mi")).as("sum_mi"))
+    val glob = ev.agg(count(lit(1)).as("gn"), sum(col("x_mi")).as("gsum_mi"))
+    val prior = col("gsum_mi").cast("double") / 1e6 / col("gn").cast("double")
+    val looNum = (col("sum_mi") - col("x_mi")).cast("double") / 1e6
+    val looGlobal = (col("gsum_mi") - col("x_mi")).cast("double") / 1e6 /
+      (col("gn") - 1L).cast("double")
+    ev.join(broadcast(cat), "event_type")
+      .crossJoin(broadcast(glob))
+      .select(col("event_id"), col("event_type"), col("value"),
+        r6(when(col("n") > 1L, looNum / (col("n") - 1L).cast("double"))
+          .otherwise(looGlobal)).as("te_loo"),
+        r6((looNum + lit(TeSmooth) * prior) /
+          ((col("n") - 1L).cast("double") + TeSmooth)).as("te_smooth"))
+  }
+
+  def targetEncodeOracle: String = {
+    val prior = "(CAST(g.gsum_mi AS DOUBLE)/1e6/CAST(g.gn AS DOUBLE))"
+    val looNum = "(CAST(c.sum_mi - e.x_mi AS DOUBLE)/1e6)"
+    val looGlobal = "(CAST(g.gsum_mi - e.x_mi AS DOUBLE)/1e6/CAST(g.gn - 1 AS DOUBLE))"
+    s"""WITH e AS (
+       |  SELECT event_id, event_type, value,
+       |         CAST(floor(value*1e6 + 0.5) AS BIGINT) AS x_mi
+       |  FROM events
+       |), c AS (
+       |  SELECT event_type, count(*) AS n,
+       |         CAST(sum(x_mi) AS BIGINT) AS sum_mi
+       |  FROM e GROUP BY 1
+       |), g AS (
+       |  SELECT count(*) AS gn, CAST(sum(x_mi) AS BIGINT) AS gsum_mi FROM e
+       |)
+       |SELECT e.event_id, e.event_type, e.value,
+       |       ${sqlR6(s"CASE WHEN c.n > 1 THEN $looNum / CAST(c.n - 1 AS DOUBLE) ELSE $looGlobal END")} AS te_loo,
+       |       ${sqlR6(s"($looNum + ${sqlD(TeSmooth)} * $prior) / (CAST(c.n - 1 AS DOUBLE) + ${sqlD(TeSmooth)})")} AS te_smooth
+       |FROM e JOIN c USING (event_type) CROSS JOIN g
+       |ORDER BY event_id""".stripMargin
+  }
+
+  /** Low-volume alarm threshold: a day below this share of its trailing mean
+    * is flagged. */
+  val FreshLowShare = 0.5
+
+  /** Data-observability monitor — freshness and volume-completeness per
+    * series, the checks a pipeline runs BEFORE trusting a partition enough
+    * to train on it: per (event_type, day) the row count, the trailing mean
+    * over up to 7 PRECEDING days (the current day excluded — an incident
+    * must not drag its own baseline down), a low-volume flag at
+    * [[FreshLowShare]]× that mean, and per-type freshness lag (hours between
+    * the type's last event and the corpus's last event). Arithmetic is exact
+    * BIGINT counts + same-operand double divisions; lag is integer epoch
+    * subtraction. Shape: one daily-grid agg, a 7-row window per series, and
+    * two tiny max-aggs — output bounded by types × days.
+    */
+  def freshness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.withColumn("event_date", to_date(col("ts")))
+      .groupBy("event_type", "event_date")
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("day_max_ts"))
+    val w = Window.partitionBy("event_type").orderBy("event_date")
+      .rowsBetween(-7, -1)
+    val lastByType = daily.groupBy("event_type").agg(max(col("day_max_ts")).as("type_last_ts"))
+    val lastGlobal = lastByType.agg(max(col("type_last_ts")).as("global_last_ts"))
+    daily
+      .withColumn("trail_sum", sum(col("n_events")).over(w))
+      .withColumn("trail_days", count(col("n_events")).over(w))
+      .join(broadcast(lastByType), "event_type")
+      .crossJoin(broadcast(lastGlobal))
+      .select(col("event_type"), col("event_date"), col("n_events"),
+        r6(col("trail_sum").cast("double") / col("trail_days").cast("double")).as("trailing_avg"),
+        (col("trail_days") > 0L &&
+          col("n_events").cast("double") <
+            lit(FreshLowShare) * (col("trail_sum").cast("double") / col("trail_days").cast("double")))
+          .as("low_volume"),
+        // whole hours: unix_timestamp floors to seconds; Column `/` on longs
+        // is double division, so the integer div is an explicit floor
+        floor((unix_timestamp(col("global_last_ts")) - unix_timestamp(col("type_last_ts")))
+          .cast("double") / 3600.0).cast("long").as("type_lag_hours"))
+  }
+
+  def freshnessOracle: String = {
+    val avg = "(CAST(trail_sum AS DOUBLE) / CAST(trail_days AS DOUBLE))"
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS event_date,
+       |         count(*) AS n_events, max(ts) AS day_max_ts
+       |  FROM events GROUP BY 1, 2
+       |), trailed AS (
+       |  SELECT event_type, event_date, n_events, day_max_ts,
+       |         CAST(sum(n_events) OVER w AS BIGINT) AS trail_sum,
+       |         count(n_events) OVER w AS trail_days
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY event_date
+       |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+       |), bytype AS (
+       |  SELECT event_type, max(day_max_ts) AS type_last_ts FROM daily GROUP BY 1
+       |), gmax AS (SELECT max(type_last_ts) AS global_last_ts FROM bytype)
+       |SELECT t.event_type, t.event_date, t.n_events,
+       |       ${sqlR6(avg)} AS trailing_avg,
+       |       (t.trail_days > 0 AND CAST(t.n_events AS DOUBLE) < ${sqlD(FreshLowShare)} * $avg) AS low_volume,
+       |       CAST(floor((floor(epoch(g.global_last_ts)) - floor(epoch(b.type_last_ts))) / 3600.0) AS BIGINT) AS type_lag_hours
+       |FROM trailed t JOIN bytype b USING (event_type) CROSS JOIN gmax g
+       |ORDER BY event_type, event_date""".stripMargin
+  }
+
   /** PSI cohort split: reference = first half of the fixture month. */
   val PsiCutoff = "2024-01-16"
   val PsiBins = 10
@@ -1581,6 +1704,8 @@ object EventsOps {
     "events_weighted_sample" -> ((s, d) => weightedSample(s, d)),
     "events_mv_merge" -> ((s, d) => mvMerge(s, d).orderBy("event_type", "event_date")),
     "events_psi_drift" -> ((s, d) => psiDrift(s, d).orderBy("event_type", "bin")),
+    "events_target_encode" -> ((s, d) => targetEncode(s, d).orderBy("event_id")),
+    "events_freshness" -> ((s, d) => freshness(s, d).orderBy("event_type", "event_date")),
     "ts_rolling_anomaly" -> ((s, d) => rollingAnomaly(s, d).orderBy("event_type", "event_id")),
     "events_funnel" -> ((s, d) => funnel(s, d).orderBy("user_id")),
     "events_funnel_windowed" -> ((s, d) => funnelWindowed(s, d).orderBy("user_id")),
@@ -1619,6 +1744,8 @@ object EventsOps {
     "events_weighted_sample" -> weightedSampleOracle,
     "events_mv_merge" -> mvMergeOracle,
     "events_psi_drift" -> psiDriftOracle,
+    "events_target_encode" -> targetEncodeOracle,
+    "events_freshness" -> freshnessOracle,
     "ts_rolling_anomaly" -> rollingAnomalyOracle,
     "events_funnel" -> funnelOracle,
     "events_funnel_windowed" -> funnelWindowedOracle,
