@@ -333,6 +333,83 @@ object EventsOps {
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** CMS geometry for the join-size estimate: d hash rows × w buckets. */
+  val CmsRows: Seq[Long] = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+  val CmsWidth = 256
+
+  /** Sketch-based join-size estimation — what a cost-based optimizer does
+    * BEFORE committing to a join strategy: |A ⋈ B| on a key equals the inner
+    * product of the two sides' key-frequency vectors, and the count-min
+    * estimate of that inner product is min over hash rows i of
+    * Σ_j cmsA[i][j]·cmsB[i][j] (Cormode & Muthukrishnan 2005, §4.2) — an
+    * upper bound that never under-estimates. Each side's sketch is one
+    * groupBy over (row, bucket) — O(d·w) state, mergeable like every sketch
+    * here — so the estimate costs two narrow scans and a d·w-sized join,
+    * never a shuffle of either side. The output row carries the estimate
+    * next to the EXACT join size (computed without expanding the join:
+    * per-key counts joined and Σ cntA·cntB — itself the decomposition that
+    * makes join-size exact computation feasible) so the over-estimation
+    * ratio is hash-checked, not trusted. All arithmetic is exact BIGINT:
+    * hashes are (k·a mod 2³¹) mod w with literal odd multipliers, products
+    * bounded far below 2⁶³.
+    */
+  def joinSizeCms(spark: SparkSession, dir: String): DataFrame = {
+    val M31 = 2147483648L
+    def sketch(df: DataFrame, key: Column): DataFrame = {
+      val rows = CmsRows.zipWithIndex.map { case (a, i) =>
+        struct(lit(i).as("i"), ((key * a) % M31 % CmsWidth).cast("int").as("j"))
+      }
+      df.select(explode(array(rows: _*)).as("rb"))
+        .groupBy(col("rb.i").as("i"), col("rb.j").as("j"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val a = sketch(Tables.events(spark, dir), col("user_id"))
+      .withColumnRenamed("cnt", "ca")
+    val b = sketch(Tables.orders(spark, dir), col("o_custkey"))
+      .withColumnRenamed("cnt", "cb")
+    val est = a.join(b, Seq("i", "j"))
+      .groupBy("i").agg(sum(col("ca") * col("cb")).as("row_est"))
+      .agg(min(col("row_est")).as("cms_estimate"))
+    val exact = Tables.events(spark, dir).groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("na"))
+      .join(Tables.orders(spark, dir).groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("nb")), "k")
+      .agg(sum(col("na") * col("nb")).as("exact_join_size"))
+    est.crossJoin(exact)
+      .select(col("cms_estimate"), col("exact_join_size"),
+        r6(col("cms_estimate").cast("double") / col("exact_join_size").cast("double"))
+          .as("over_ratio"))
+  }
+
+  def joinSizeCmsOracle: String = {
+    val rowSel = CmsRows.zipWithIndex.map { case (a, i) =>
+      s"SELECT $i AS i, CAST((k * $a) % 2147483648 % $CmsWidth AS INT) AS j, cnt FROM keyed"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ekeys AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+       |okeys AS (SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1),
+       |ea AS (
+       |  WITH keyed AS (SELECT * FROM ekeys)
+       |  SELECT i, j, CAST(sum(cnt) AS BIGINT) AS ca FROM (
+       |  $rowSel
+       |  ) GROUP BY 1, 2
+       |), ob AS (
+       |  WITH keyed AS (SELECT * FROM okeys)
+       |  SELECT i, j, CAST(sum(cnt) AS BIGINT) AS cb FROM (
+       |  $rowSel
+       |  ) GROUP BY 1, 2
+       |), est AS (
+       |  SELECT CAST(min(row_est) AS BIGINT) AS cms_estimate FROM (
+       |    SELECT a.i, CAST(sum(a.ca * b.cb) AS BIGINT) AS row_est
+       |    FROM ea a JOIN ob b ON a.i = b.i AND a.j = b.j GROUP BY 1)
+       |), ex AS (
+       |  SELECT CAST(sum(e.cnt * o.cnt) AS BIGINT) AS exact_join_size
+       |  FROM ekeys e JOIN okeys o ON e.k = o.k
+       |)
+       |SELECT est.cms_estimate, ex.exact_join_size,
+       |       ${sqlR6("CAST(est.cms_estimate AS DOUBLE) / CAST(ex.exact_join_size AS DOUBLE)")} AS over_ratio
+       |FROM est CROSS JOIN ex""".stripMargin
+  }
+
   /** Target-encoding smoothing pseudo-count. */
   val TeSmooth = 10.0
 
@@ -1705,6 +1782,7 @@ object EventsOps {
     "events_mv_merge" -> ((s, d) => mvMerge(s, d).orderBy("event_type", "event_date")),
     "events_psi_drift" -> ((s, d) => psiDrift(s, d).orderBy("event_type", "bin")),
     "events_target_encode" -> ((s, d) => targetEncode(s, d).orderBy("event_id")),
+    "events_join_size_cms" -> ((s, d) => joinSizeCms(s, d)),
     "events_freshness" -> ((s, d) => freshness(s, d).orderBy("event_type", "event_date")),
     "ts_rolling_anomaly" -> ((s, d) => rollingAnomaly(s, d).orderBy("event_type", "event_id")),
     "events_funnel" -> ((s, d) => funnel(s, d).orderBy("user_id")),
@@ -1745,6 +1823,7 @@ object EventsOps {
     "events_mv_merge" -> mvMergeOracle,
     "events_psi_drift" -> psiDriftOracle,
     "events_target_encode" -> targetEncodeOracle,
+    "events_join_size_cms" -> joinSizeCmsOracle,
     "events_freshness" -> freshnessOracle,
     "ts_rolling_anomaly" -> rollingAnomalyOracle,
     "events_funnel" -> funnelOracle,
