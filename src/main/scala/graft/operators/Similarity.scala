@@ -920,6 +920,44 @@ object Similarity {
        |        FROM hnd JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = vid))
        |WHERE rn <= $HardNegK ORDER BY qid, rank""".stripMargin
 
+  /** Max-inner-product search — the retrieval mode recommendation models use
+    * (user·item score, NOT cosine: popular items earn large norms and are
+    * SUPPOSED to rank higher, so normalizing away the norm is wrong). The
+    * registered query is the exact dot-product top-k over the broadcast
+    * query panel (the declared ground-truth baseline, like
+    * `ann_bruteforce_topk` for cosine); the SCALE path is the classic
+    * MIPS→NNS reduction (Shrivastava & Li 2014): append dimension
+    * sqrt(M²−‖x‖²) to corpus vectors and 0 to queries, and L2 ranking in
+    * the augmented space equals dot-product ranking — which plugs MIPS into
+    * every L2 index built here (IVF/PQ/SQ8). MipsSpec PROVES that
+    * equivalence on this corpus instead of asserting it.
+    */
+  def mipsTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", r6(dot(col("qv"), col("v"))))
+    val w = Window.partitionBy("qid").orderBy(desc("dot"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"), col("dot"))
+  }
+
+  def mipsTopKOracle: String =
+    s"""WITH $flatSql,
+       |dots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS vid, ${sqlR6("sum(a.x * b.x)")} AS dot
+       |  FROM flat a JOIN flat b ON a.d = b.d
+       |  WHERE a.vec_id < $NumQueries AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT qid, vid AS neighbor_id, CAST(rn AS INT) AS rank, dot
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vid ASC) AS rn FROM dots)
+       |WHERE rn <= $TopK ORDER BY qid, rank""".stripMargin
+
   /** Semantic-dedup flag threshold and sorted-neighborhood width. The
     * fixture's embeddings are near-isotropic noise (max pairwise cosine
     * 0.479, measured), so the threshold sits at the observed similarity TAIL
@@ -1075,6 +1113,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_cell_silhouette" -> ((s, d) => cellSilhouette(s, d).orderBy("cell")),
+    "ann_mips_topk" -> ((s, d) => mipsTopK(s, d).orderBy("qid", "rank")),
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d).orderBy("vec_id")),
     "emb_hard_negatives" -> ((s, d) => hardNegatives(s, d).orderBy("qid", "rank")),
     "ann_bruteforce_topk" -> ((s, d) => bruteForceTopK(s, d).orderBy("qid", "rank")),
@@ -1101,6 +1140,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "emb_cell_silhouette" -> cellSilhouetteOracle,
+    "ann_mips_topk" -> mipsTopKOracle,
     "dedup_semantic" -> semanticDedupOracle,
     "emb_hard_negatives" -> hardNegativesOracle,
     "ann_bruteforce_topk" -> cosTopKSql(bucketJoin = false),

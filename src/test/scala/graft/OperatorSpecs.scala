@@ -719,3 +719,40 @@ class SemanticDedupSpec extends SparkSpec {
     sd.unpersist()
   }
 }
+
+class MipsSpec extends SparkSpec {
+  import graft.operators.Similarity
+
+  test("MIPS→NNS reduction: augmented-L2 ranking equals dot-product ranking") {
+    import org.apache.spark.sql.expressions.Window
+    // corpus vectors gain dimension sqrt(M² − ‖x‖²), queries gain 0; then
+    // ‖q̃ − x̃‖² = ‖q‖² + M² − 2·q·x is monotone DECREASING in q·x, so the
+    // augmented L2 top-k must equal the dot-product top-k (Shrivastava & Li
+    // 2014). Proven here on the real corpus, not asserted.
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val withNorm = e.withColumn("sq", dot(col("v"), col("v")))
+    val m2 = withNorm.agg(max(col("sq"))).collect().head.getDouble(0)
+    val aug = withNorm.withColumn("va",
+      concat(col("v"), array(sqrt(lit(m2) - col("sq")))))
+    val q = aug.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val pairs = aug.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      // query augmentation dim is 0, so the augmented L2 only needs the
+      // corpus-side extra coordinate: ‖q−x‖² + (m2 − ‖x‖²)
+      .withColumn("d_aug",
+        aggregate(zip_with(col("qv"), col("v"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x) + (lit(m2) - col("sq")))
+      .withColumn("dotpx", dot(col("qv"), col("v")))
+    val byDot = pairs.withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("dotpx"), asc("vec_id"))))
+      .filter(col("rk") <= 5).select("qid", "vec_id")
+    val byAug = pairs.withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("d_aug"), asc("vec_id"))))
+      .filter(col("rk") <= 5).select("qid", "vec_id")
+    assert(byDot.exceptAll(byAug).count() == 0)
+    assert(byAug.exceptAll(byDot).count() == 0)
+  }
+}

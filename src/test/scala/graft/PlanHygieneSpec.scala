@@ -76,4 +76,22 @@ class PlanHygieneSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"no BroadcastHashJoin in: $bad")
   }
+
+  /** Global orderBy+limit must plan as TakeOrderedAndProject (per-partition
+    * size-K heaps merged at the driver) — a refactor that drops the limit
+    * under the sort would silently become a full global Sort, the
+    * sort-the-world shape these operators exist to avoid.
+    */
+  test("global top-k plans TakeOrderedAndProject, not a global sort") {
+    val mustTakeOrdered = Seq(
+      "events_weighted_sample", // A-ES weighted draw: top-K smallest keys
+      "graph_pagerank",         // top-100 ranks
+      "market_basket_pairs",    // top-50 by support
+      "tpch_q18")               // top-100 orders
+    val bad = mustTakeOrdered.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      if (!plan.contains("TakeOrderedAndProject")) Some(name) else None
+    }
+    assert(bad.isEmpty, s"no TakeOrderedAndProject in: $bad")
+  }
 }
