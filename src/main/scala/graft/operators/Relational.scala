@@ -604,6 +604,69 @@ object Relational {
        |CROSS JOIN tot t
        |ORDER BY n_both DESC, p1, p2 LIMIT 50""".stripMargin
 
+  /** RFM reference date: the day after the fixture's last order date. */
+  val RfmAsOf = "2001-08-02"
+
+  /** RFM customer segmentation — the classic marketing-analytics cube:
+    * per customer, Recency (days since last order, as of [[RfmAsOf]]),
+    * Frequency (order count) and Monetary (exact-micros lifetime spend),
+    * each cut into quintiles and composed into the familiar "R5F4M3"
+    * segment code. The scale decision: quintiles are computed PER NATION
+    * (market-local segmentation), so every ntile window has a partition key
+    * and nothing sorts globally — the same reason `events_value_deciles`
+    * partitions by type; a global cut would need the PSI-style broadcast
+    * boundary trick instead. Tiebreaks are total (metric, custkey), R ranks
+    * ascending (recent = best) while F/M rank descending, and all three
+    * metrics are exact integers so the quintile cuts are engine-identical.
+    */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("o_totalprice") * 1e6 + 0.5).cast("long")).as("spend_mi"))
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        datediff(lit(RfmAsOf).cast("date"), col("last_order").cast("date"))
+          .cast("long").as("recency_days"),
+        col("frequency"), (col("spend_mi").cast("double") / 1e6).as("monetary"),
+        col("spend_mi"))
+    val byNation = Window.partitionBy("c_nationkey")
+    val rQ = ntile(5).over(byNation.orderBy(asc("recency_days"), asc("c_custkey")))
+    val fQ = ntile(5).over(byNation.orderBy(desc("frequency"), asc("c_custkey")))
+    val mQ = ntile(5).over(byNation.orderBy(desc("spend_mi"), asc("c_custkey")))
+    base
+      .withColumn("r_q", rQ).withColumn("f_q", fQ).withColumn("m_q", mQ)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("recency_days"), col("frequency"), col("monetary"),
+        col("r_q"), col("f_q"), col("m_q"),
+        concat(lit("R"), col("r_q"), lit("F"), col("f_q"), lit("M"), col("m_q"))
+          .as("segment"))
+  }
+
+  def rfmOracle: String =
+    s"""WITH base AS (
+       |  SELECT c.c_custkey, c.c_nationkey,
+       |         CAST(CAST(DATE '$RfmAsOf' AS DATE) - CAST(max(o.o_orderdate) AS DATE) AS BIGINT) AS recency_days,
+       |         count(*) AS frequency,
+       |         CAST(sum(CAST(floor(o.o_totalprice*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS spend_mi
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       |  GROUP BY 1, 2
+       |)
+       |SELECT c_custkey, c_nationkey, recency_days, frequency,
+       |       CAST(spend_mi AS DOUBLE)/1e6 AS monetary,
+       |       r_q, f_q, m_q,
+       |       'R' || r_q || 'F' || f_q || 'M' || m_q AS segment
+       |FROM (
+       |  SELECT *,
+       |         CAST(ntile(5) OVER (PARTITION BY c_nationkey ORDER BY recency_days, c_custkey) AS INT) AS r_q,
+       |         CAST(ntile(5) OVER (PARTITION BY c_nationkey ORDER BY frequency DESC, c_custkey) AS INT) AS f_q,
+       |         CAST(ntile(5) OVER (PARTITION BY c_nationkey ORDER BY spend_mi DESC, c_custkey) AS INT) AS m_q
+       |  FROM base
+       |)
+       |ORDER BY c_custkey""".stripMargin
+
   /** PageRank damping and iteration count (fixed unroll — each iteration is
     * one join+agg pass in Spark and one CTE in the oracle). */
   val PrDamping = 0.85
@@ -1604,6 +1667,7 @@ object Relational {
     "tpch_q15" -> ((s, d) => q15(s, d)),
     "tpch_q20" -> ((s, d) => q20(s, d)),
     "graph_pagerank" -> ((s, d) => pageRank(s, d)),
+    "customers_rfm" -> ((s, d) => rfm(s, d).orderBy("c_custkey")),
     "revenue_rollup" -> ((s, d) => revenueRollup(s, d).orderBy("r_name", "n_name")),
     "top_customers_per_nation" -> ((s, d) => topCustomersPerNation(s, d).orderBy("n_name", "rank")),
     "customer_running_total" -> ((s, d) => customerRunningTotal(s, d).orderBy("o_custkey", "o_orderdate", "o_orderkey")),
@@ -1651,6 +1715,7 @@ object Relational {
     "tpch_q15" -> q15Oracle,
     "tpch_q20" -> q20Oracle,
     "graph_pagerank" -> pageRankOracle,
+    "customers_rfm" -> rfmOracle,
     "tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sqlExactSum("l_quantity")} AS sum_qty,

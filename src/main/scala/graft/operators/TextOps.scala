@@ -447,6 +447,49 @@ object TextOps {
        |       ${sqlR6("CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS hapax_ratio
        |FROM cnt GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Language-ID confusion matrix — the classifier-evaluation view of
+    * [[langId]]: per (tagged lang, predicted lang) cell, the count and its
+    * share of the tag's row total, plus the per-tag accuracy (the diagonal
+    * share). This is the artifact that turns a heuristic gate into a
+    * MEASURED gate — which languages it confuses, and how often — and the
+    * general confusion-matrix shape any per-row classifier audit needs.
+    * One narrow projection + a languages²-bounded agg; shares are
+    * same-operand double divisions r6-rounded.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = langIdOf(docs(spark, dir)).select(col("lang"), col("pred_lang"))
+    val cells = pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val totals = pred.groupBy("lang").agg(count(lit(1)).as("n_tag"))
+    cells.join(broadcast(totals), "lang")
+      .select(col("lang"), col("pred_lang"), col("n"), col("n_tag"),
+        r6(col("n").cast("double") / col("n_tag").cast("double")).as("share"),
+        (col("lang") === col("pred_lang")).as("is_correct"))
+  }
+
+  def langIdConfusionOracle: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, lang,
+       |         ${stopHitsSql(Seq("the", "a", "and", "of"))} AS c_en,
+       |         ${stopHitsSql(Seq("der", "die", "das", "und"))} AS c_de,
+       |         ${stopHitsSql(Seq("el", "los", "las", "y"))} AS c_es,
+       |         ${stopHitsSql(Seq("le", "les", "et", "ou"))} AS c_fr
+       |  FROM documents
+       |), p AS (
+       |  SELECT lang,
+       |         CASE WHEN c_en + c_de + c_es + c_fr = 0 THEN 'und'
+       |              WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+       |              WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+       |              WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS pred_lang
+       |  FROM c
+       |), cells AS (
+       |  SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2
+       |), totals AS (SELECT lang, count(*) AS n_tag FROM p GROUP BY 1)
+       |SELECT c.lang, c.pred_lang, c.n, t.n_tag,
+       |       ${sqlR6("CAST(c.n AS DOUBLE) / CAST(t.n_tag AS DOUBLE)")} AS share,
+       |       c.lang = c.pred_lang AS is_correct
+       |FROM cells c JOIN totals t USING (lang)
+       |ORDER BY lang, pred_lang""".stripMargin
+
   /** RAG chunking geometry: [[ChunkWords]]-word windows advancing by
     * [[ChunkStride]] (8-word overlap so a fact spanning a boundary survives
     * in at least one chunk). */
@@ -503,6 +546,7 @@ object TextOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_rag_chunks" -> ((s, d) => ragChunks(s, d).orderBy("doc_id", "chunk_idx")),
+    "text_langid_confusion" -> ((s, d) => langIdConfusion(s, d).orderBy("lang", "pred_lang")),
     "text_lexical_diversity" -> ((s, d) => lexicalDiversity(s, d).orderBy("doc_id")),
     "text_bpe_apply" -> ((s, d) => bpeApply(s, d)),
     "text_bigram_merges" -> ((s, d) => bigramMerges(s, d)),
@@ -519,6 +563,7 @@ object TextOps {
 
   def oracles: Map[String, String] = Map(
     "docs_rag_chunks" -> ragChunksOracle,
+    "text_langid_confusion" -> langIdConfusionOracle,
     "text_lexical_diversity" -> lexicalDiversityOracle,
     "text_bpe_apply" -> bpeApplyOracle,
     "text_bigram_merges" ->
