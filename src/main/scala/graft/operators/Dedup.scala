@@ -406,6 +406,63 @@ object Dedup {
           .as("band_recall"))
   }
 
+  /** The banding S-curve, theory vs measurement — THE tuning chart for
+    * (bands b, rows r): at Jaccard s a pair survives some band with
+    * probability 1−(1−s^r)^b, and choosing (b, r) IS choosing where that
+    * curve's cliff sits. This query puts the measured detection rate of the
+    * real band-candidate generator next to the theoretical curve per
+    * 0.1-wide Jaccard bin (exact Jaccard from the blocked detector, all
+    * pairs, unthresholded), so an operator retuning b×r reads where the
+    * implementation's cliff actually lands — and a banding bug (wrong key
+    * assembly, dropped band) shows up as measurement detaching from theory.
+    * Cost rides the already-blocked pair set; binning is map-side floor
+    * arithmetic on r6-exact Jaccards, the rollup ≤10 rows.
+    */
+  def lshScurve(spark: SparkSession, dir: String): DataFrame = {
+    val b = NumHashes / BandRows
+    val sh = docShingles(spark, dir).localCheckpoint(true)
+    val jac = withJaccard(sh, rareBlockedCands(sh))
+    val cand = minhashCandidatesOf(sh)
+      .select(col("doc_a"), col("doc_b")).withColumn("det", lit(1L))
+    val sMid = (col("bin").cast("double") + 0.5) / 10.0
+    jac.join(cand, Seq("doc_a", "doc_b"), "left")
+      .select(least(floor(col("jaccard") * 10.0).cast("int"), lit(9)).as("bin"),
+        coalesce(col("det"), lit(0L)).as("det"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("det")).as("n_detected"))
+      .select(col("bin"), r6(sMid).as("s_mid"), col("n_pairs"), col("n_detected"),
+        r6(col("n_detected").cast("double") / col("n_pairs").cast("double"))
+          .as("measured_detect"),
+        r6(lit(1.0) - pow(lit(1.0) - pow(sMid, BandRows.toDouble), b.toDouble))
+          .as("theoretical_detect"))
+  }
+
+  def lshScurveOracle: String = {
+    val b = NumHashes / BandRows
+    val sMid = "(CAST(bin AS DOUBLE) + 0.5) / 10.0"
+    minhashCandSql +
+      s""", rare AS (
+         |  SELECT base FROM shingles GROUP BY base
+         |  HAVING count(*) <= $MaxShingleDf AND count(*) >= 2
+         |), blocked AS (
+         |  SELECT s.doc_id, s.base FROM shingles s JOIN rare r ON s.base = r.base
+         |), cand_ng AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocked a JOIN blocked b ON a.base = b.base AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinSharedRare
+         |)${jaccardSql("cand_ng")}
+         |, binned AS (
+         |  SELECT least(CAST(floor(j.jaccard * 10.0) AS INT), 9) AS bin,
+         |         CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS det
+         |  FROM jac j LEFT JOIN cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+         |)
+         |SELECT bin, ${sqlR6(sMid)} AS s_mid,
+         |       count(*) AS n_pairs, CAST(sum(det) AS BIGINT) AS n_detected,
+         |       ${sqlR6("CAST(sum(det) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS measured_detect,
+         |       ${sqlR6(s"1.0 - power(1.0 - power($sMid, $BandRows.0), $b.0)")} AS theoretical_detect
+         |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def minhashQualityOracle: String =
     minhashCandSql +
       s""", rare AS (
@@ -632,6 +689,7 @@ object Dedup {
     "dedup_containment" -> ((s, d) => containmentPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_incremental" -> ((s, d) => incrementalPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_minhash_quality" -> ((s, d) => minhashQuality(s, d)),
+    "dedup_lsh_scurve" -> ((s, d) => lshScurve(s, d).orderBy("bin")),
     "dedup_simhash" -> ((s, d) => simhash(s, d).orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairStats(s, d).orderBy("hamming")),
     "dedup_clusters" -> ((s, d) => duplicateClusters(s, d).orderBy("doc_id")),
@@ -649,6 +707,7 @@ object Dedup {
     "dedup_minhash_pairs" -> (minhashPairsSqlChain +
       " SELECT doc_a, doc_b, jaccard FROM jac ORDER BY doc_a, doc_b"),
     "dedup_minhash_quality" -> minhashQualityOracle,
+    "dedup_lsh_scurve" -> lshScurveOracle,
     "dedup_incremental" -> (minhashBandsSql +
       s""", bcnt AS (
          |  SELECT band, band_key, count(*) AS bsz FROM bands
