@@ -333,6 +333,80 @@ object EventsOps {
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** A/B-test readout — the experimentation primitive run on every metrics
+    * pipeline: users split into two variants (deterministic user_id parity —
+    * the hash-bucket assignment every experiment platform uses), and per
+    * event_type the readout reports each arm's n/mean/sample-variance, the
+    * WELCH t statistic with its Satterthwaite degrees of freedom (unequal
+    * variances assumed — the safe default), and the sample-ratio-mismatch
+    * chi-square ((n_a−n_b)²/(n_a+n_b) against the 50/50 design) that must be
+    * checked BEFORE reading the t statistic at all — a skewed split means
+    * broken assignment, not a treatment effect. Exactness: values quantize
+    * to fx3 integers so Σx and Σx² are exact BIGINTs (squares stay ≪ 2⁶³ at
+    * every scale); every derived double is the same-operand expression in
+    * both engines, r6-rounded. One scan, one (type × variant) agg, one
+    * types-bounded pivot join.
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val xMi = floor(col("value") * 1e3 + 0.5).cast("long")
+    val arms = Tables.events(spark, dir)
+      .select(col("event_type"), (col("user_id") % 2 === 0L).as("is_a"), xMi.as("x"))
+      .groupBy("event_type", "is_a")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+    def arm(flag: Boolean, suffix: String): DataFrame =
+      arms.filter(col("is_a") === flag)
+        .select(col("event_type"), col("n").as(s"n_$suffix"),
+          col("sx").as(s"sx_$suffix"), col("sxx").as(s"sxx_$suffix"))
+    def mean(s: String) = col(s"sx_$s").cast("double") / 1e3 / col(s"n_$s").cast("double")
+    // sample variance from exact sums: (Σx² − (Σx)²/n) / (n−1), in value units
+    def vr(s: String) =
+      (col(s"sxx_$s").cast("double") / 1e6 -
+        (col(s"sx_$s").cast("double") / 1e3) * (col(s"sx_$s").cast("double") / 1e3) /
+          col(s"n_$s").cast("double")) / (col(s"n_$s") - 1L).cast("double")
+    val se2a = vr("a") / col("n_a").cast("double")
+    val se2b = vr("b") / col("n_b").cast("double")
+    val dn = (col("n_a") - col("n_b")).cast("double")
+    arm(true, "a").join(arm(false, "b"), "event_type")
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        r6(mean("a")).as("mean_a"), r6(mean("b")).as("mean_b"),
+        r6(vr("a")).as("var_a"), r6(vr("b")).as("var_b"),
+        r6((mean("a") - mean("b")) / sqrt(se2a + se2b)).as("welch_t"),
+        r6(pow(se2a + se2b, 2.0) /
+          (pow(se2a, 2.0) / (col("n_a") - 1L).cast("double") +
+            pow(se2b, 2.0) / (col("n_b") - 1L).cast("double"))).as("welch_df"),
+        r6(dn * dn / (col("n_a") + col("n_b")).cast("double")).as("srm_chi2"))
+  }
+
+  def abTestOracle: String = {
+    def mean(s: String) = s"(CAST(sx_$s AS DOUBLE)/1e3/CAST(n_$s AS DOUBLE))"
+    def vr(s: String) =
+      s"((CAST(sxx_$s AS DOUBLE)/1e6 - (CAST(sx_$s AS DOUBLE)/1e3)*(CAST(sx_$s AS DOUBLE)/1e3)/CAST(n_$s AS DOUBLE)) / CAST(n_$s - 1 AS DOUBLE))"
+    val se2a = s"(${vr("a")}/CAST(n_a AS DOUBLE))"
+    val se2b = s"(${vr("b")}/CAST(n_b AS DOUBLE))"
+    s"""WITH q AS (
+       |  SELECT event_type, (user_id % 2 = 0) AS is_a,
+       |         CAST(floor(value*1e3 + 0.5) AS BIGINT) AS x
+       |  FROM events
+       |), arms AS (
+       |  SELECT event_type, is_a, count(*) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x*x) AS BIGINT) AS sxx
+       |  FROM q GROUP BY 1, 2
+       |), w AS (
+       |  SELECT a.event_type,
+       |         a.n AS n_a, a.sx AS sx_a, a.sxx AS sxx_a,
+       |         b.n AS n_b, b.sx AS sx_b, b.sxx AS sxx_b
+       |  FROM arms a JOIN arms b ON a.event_type = b.event_type
+       |  WHERE a.is_a AND NOT b.is_a
+       |)
+       |SELECT event_type, n_a, n_b,
+       |       ${sqlR6(mean("a"))} AS mean_a, ${sqlR6(mean("b"))} AS mean_b,
+       |       ${sqlR6(vr("a"))} AS var_a, ${sqlR6(vr("b"))} AS var_b,
+       |       ${sqlR6(s"(${mean("a")} - ${mean("b")}) / sqrt($se2a + $se2b)")} AS welch_t,
+       |       ${sqlR6(s"power($se2a + $se2b, 2.0) / (power($se2a, 2.0)/CAST(n_a - 1 AS DOUBLE) + power($se2b, 2.0)/CAST(n_b - 1 AS DOUBLE))")} AS welch_df,
+       |       ${sqlR6("CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)")} AS srm_chi2
+       |FROM w ORDER BY event_type""".stripMargin
+  }
+
   /** CMS geometry for the join-size estimate: d hash rows × w buckets. */
   val CmsRows: Seq[Long] = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
   val CmsWidth = 256
@@ -1783,6 +1857,7 @@ object EventsOps {
     "events_psi_drift" -> ((s, d) => psiDrift(s, d).orderBy("event_type", "bin")),
     "events_target_encode" -> ((s, d) => targetEncode(s, d).orderBy("event_id")),
     "events_join_size_cms" -> ((s, d) => joinSizeCms(s, d)),
+    "events_abtest" -> ((s, d) => abTest(s, d).orderBy("event_type")),
     "events_freshness" -> ((s, d) => freshness(s, d).orderBy("event_type", "event_date")),
     "ts_rolling_anomaly" -> ((s, d) => rollingAnomaly(s, d).orderBy("event_type", "event_id")),
     "events_funnel" -> ((s, d) => funnel(s, d).orderBy("user_id")),
@@ -1824,6 +1899,7 @@ object EventsOps {
     "events_psi_drift" -> psiDriftOracle,
     "events_target_encode" -> targetEncodeOracle,
     "events_join_size_cms" -> joinSizeCmsOracle,
+    "events_abtest" -> abTestOracle,
     "events_freshness" -> freshnessOracle,
     "ts_rolling_anomaly" -> rollingAnomalyOracle,
     "events_funnel" -> funnelOracle,
