@@ -333,6 +333,53 @@ object EventsOps {
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Point-in-time lag features — the feature-generation pass that turns an
+    * event stream into training rows without temporal leakage: at each event,
+    * ONLY strictly-preceding history of the same user is visible (lag and
+    * PRECEDING-bounded frames; an unbounded or current-row-inclusive frame
+    * would leak the label row into its own features). Features: previous
+    * value, whole seconds since the previous event, trailing-1-hour event
+    * count and exact-micros value sum (range frame on the epoch-seconds
+    * key, 3600 PRECEDING to 1 PRECEDING). Everything is integer arithmetic
+    * or lag-copied values — no rounding needed anywhere. Scale: all four
+    * features ride ONE window partitioning (user, ordered by ts,event_id),
+    * so the query costs a single per-user shuffle regardless of feature
+    * count.
+    */
+  def lagFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val wRange = Window.partitionBy("user_id").orderBy("sec")
+      .rangeBetween(-3600L, -1L)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_timestamp(col("ts")).as("sec"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("x_mi"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        (col("sec") - lag(col("sec"), 1).over(w)).as("secs_since_prev"),
+        count(lit(1)).over(wRange).as("n_prev_1h"),
+        (coalesce(sum(col("x_mi")).over(wRange), lit(0L)).cast("double") / 1e6)
+          .as("sum_prev_1h"))
+  }
+
+  def lagFeaturesOracle: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, value,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+       |         CAST(floor(value*1e6 + 0.5) AS BIGINT) AS x_mi
+       |  FROM events
+       |)
+       |SELECT event_id, user_id, event_type, value,
+       |       lag(value, 1) OVER wo AS prev_value,
+       |       sec - lag(sec, 1) OVER wo AS secs_since_prev,
+       |       count(*) OVER wr AS n_prev_1h,
+       |       CAST(coalesce(sum(x_mi) OVER wr, 0) AS DOUBLE)/1e6 AS sum_prev_1h
+       |FROM e
+       |WINDOW wo AS (PARTITION BY user_id ORDER BY sec, event_id),
+       |       wr AS (PARTITION BY user_id ORDER BY sec
+       |              RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+       |ORDER BY event_id""".stripMargin
+
   /** A/B-test readout — the experimentation primitive run on every metrics
     * pipeline: users split into two variants (deterministic user_id parity —
     * the hash-bucket assignment every experiment platform uses), and per
@@ -1858,6 +1905,7 @@ object EventsOps {
     "events_target_encode" -> ((s, d) => targetEncode(s, d).orderBy("event_id")),
     "events_join_size_cms" -> ((s, d) => joinSizeCms(s, d)),
     "events_abtest" -> ((s, d) => abTest(s, d).orderBy("event_type")),
+    "events_lag_features" -> ((s, d) => lagFeatures(s, d).orderBy("event_id")),
     "events_freshness" -> ((s, d) => freshness(s, d).orderBy("event_type", "event_date")),
     "ts_rolling_anomaly" -> ((s, d) => rollingAnomaly(s, d).orderBy("event_type", "event_id")),
     "events_funnel" -> ((s, d) => funnel(s, d).orderBy("user_id")),
@@ -1900,6 +1948,7 @@ object EventsOps {
     "events_target_encode" -> targetEncodeOracle,
     "events_join_size_cms" -> joinSizeCmsOracle,
     "events_abtest" -> abTestOracle,
+    "events_lag_features" -> lagFeaturesOracle,
     "events_freshness" -> freshnessOracle,
     "ts_rolling_anomaly" -> rollingAnomalyOracle,
     "events_funnel" -> funnelOracle,
