@@ -1168,6 +1168,75 @@ object EventsOps {
       r6(num.cast("double") / 1e9 / den).as("ewma"))
   }
 
+  /** Brown's double exponential smoothing (linear-trend forecasting) — the
+    * next rung after [[ewma]] on the classical smoothing ladder: S₂ = EWMA of
+    * S₁, level = 2S₁−S₂, trend = α/(1−α)·(S₁−S₂), one-step forecast =
+    * level + trend. The sequential recursion parallelizes the same way the
+    * single EWMA did, but one level deeper: expanding EWMA∘EWMA gives the
+    * closed-form second-order kernel w₂(m) = (m+1)·α²(1−α)^m over RAW
+    * history — so BOTH smoothers are direct weighted sums over one shared
+    * K-lag fan (no nesting at runtime, no sequential scan), truncated at
+    * [[EwmaK]] lags and head-renormalized over the available weights exactly
+    * like the first-order kernel. Per-term fx9 quantization keeps both sums
+    * engine-exact; one window partitioning serves every output column.
+    */
+  def holt(spark: SparkSession, dir: String): DataFrame = {
+    val a = EwmaAlpha
+    val w1 = (0 until EwmaK).map(j => a * math.pow(1 - a, j))
+    val w2 = (0 until EwmaK).map(m => (m + 1) * a * a * math.pow(1 - a, m))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val lagged = (0 until EwmaK).foldLeft(
+      Tables.events(spark, dir).select(col("user_id"), col("ts"), col("event_id"), col("value"))) {
+      (df, j) => df.withColumn(s"l$j", lag(col("value"), j).over(w))
+    }
+    def smooth(ws: Seq[Double]): Column = {
+      val num = (0 until EwmaK).map(j =>
+        when(col(s"l$j").isNotNull, fx(col(s"l$j") * ws(j), 9)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val den = (0 until EwmaK).map(j =>
+        when(col(s"l$j").isNotNull, lit(ws(j))).otherwise(lit(0.0)))
+        .reduce(_ + _)
+      num.cast("double") / 1e9 / den
+    }
+    val s1 = smooth(w1)
+    val s2 = smooth(w2)
+    lagged.select(col("user_id"), col("ts"), col("event_id"), col("value"),
+      r6(s1).as("s1"), r6(s2).as("s2"),
+      r6(lit(2.0) * s1 - s2).as("level"),
+      r6(lit(a / (1 - a)) * (s1 - s2)).as("trend"),
+      r6(lit(2.0) * s1 - s2 + lit(a / (1 - a)) * (s1 - s2)).as("forecast_1"))
+  }
+
+  def holtOracle: String = {
+    val a = EwmaAlpha
+    val w1 = (0 until EwmaK).map(j => a * math.pow(1 - a, j))
+    val w2 = (0 until EwmaK).map(m => (m + 1) * a * a * math.pow(1 - a, m))
+    def d(x: Double) = graft.functions.Num.sqlD(x)
+    val lags = (0 until EwmaK).map(j =>
+      s"lag(value, $j) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l$j").mkString(", ")
+    def smooth(ws: Seq[Double]): String = {
+      val num = (0 until EwmaK).map(j =>
+        s"(CASE WHEN l$j IS NOT NULL THEN ${sqlFx(s"l$j * ${d(ws(j))}", 9)} ELSE 0 END)").mkString(" + ")
+      val den = (0 until EwmaK).map(j =>
+        s"(CASE WHEN l$j IS NOT NULL THEN ${d(ws(j))} ELSE 0.0e0 END)").mkString(" + ")
+      s"(CAST($num AS DOUBLE) / 1e9 / ($den))"
+    }
+    val s1 = smooth(w1)
+    val s2 = smooth(w2)
+    val k = d(a / (1 - a))
+    s"""WITH l AS (
+       |  SELECT user_id, ts, event_id, value,
+       |         $lags
+       |  FROM events
+       |)
+       |SELECT user_id, ts, event_id, value,
+       |       ${sqlR6(s1)} AS s1, ${sqlR6(s2)} AS s2,
+       |       ${sqlR6(s"2.0 * $s1 - $s2")} AS level,
+       |       ${sqlR6(s"$k * ($s1 - $s2)")} AS trend,
+       |       ${sqlR6(s"2.0 * $s1 - $s2 + $k * ($s1 - $s2)")} AS forecast_1
+       |FROM l ORDER BY user_id, ts, event_id""".stripMargin
+  }
+
   def ewmaOracle: String = {
     val weights = (0 until EwmaK).map(j => EwmaAlpha * math.pow(1 - EwmaAlpha, j))
     val lags = (0 until EwmaK).map(j =>
@@ -1916,6 +1985,7 @@ object EventsOps {
     "events_retention_cohorts" -> ((s, d) => retentionCohorts(s, d).orderBy("cohort_date", "day_offset")),
     "ts_forecast_eval" -> ((s, d) => forecastEval(s, d).orderBy("user_id")),
     "ts_ewma" -> ((s, d) => ewma(s, d).orderBy("user_id", "ts", "event_id")),
+    "ts_holt" -> ((s, d) => holt(s, d).orderBy("user_id", "ts", "event_id")),
     "ts_autocorr" -> ((s, d) => autocorr(s, d).orderBy("user_id")),
     "ts_changepoint" -> ((s, d) => changepoint(s, d).orderBy("user_id")),
     "events_key_skew" -> ((s, d) => keySkew(s, d)),
@@ -1959,6 +2029,7 @@ object EventsOps {
     "events_retention_cohorts" -> retentionCohortsOracle,
     "ts_forecast_eval" -> forecastEvalOracle,
     "ts_ewma" -> ewmaOracle,
+    "ts_holt" -> holtOracle,
     "ts_autocorr" -> autocorrOracle,
     "ts_changepoint" -> changepointOracle,
     "events_key_skew" -> keySkewOracle,
