@@ -333,6 +333,92 @@ object EventsOps {
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** k-anonymity threshold for the release audit. */
+  val KAnonK = 5
+
+  /** k-anonymity audit — the check a data-governance pass runs before
+    * releasing a grouped extract: over the quasi-identifier
+    * (event_type, day, hour), how small do groups get, and how many ROWS sit
+    * in groups below k = [[KAnonK]] (each such row is re-identifiable to
+    * within its group). Output is one summary row per event_type: min group
+    * size, group count, below-k group count, rows at risk and their share —
+    * the numbers that decide whether the extract needs coarser buckets
+    * before it leaves the platform. Two hash-aggs (cells, then per-type
+    * rollup), output bounded by the type vocabulary.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"), hour(col("ts")).as("h"))
+      .groupBy("event_type", "d", "h")
+      .agg(count(lit(1)).as("gsz"))
+      .groupBy("event_type")
+      .agg(min(col("gsz")).as("min_group"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("gsz") < KAnonK, 1L).otherwise(0L)).as("n_groups_below_k"),
+        sum(when(col("gsz") < KAnonK, col("gsz")).otherwise(0L)).as("n_rows_at_risk"),
+        r6(sum(when(col("gsz") < KAnonK, col("gsz")).otherwise(0L)).cast("double") /
+          sum(col("gsz")).cast("double")).as("share_at_risk"))
+
+  def kAnonymityOracle: String =
+    s"""WITH cells AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(hour(ts) AS INT) AS h,
+       |         count(*) AS gsz
+       |  FROM events GROUP BY 1, 2, 3
+       |)
+       |SELECT event_type,
+       |       CAST(min(gsz) AS BIGINT) AS min_group,
+       |       count(*) AS n_groups,
+       |       CAST(sum(CASE WHEN gsz < $KAnonK THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below_k,
+       |       CAST(sum(CASE WHEN gsz < $KAnonK THEN gsz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       |       ${sqlR6(s"CAST(sum(CASE WHEN gsz < $KAnonK THEN gsz ELSE 0 END) AS DOUBLE) / CAST(sum(gsz) AS DOUBLE)")} AS share_at_risk
+       |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DP release budget: Laplace scale b = Δ/ε with sensitivity 1. */
+  val DpEpsilon = 1.0
+  private val DpStream = 41
+
+  /** Differentially-private count release — ε = [[DpEpsilon]] Laplace
+    * mechanism over the per-(type, day) counts (sensitivity 1: one event
+    * moves one count by one). Noise comes from the engine's deterministic
+    * cross-engine PRNG via the inverse CDF −b·sign(u−½)·ln(1−2|u−½|), keyed
+    * on the GROUP identity (28-bit type digest ⊕ day index), so the release
+    * is reproducible run-to-run — which is exactly what a production DP
+    * release needs: re-running the pipeline must NOT spend fresh ε on fresh
+    * noise for the same cell. The true count rides along for the oracle
+    * check and the noise-magnitude audit; an actual release drops it.
+    * One aggregation, map-side noise arithmetic; ln's sub-ulp engine skew is
+    * absorbed by r6 (the Box-Muller precedent).
+    */
+  def dpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val keyC = (conv(substring(md5(col("event_type")), 1, 7), 16, 10).cast("long") * 100L +
+      dayofmonth(col("d")).cast("long")).cast("double")
+    val u = graft.functions.DetRand.u01(keyC, DpStream)
+    val b = 1.0 / DpEpsilon
+    val noise = -lit(b) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    Tables.events(spark, dir)
+      .withColumn("d", to_date(col("ts")))
+      .groupBy("event_type", "d")
+      .agg(count(lit(1)).as("true_n"))
+      .select(col("event_type"), col("d").as("event_date"), col("true_n"),
+        r6(noise).as("noise"),
+        r6(col("true_n").cast("double") + noise).as("released_n"))
+  }
+
+  def dpCountsOracle: String = {
+    val key = "CAST(('0x' || substr(md5(event_type), 1, 7))::BIGINT * 100 + CAST(day(d) AS BIGINT) AS DOUBLE)"
+    val u = graft.functions.DetRand.sqlU01(key, DpStream)
+    val b = 1.0 / DpEpsilon
+    val noise = s"(-${sqlD(b)} * sign(($u) - 0.5) * ln(1.0 - 2.0 * abs(($u) - 0.5)))"
+    s"""WITH g AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS true_n
+       |  FROM events GROUP BY 1, 2
+       |)
+       |SELECT event_type, d AS event_date, true_n,
+       |       ${sqlR6(noise)} AS noise,
+       |       ${sqlR6(s"CAST(true_n AS DOUBLE) + $noise")} AS released_n
+       |FROM g ORDER BY event_type, event_date""".stripMargin
+  }
+
   /** Point-in-time lag features — the feature-generation pass that turns an
     * event stream into training rows without temporal leakage: at each event,
     * ONLY strictly-preceding history of the same user is visible (lag and
@@ -1975,6 +2061,8 @@ object EventsOps {
     "events_join_size_cms" -> ((s, d) => joinSizeCms(s, d)),
     "events_abtest" -> ((s, d) => abTest(s, d).orderBy("event_type")),
     "events_lag_features" -> ((s, d) => lagFeatures(s, d).orderBy("event_id")),
+    "events_kanon" -> ((s, d) => kAnonymity(s, d).orderBy("event_type")),
+    "events_dp_counts" -> ((s, d) => dpCounts(s, d).orderBy("event_type", "event_date")),
     "events_freshness" -> ((s, d) => freshness(s, d).orderBy("event_type", "event_date")),
     "ts_rolling_anomaly" -> ((s, d) => rollingAnomaly(s, d).orderBy("event_type", "event_id")),
     "events_funnel" -> ((s, d) => funnel(s, d).orderBy("user_id")),
@@ -2019,6 +2107,8 @@ object EventsOps {
     "events_join_size_cms" -> joinSizeCmsOracle,
     "events_abtest" -> abTestOracle,
     "events_lag_features" -> lagFeaturesOracle,
+    "events_kanon" -> kAnonymityOracle,
+    "events_dp_counts" -> dpCountsOracle,
     "events_freshness" -> freshnessOracle,
     "ts_rolling_anomaly" -> rollingAnomalyOracle,
     "events_funnel" -> funnelOracle,
