@@ -463,6 +463,75 @@ object Dedup {
          |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Detector-agreement matrix — which near-dup detector finds what: the
+    * exact-Jaccard truth set, the MinHash band candidates, and the SimHash
+    * Hamming-≤[[HammingMax]] pairs combined into one Venn breakdown (one row
+    * per membership combination with its pair count). This is the
+    * operational complement of [[minhashQuality]]'s single precision/recall
+    * row: it shows WHERE the detectors disagree — pairs only SimHash sees
+    * (token-frequency similarity without shingle overlap), pairs only the
+    * bands surface (candidate noise), pairs everyone agrees on. Pair sets
+    * combine by tag-union + per-pair max flags — nothing ever joins wider
+    * than the pair id — and the rollup is ≤7 rows.
+    */
+  def detectorOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir).localCheckpoint(true)
+    val t = ngramJaccardPairsOf(sh).select(col("doc_a"), col("doc_b"), lit("t").as("src"))
+    val m = minhashCandidatesOf(sh).select(col("doc_a"), col("doc_b"), lit("m").as("src"))
+    val s2 = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"), lit("s").as("src"))
+    t.unionByName(m).unionByName(s2)
+      .groupBy("doc_a", "doc_b")
+      .agg(max(when(col("src") === "t", 1).otherwise(0)).as("in_ngram"),
+        max(when(col("src") === "m", 1).otherwise(0)).as("in_minhash"),
+        max(when(col("src") === "s", 1).otherwise(0)).as("in_simhash"))
+      .groupBy("in_ngram", "in_minhash", "in_simhash")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  def detectorOverlapOracle: String =
+    minhashCandSql +
+      s""", rare AS (
+         |  SELECT base FROM shingles GROUP BY base
+         |  HAVING count(*) <= $MaxShingleDf AND count(*) >= 2
+         |), blocked AS (
+         |  SELECT s.doc_id, s.base FROM shingles s JOIN rare r ON s.base = r.base
+         |), cand_ng AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocked a JOIN blocked b ON a.base = b.base AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinSharedRare
+         |)${jaccardSql("cand_ng")}
+         |, truth AS (
+         |  SELECT doc_a, doc_b FROM jac WHERE jaccard >= ${sqlD(JaccardThreshold)}
+         |), ${simhashSqlChain.stripPrefix("WITH ")}
+         |, sblocks AS (
+         |  SELECT doc_id, simhash, b.i AS blk, (simhash >> (CAST(b.i AS INT) * 4)) % 16 AS bv
+         |  FROM fp CROSS JOIN range(0, ${HammingMax + 1}) b(i)
+         |), scand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM sblocks a JOIN sblocks b
+         |    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  WHERE NOT (${(0 until HammingMax).map(j =>
+              s"(a.blk > $j AND (a.simhash >> ${j * 4}) % 16 = (b.simhash >> ${j * 4}) % 16)")
+              .mkString(" OR ")})
+         |), spairs AS (
+         |  SELECT doc_a, doc_b FROM scand WHERE bit_count(xor(sh_a, sh_b)) <= $HammingMax
+         |), tagged AS (
+         |  SELECT doc_a, doc_b, 't' AS src FROM truth
+         |  UNION ALL SELECT doc_a, doc_b, 'm' FROM cand
+         |  UNION ALL SELECT doc_a, doc_b, 's' FROM spairs
+         |), flags AS (
+         |  SELECT doc_a, doc_b,
+         |         max(CASE WHEN src = 't' THEN 1 ELSE 0 END) AS in_ngram,
+         |         max(CASE WHEN src = 'm' THEN 1 ELSE 0 END) AS in_minhash,
+         |         max(CASE WHEN src = 's' THEN 1 ELSE 0 END) AS in_simhash
+         |  FROM tagged GROUP BY 1, 2
+         |)
+         |SELECT CAST(in_ngram AS INT) AS in_ngram, CAST(in_minhash AS INT) AS in_minhash,
+         |       CAST(in_simhash AS INT) AS in_simhash, count(*) AS n_pairs
+         |FROM flags GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin
+
   def minhashQualityOracle: String =
     minhashCandSql +
       s""", rare AS (
@@ -690,6 +759,7 @@ object Dedup {
     "dedup_incremental" -> ((s, d) => incrementalPairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_minhash_quality" -> ((s, d) => minhashQuality(s, d)),
     "dedup_lsh_scurve" -> ((s, d) => lshScurve(s, d).orderBy("bin")),
+    "dedup_detector_overlap" -> ((s, d) => detectorOverlap(s, d).orderBy("in_ngram", "in_minhash", "in_simhash")),
     "dedup_simhash" -> ((s, d) => simhash(s, d).orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairStats(s, d).orderBy("hamming")),
     "dedup_clusters" -> ((s, d) => duplicateClusters(s, d).orderBy("doc_id")),
@@ -708,6 +778,7 @@ object Dedup {
       " SELECT doc_a, doc_b, jaccard FROM jac ORDER BY doc_a, doc_b"),
     "dedup_minhash_quality" -> minhashQualityOracle,
     "dedup_lsh_scurve" -> lshScurveOracle,
+    "dedup_detector_overlap" -> detectorOverlapOracle,
     "dedup_incremental" -> (minhashBandsSql +
       s""", bcnt AS (
          |  SELECT band, band_key, count(*) AS bsz FROM bands
