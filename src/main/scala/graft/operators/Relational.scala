@@ -604,6 +604,65 @@ object Relational {
        |CROSS JOIN tot t
        |ORDER BY n_both DESC, p1, p2 LIMIT 50""".stripMargin
 
+  /** Referential-integrity audit over the star schema — the FK-contract
+    * checks a warehouse runs on every load, as one bounded report (the
+    * relational complement of the single-table `events_quality_report`):
+    * orphaned lineitems (l_orderkey ∉ orders), orphaned orders (o_custkey ∉
+    * customer), childless orders (no lineitem), dangling part/supplier keys
+    * on lineitem, and domain checks (non-positive quantity / price). Each
+    * check is a left-anti join on the key — the 100-TB shape, since an
+    * anti-join's build side is the KEY SET of the dimension, never the fact
+    * rows — collapsed to one (check_name, n_violations) row; the final
+    * union is a dozen rows.
+    */
+  def integrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_violations")).select(lit(name).as("check_name"), col("n_violations"))
+    cnt("lineitem_orphan_order",
+        li.join(ord.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_anti"))
+      .unionByName(cnt("order_orphan_customer",
+        ord.join(Tables.customer(spark, dir).select("c_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_anti")))
+      .unionByName(cnt("order_without_lineitem",
+        ord.join(li.select("l_orderkey").distinct(),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")))
+      .unionByName(cnt("lineitem_orphan_part",
+        li.join(Tables.part(spark, dir).select("p_partkey"),
+          col("l_partkey") === col("p_partkey"), "left_anti")))
+      .unionByName(cnt("lineitem_orphan_supplier",
+        li.join(Tables.supplier(spark, dir).select("s_suppkey"),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")))
+      .unionByName(cnt("lineitem_nonpositive_qty", li.filter(col("l_quantity") <= 0.0)))
+      .unionByName(cnt("lineitem_nonpositive_price", li.filter(col("l_extendedprice") <= 0.0)))
+      .unionByName(cnt("order_nonpositive_total", ord.filter(col("o_totalprice") <= 0.0)))
+  }
+
+  def integrityAuditOracle: String =
+    s"""SELECT 'lineitem_orphan_order' AS check_name,
+       |       count(*) AS n_violations
+       |FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+       |UNION ALL
+       |SELECT 'order_orphan_customer', count(*)
+       |FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+       |UNION ALL
+       |SELECT 'order_without_lineitem', count(*)
+       |FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+       |UNION ALL
+       |SELECT 'lineitem_orphan_part', count(*)
+       |FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+       |UNION ALL
+       |SELECT 'lineitem_orphan_supplier', count(*)
+       |FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+       |UNION ALL
+       |SELECT 'lineitem_nonpositive_qty', count(*) FROM lineitem WHERE l_quantity <= 0.0e0
+       |UNION ALL
+       |SELECT 'lineitem_nonpositive_price', count(*) FROM lineitem WHERE l_extendedprice <= 0.0e0
+       |UNION ALL
+       |SELECT 'order_nonpositive_total', count(*) FROM orders WHERE o_totalprice <= 0.0e0
+       |ORDER BY check_name""".stripMargin
+
   /** RFM reference date: the day after the fixture's last order date. */
   val RfmAsOf = "2001-08-02"
 
@@ -1668,6 +1727,7 @@ object Relational {
     "tpch_q20" -> ((s, d) => q20(s, d)),
     "graph_pagerank" -> ((s, d) => pageRank(s, d)),
     "customers_rfm" -> ((s, d) => rfm(s, d).orderBy("c_custkey")),
+    "star_integrity_audit" -> ((s, d) => integrityAudit(s, d).orderBy("check_name")),
     "revenue_rollup" -> ((s, d) => revenueRollup(s, d).orderBy("r_name", "n_name")),
     "top_customers_per_nation" -> ((s, d) => topCustomersPerNation(s, d).orderBy("n_name", "rank")),
     "customer_running_total" -> ((s, d) => customerRunningTotal(s, d).orderBy("o_custkey", "o_orderdate", "o_orderkey")),
@@ -1716,6 +1776,7 @@ object Relational {
     "tpch_q20" -> q20Oracle,
     "graph_pagerank" -> pageRankOracle,
     "customers_rfm" -> rfmOracle,
+    "star_integrity_audit" -> integrityAuditOracle,
     "tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sqlExactSum("l_quantity")} AS sum_qty,
