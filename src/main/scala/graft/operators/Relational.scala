@@ -663,6 +663,62 @@ object Relational {
        |SELECT 'order_nonpositive_total', count(*) FROM orders WHERE o_totalprice <= 0.0e0
        |ORDER BY check_name""".stripMargin
 
+  /** Revenue concentration per nation — the inequality metrics an account
+    * team reads before deciding where concentration risk lives: the GINI
+    * coefficient of customer lifetime spend, G = (2·Σᵢ i·xᵢ − (n+1)·Σx) /
+    * (n·Σx) over the ascending-spend ranking, and the top-decile share
+    * (the ⌈n/10⌉ biggest customers' fraction of spend). Everything is exact
+    * integer arithmetic: spend in integer CENTS (so the rank-weighted sum
+    * Σ i·xᵢ stays far below 2⁶³ at every scale — micros would overflow it
+    * at sf1), ranks with total-order tiebreaks, the two final divisions
+    * same-operand doubles r6-rounded. Partitioned by nation so every rank
+    * window has a partition key (the `customers_rfm` stance); output is one
+    * row per nation.
+    */
+  def revenueGini(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("x"))
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    val byNat = Window.partitionBy("c_nationkey")
+    val wAsc = byNat.orderBy(asc("x"), asc("c_custkey"))
+    val wDesc = byNat.orderBy(desc("x"), desc("c_custkey"))
+    val ranked = spend
+      .withColumn("rn", row_number().over(wAsc).cast("long"))
+      .withColumn("rd", row_number().over(wDesc).cast("long"))
+      .withColumn("n", count(lit(1)).over(byNat))
+    ranked.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("x")).cast("double") / 100.0).as("total_spend"),
+        r6((lit(2.0) * sum(col("rn") * col("x")).cast("double") -
+          (max(col("n")) + 1L).cast("double") * sum(col("x")).cast("double")) /
+          (max(col("n")).cast("double") * sum(col("x")).cast("double"))).as("gini"),
+        // ⌈n/10⌉ as an explicit floor: Column `/` is double division
+        r6(sum(when(col("rd") <= floor((col("n") + 9L).cast("double") / 10.0).cast("long"),
+            col("x")).otherwise(lit(0L)))
+          .cast("double") / sum(col("x")).cast("double")).as("top_decile_share"))
+  }
+
+  def revenueGiniOracle: String =
+    s"""WITH spend AS (
+       |  SELECT c.c_nationkey, o.o_custkey,
+       |         CAST(sum(CAST(floor(o.o_totalprice*100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT c_nationkey, x,
+       |         CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY x, o_custkey) AS BIGINT) AS rn,
+       |         CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY x DESC, o_custkey DESC) AS BIGINT) AS rd,
+       |         count(*) OVER (PARTITION BY c_nationkey) AS n
+       |  FROM spend
+       |)
+       |SELECT c_nationkey, count(*) AS n_customers,
+       |       CAST(sum(x) AS DOUBLE)/100.0 AS total_spend,
+       |       ${sqlR6("(2.0 * CAST(sum(rn * x) AS DOUBLE) - CAST(max(n) + 1 AS DOUBLE) * CAST(sum(x) AS DOUBLE)) / (CAST(max(n) AS DOUBLE) * CAST(sum(x) AS DOUBLE))")} AS gini,
+       |       ${sqlR6("CAST(sum(CASE WHEN rd <= (n + 9) // 10 THEN x ELSE 0 END) AS DOUBLE) / CAST(sum(x) AS DOUBLE)")} AS top_decile_share
+       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** RFM reference date: the day after the fixture's last order date. */
   val RfmAsOf = "2001-08-02"
 
@@ -1728,6 +1784,7 @@ object Relational {
     "graph_pagerank" -> ((s, d) => pageRank(s, d)),
     "customers_rfm" -> ((s, d) => rfm(s, d).orderBy("c_custkey")),
     "star_integrity_audit" -> ((s, d) => integrityAudit(s, d).orderBy("check_name")),
+    "customers_revenue_gini" -> ((s, d) => revenueGini(s, d).orderBy("c_nationkey")),
     "revenue_rollup" -> ((s, d) => revenueRollup(s, d).orderBy("r_name", "n_name")),
     "top_customers_per_nation" -> ((s, d) => topCustomersPerNation(s, d).orderBy("n_name", "rank")),
     "customer_running_total" -> ((s, d) => customerRunningTotal(s, d).orderBy("o_custkey", "o_orderdate", "o_orderkey")),
@@ -1777,6 +1834,7 @@ object Relational {
     "graph_pagerank" -> pageRankOracle,
     "customers_rfm" -> rfmOracle,
     "star_integrity_audit" -> integrityAuditOracle,
+    "customers_revenue_gini" -> revenueGiniOracle,
     "tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sqlExactSum("l_quantity")} AS sum_qty,
