@@ -333,6 +333,53 @@ object EventsOps {
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Feature-hashing width (2^4 buckets). */
+  val HashDim = 16
+
+  /** The hashing trick (Weinberger et al., ICML 2009) — fixed-width feature
+    * vectors from unbounded categorical vocabularies, with no dictionary to
+    * build, ship, or keep consistent across training runs: each event's
+    * categorical feature (event_type × value decile-bucket) hashes to one of
+    * [[HashDim]] buckets with a ±1 sign from an independent hash bit (the
+    * sign makes collisions cancel in expectation instead of biasing up),
+    * and per-user vectors are the signed counts. Everything is exact
+    * integer arithmetic over md5-derived digests, so the vectors are
+    * bit-identical in the oracle; the output is the per-user wide vector
+    * via a pivot over the explicit 0..15 bucket list. At 100 TB this is the
+    * encoder that needs NO fitted state at all — the scale story IS the
+    * operator.
+    */
+  def featureHash(spark: SparkSession, dir: String): DataFrame = {
+    val feat = concat(col("event_type"), lit("#"),
+      floor(col("value")).cast("long").cast("string"))
+    val h = conv(substring(md5(feat), 1, 7), 16, 10).cast("long")
+    val bucket = (h % HashDim).cast("int")
+    // sign bit from the hash's next bit up — shiftright, NOT `/` (double div)
+    val sign = when(shiftright(h, 4) % 2L === 0L, 1L).otherwise(-1L)
+    val buckets = (0 until HashDim).map(_.toString)
+    Tables.events(spark, dir)
+      .select(col("user_id"), bucket.as("j"), sign.as("s"))
+      .groupBy("user_id")
+      .pivot("j", buckets)
+      .agg(coalesce(sum(col("s")), lit(0L)))
+      .na.fill(0L)
+      .select(col("user_id") +: buckets.map(b => col(b).as(s"f$b")): _*)
+  }
+
+  def featureHashOracle: String = {
+    val cols = (0 until HashDim).map(j =>
+      s"CAST(coalesce(sum(CASE WHEN j = $j THEN s END), 0) AS BIGINT) AS f$j").mkString(",\n       |       ")
+    s"""WITH q AS (
+       |  SELECT user_id,
+       |         CAST(('0x' || substr(md5(event_type || '#' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)), 1, 7))::BIGINT % $HashDim AS INT) AS j,
+       |         CASE WHEN (('0x' || substr(md5(event_type || '#' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)), 1, 7))::BIGINT >> 4) % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM events
+       |)
+       |SELECT user_id,
+       |       $cols
+       |FROM q GROUP BY 1 ORDER BY user_id""".stripMargin
+  }
+
   /** k-anonymity threshold for the release audit. */
   val KAnonK = 5
 
@@ -2062,6 +2109,7 @@ object EventsOps {
     "events_abtest" -> ((s, d) => abTest(s, d).orderBy("event_type")),
     "events_lag_features" -> ((s, d) => lagFeatures(s, d).orderBy("event_id")),
     "events_kanon" -> ((s, d) => kAnonymity(s, d).orderBy("event_type")),
+    "events_feature_hash" -> ((s, d) => featureHash(s, d).orderBy("user_id")),
     "events_dp_counts" -> ((s, d) => dpCounts(s, d).orderBy("event_type", "event_date")),
     "events_freshness" -> ((s, d) => freshness(s, d).orderBy("event_type", "event_date")),
     "ts_rolling_anomaly" -> ((s, d) => rollingAnomaly(s, d).orderBy("event_type", "event_id")),
@@ -2108,6 +2156,7 @@ object EventsOps {
     "events_abtest" -> abTestOracle,
     "events_lag_features" -> lagFeaturesOracle,
     "events_kanon" -> kAnonymityOracle,
+    "events_feature_hash" -> featureHashOracle,
     "events_dp_counts" -> dpCountsOracle,
     "events_freshness" -> freshnessOracle,
     "ts_rolling_anomaly" -> rollingAnomalyOracle,
