@@ -31,6 +31,7 @@ object SparkEntry {
       (CurationStream.queries, CurationStream.oracles),
       (Curation.queries, Curation.oracles),
       (CorpusQc.queries, CorpusQc.oracles),
+      (Winnowing.queries, Winnowing.oracles),
       (PqOps.queries, PqOps.oracles),
       (OpqOps.queries, OpqOps.oracles),
       (SqOps.queries, SqOps.oracles),
