@@ -390,6 +390,115 @@ object CorpusQc {
         col("pick_order"), col("cum_before"))
   }
 
+  // ---------------- PII / sensitive-term scrubbing ----------------
+
+  /** Structured-PII regexes (email, IPv4, phone). RE2/Java-common subset
+    * only: character classes, bounded repeats, `\b` ASCII word boundaries —
+    * no lookarounds (absent from RE2, so DuckDB could not replay them).
+    * This synthetic fixture contains no structured PII, so these columns
+    * measure 0 here — the non-degenerate leg is the lexicon below; the regex
+    * legs keep the real pattern surface in the operator and the oracle.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Sensitive-term denylist (the lexicon leg — business terms standing in
+    * for names/addresses in this fixture's vocabulary). */
+  val ScrubLexicon: Seq[String] = Seq("customer", "value", "key")
+  private val LexiconRe = s"\\b(${ScrubLexicon.mkString("|")})\\b"
+
+  /** PII/sensitive-term scrub — the redaction pass run before a corpus is
+    * released for training: per doc, match counts for each pattern class and
+    * the post-redaction character length (every match replaced by the fixed
+    * `<pii>` token, so the length delta audits exactly what left the text).
+    * Only docs with ≥1 hit are emitted — the action view, like
+    * [[decontam]]. One projection over the text scan: counts come from
+    * `regexp_extract_all` + size, the redacted length from one
+    * `regexp_replace`; nothing shuffles but the flagged sliver.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val nLex = size(regexp_extract_all(col("text"), lit(LexiconRe), lit(0))).cast("long")
+    val nEmail = size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long")
+    val nIp = size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long")
+    val redacted = regexp_replace(
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<pii>"), Ipv4Re, "<pii>"),
+      LexiconRe, "<pii>")
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"),
+        nLex.as("n_lexicon"), nEmail.as("n_email"), nIp.as("n_ipv4"),
+        length(redacted).cast("long").as("n_chars_redacted"))
+      .filter(col("n_lexicon") + col("n_email") + col("n_ipv4") > 0)
+  }
+
+  def piiScrubOracle: String =
+    s"""SELECT doc_id, source, length(text)::BIGINT AS n_chars,
+       |       len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_email,
+       |       len(regexp_extract_all(text, '$Ipv4Re'))::BIGINT AS n_ipv4,
+       |       len(regexp_extract_all(text, '$LexiconRe'))::BIGINT AS n_lexicon,
+       |       length(regexp_replace(regexp_replace(regexp_replace(text,
+       |         '$EmailRe', '<pii>', 'g'), '$Ipv4Re', '<pii>', 'g'),
+       |         '$LexiconRe', '<pii>', 'g'))::BIGINT AS n_chars_redacted
+       |FROM documents
+       |WHERE len(regexp_extract_all(text, '$LexiconRe'))
+       |    + len(regexp_extract_all(text, '$EmailRe'))
+       |    + len(regexp_extract_all(text, '$Ipv4Re')) > 0
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------- length-curriculum phases ----------------
+
+  /** Number of curriculum phases the token budget is split into. */
+  val CurriculumPhases = 3
+
+  /** Sequence-length curriculum assignment — the "short sequences first"
+    * schedule: within each source, docs ordered by token count (doc_id
+    * tiebreak) are split into [[CurriculumPhases]] phases of equal TOKEN
+    * mass (not doc count): phase = 1 + ⌊P·cum_before/T⌋, so each phase's
+    * token budget fills before the next opens. Registered output is the
+    * per-(source, phase) roster — doc/token counts and the length band —
+    * which is what a training scheduler consumes; membership itself is a
+    * pure windowed projection any pass can re-derive.
+    *
+    * Scale: one narrow projection + a per-source window (partition keys
+    * throughout, no global sort) + a map-side-collapsing rollup. The
+    * integer-division trap applies: Spark Column `/` is double division, so
+    * the phase formula is floor(double)·cast — exact while P·T < 2^53.
+    */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    val wSrc = Window.partitionBy("source")
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), size(words).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("n_tokens")).over(wSrc))
+      .withColumn("phase",
+        least(lit(1L) + floor(col("cum_before").cast("double") * CurriculumPhases /
+          col("total").cast("double")).cast("long"), lit(CurriculumPhases.toLong)))
+      .groupBy("source", "phase")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("n_tokens")).as("min_len"), max(col("n_tokens")).as("max_len"))
+  }
+
+  def curriculumOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |         len(regexp_split_to_array(text, '\\s+'))::BIGINT AS n_tokens
+       |  FROM documents
+       |), win AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY n_tokens, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS total
+       |  FROM base
+       |), ph AS (
+       |  SELECT source, n_tokens,
+       |         least(1 + CAST(floor(CAST(cum_before AS DOUBLE) * $CurriculumPhases / CAST(total AS DOUBLE)) AS BIGINT), $CurriculumPhases) AS phase
+       |  FROM win
+       |)
+       |SELECT source, phase, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       min(n_tokens) AS min_len, max(n_tokens) AS max_len
+       |FROM ph GROUP BY 1, 2 ORDER BY source, phase""".stripMargin
+
   // ---------------- DuckDB oracle twins ----------------
 
   /** Histogram ladder: power-of-two length buckets up to 2^[[HistMaxBucket]]. */
@@ -613,7 +722,9 @@ object CorpusQc {
     "text_unigram_nll" -> ((s, d) => unigramNll(s, d).orderBy("doc_id")),
     "text_bigram_nll" -> ((s, d) => bigramNll(s, d).orderBy("doc_id")),
     "docs_split_stable" -> ((s, d) => docSplit(s, d).orderBy("source", "split")),
-    "docs_mixture_sample" -> ((s, d) => mixtureSample(s, d).orderBy("source", "pick_order"))
+    "docs_mixture_sample" -> ((s, d) => mixtureSample(s, d).orderBy("source", "pick_order")),
+    "docs_pii_scrub" -> ((s, d) => piiScrub(s, d).orderBy("doc_id")),
+    "docs_curriculum" -> ((s, d) => curriculum(s, d).orderBy("source", "phase"))
   )
 
   private def decontamOracle: String =
@@ -758,6 +869,8 @@ object CorpusQc {
          |)
          |SELECT doc_id, source, n_tokens, budget_tokens, pick_order, cum_before
          |FROM win WHERE cum_before < budget_tokens
-         |ORDER BY source, pick_order""".stripMargin
+         |ORDER BY source, pick_order""".stripMargin,
+    "docs_pii_scrub" -> piiScrubOracle,
+    "docs_curriculum" -> curriculumOracle
   )
 }

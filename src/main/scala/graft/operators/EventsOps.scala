@@ -2081,6 +2081,214 @@ object EventsOps {
     * event_type-keyed as the parity queries with the reference's few-series
     * decomposition shape (models/diffusion_ts_model.py:200-290).
     */
+  // ---------------- lead-lag cross-correlation ----------------
+
+  /** Max lag (hours) the cross-correlation scans, each side of 0. */
+  val XcorrMaxLag = 3
+
+  /** Lead-lag cross-correlation between event-type activity series — the
+    * "does browsing lead buying, and by how many hours?" diagnostic: for
+    * every type pair (a < b) and lag L ∈ [−[[XcorrMaxLag]], +[[XcorrMaxLag]]],
+    * the Pearson correlation of a's hourly event count at hour h with b's at
+    * h+L, over the DENSE hour spine (missing hours are genuine zeros —
+    * joining only observed hours would silently misalign the shift). A
+    * positive best lag means a leads b. `is_best` marks each pair's
+    * max-correlation lag (earliest lag on ties).
+    *
+    * Determinism: counts are integers, so all five Pearson sums are exact
+    * BIGINTs; the two sqrt/divide ops at the end are identical expressions
+    * in both engines and r6 absorbs their ≤1-ulp skew.
+    *
+    * Scale: the raw scan collapses to (#types × #hours) counts map-side;
+    * the spine densify, the 7-lag fan and the pair join all run on that
+    * aggregate, so their cost is independent of event volume.
+    */
+  def crossCorr(spark: SparkSession, dir: String): DataFrame = {
+    val hour = floor(unix_timestamp(col("ts")).cast("double") / 3600.0).cast("long")
+    val counts = Tables.events(spark, dir)
+      .select(col("event_type"), hour.as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val span = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = span.select(explode(sequence(col("h0"), col("h1"))).as("h"))
+    val types = counts.select("event_type").distinct()
+    val dense = types.crossJoin(spine)
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("c"), lit(0L)).as("c"))
+      .localCheckpoint(true) // #types × #hours rows; probed 7 × #pairs times
+    val lags = explode(lit((-XcorrMaxLag to XcorrMaxLag).toArray)).as("lag")
+    val a = dense.toDF("ta", "h", "x")
+    val b = dense.toDF("tb", "hb", "y")
+    val aligned = a.select(col("*"), lags)
+      .join(b, col("tb") > col("ta") && col("hb") === col("h") + col("lag"))
+    val n = count(lit(1))
+    val den = sqrt((n * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))).cast("double")) *
+      sqrt((n * sum(col("y") * col("y")) - sum(col("y")) * sum(col("y"))).cast("double"))
+    val corr = (n * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))).cast("double") / den
+    val byPair = Window.partitionBy("ta", "tb")
+      .orderBy(desc("xcorr"), asc("lag"))
+    aligned.groupBy(col("ta"), col("tb"), col("lag"))
+      .agg(n.as("n_hours"), r6(corr).as("xcorr"))
+      .withColumn("is_best", row_number().over(byPair) === 1)
+  }
+
+  def crossCorrOracle: String = {
+    val hexpr = "CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT)"
+    s"""WITH counts AS (
+       |  SELECT event_type, $hexpr AS h, count(*) AS c FROM events GROUP BY 1, 2
+       |), span AS (SELECT min(h) AS h0, max(h) AS h1 FROM counts),
+       |spine AS (SELECT unnest(generate_series(h0, h1)) AS h FROM span),
+       |types AS (SELECT DISTINCT event_type FROM counts),
+       |dense AS (
+       |  SELECT t.event_type, s.h, coalesce(c.c, 0)::BIGINT AS c
+       |  FROM types t CROSS JOIN spine s
+       |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = s.h
+       |), lags AS (SELECT unnest(generate_series(-$XcorrMaxLag, $XcorrMaxLag)) AS lag),
+       |aligned AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb, l.lag, a.c AS x, b.c AS y
+       |  FROM dense a CROSS JOIN lags l
+       |  JOIN dense b ON b.event_type > a.event_type AND b.h = a.h + l.lag
+       |), g AS (
+       |  SELECT ta, tb, lag, count(*) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x*y) AS BIGINT) AS sxy,
+       |         CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+       |  FROM aligned GROUP BY 1, 2, 3
+       |), scored AS (
+       |  SELECT ta, tb, lag, n AS n_hours,
+       |         ${sqlR6("CAST(n*sxy - sx*sy AS DOUBLE) / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))")} AS xcorr
+       |  FROM g
+       |)
+       |SELECT ta, tb, lag, n_hours, xcorr,
+       |       row_number() OVER (PARTITION BY ta, tb ORDER BY xcorr DESC, lag ASC) = 1 AS is_best
+       |FROM scored ORDER BY ta, tb, lag""".stripMargin
+  }
+
+  // ---------------- local-DP frequency estimation ----------------
+
+  /** Probability the true category is reported (generalized randomized
+    * response keep-probability). */
+  val LdpKeepP = 0.75
+  /** PRNG streams for the keep-draw and the replacement-draw. */
+  val LdpStream1 = 63
+  val LdpStream2 = 64
+
+  /** Local-DP frequency estimation via generalized randomized response
+    * (Warner 1965 / GRR): each event reports its true type with probability
+    * p = [[LdpKeepP]] and a uniform draw from the k-type vocabulary
+    * otherwise, so the collector never sees a trustworthy individual record;
+    * the per-type count is then debiased by ĉ = (obs − n(1−p)/k)/p (from
+    * E[obs] = c·p + n(1−p)/k). The LOCAL-model twin of the central-DP
+    * [[dpCounts]]: noise enters per record before collection, not per
+    * released cell after. `eps_ln` is the mechanism's ε =
+    * ln((p + (1−p)/k)/((1−p)/k)).
+    *
+    * Determinism: both draws come from the cross-engine LCG keyed on
+    * event_id, so the perturbed stream — and therefore the estimate — is
+    * bit-identical in both engines (re-running the release must not spend
+    * fresh randomness, the [[dpCounts]] stance).
+    *
+    * Scale: the vocabulary index is a ≤k-row broadcast both ways; the
+    * perturbation is one map-side projection; only (type, count) rows
+    * shuffle.
+    */
+  def ldpFreq(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val vocab = ev.select("event_type").distinct()
+      .withColumn("idx", row_number().over(Window.orderBy("event_type")).cast("long") - 1L)
+      .withColumn("k", count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .localCheckpoint(true) // ≤ #types rows; broadcast into both joins
+    val u1 = graft.functions.DetRand.u01(col("event_id").cast("double"), LdpStream1)
+    val u2 = graft.functions.DetRand.u01(col("event_id").cast("double"), LdpStream2)
+    val reported = ev.join(broadcast(vocab), "event_type")
+      .select(col("event_id"), col("k"),
+        when(u1 < LdpKeepP, col("idx"))
+          .otherwise(floor(u2 * col("k").cast("double")).cast("long")).as("ridx"))
+    val obs = reported.groupBy("ridx").agg(count(lit(1)).as("obs_n"), max(col("k")).as("k"))
+      .join(broadcast(vocab.select("event_type", "idx")), col("ridx") === col("idx"))
+    val truth = ev.groupBy("event_type").agg(count(lit(1)).as("true_n"))
+    val nTot = ev.agg(count(lit(1)).as("n_tot"))
+    val q = (lit(1.0) - LdpKeepP) / col("k").cast("double")
+    obs.join(truth, "event_type").crossJoin(broadcast(nTot))
+      .select(col("event_type"), col("true_n"), col("obs_n"),
+        r6((col("obs_n").cast("double") - col("n_tot").cast("double") * q) / LdpKeepP).as("est_n"),
+        r6(log((lit(LdpKeepP) + q) / q)).as("eps_ln"))
+  }
+
+  def ldpFreqOracle: String = {
+    val u1 = graft.functions.DetRand.sqlU01("CAST(event_id AS DOUBLE)", LdpStream1)
+    val u2 = graft.functions.DetRand.sqlU01("CAST(event_id AS DOUBLE)", LdpStream2)
+    val p = sqlD(LdpKeepP)
+    s"""WITH vocab AS (
+       |  SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) - 1 AS idx,
+       |         CAST(count(*) OVER () AS BIGINT) AS k
+       |  FROM (SELECT DISTINCT event_type FROM events)
+       |), reported AS (
+       |  SELECT CASE WHEN ($u1) < $p THEN v.idx
+       |              ELSE CAST(floor(($u2) * CAST(v.k AS DOUBLE)) AS BIGINT) END AS ridx,
+       |         v.k
+       |  FROM events e JOIN vocab v USING (event_type)
+       |), obs AS (
+       |  SELECT ridx, count(*) AS obs_n, max(k) AS k FROM reported GROUP BY 1
+       |), truth AS (SELECT event_type, count(*) AS true_n FROM events GROUP BY 1),
+       |ntot AS (SELECT count(*) AS n_tot FROM events)
+       |SELECT v.event_type, t.true_n, o.obs_n,
+       |       ${sqlR6(s"(CAST(o.obs_n AS DOUBLE) - CAST(n.n_tot AS DOUBLE) * (1.0 - $p) / CAST(o.k AS DOUBLE)) / $p")} AS est_n,
+       |       ${sqlR6(s"ln(($p + (1.0 - $p) / CAST(o.k AS DOUBLE)) / ((1.0 - $p) / CAST(o.k AS DOUBLE)))")} AS eps_ln
+       |FROM obs o JOIN vocab v ON v.idx = o.ridx JOIN truth t ON t.event_type = v.event_type
+       |CROSS JOIN ntot n
+       |ORDER BY v.event_type""".stripMargin
+  }
+
+  // ---------------- trailing-window active users from mergeable sketches ----------------
+
+  /** Trailing window width in days (WAU = 7-day active users). */
+  val WauWindowDays = 7
+
+  /** Rolling 7-day active users from per-day HLL sketches — the sliding
+    * twin of [[hllUnion]]'s static merge, and the reason sketches (not
+    * exact sets) are the 100-TB structure: each day folds its users into
+    * ONE fixed-size sketch map-side, and every trailing window is a union
+    * of ≤[[WauWindowDays]] sketches on the ≤#days aggregate — the raw
+    * stream is scanned once, while the exact computation must re-deduplicate
+    * every window's users. The oracle pattern is [[dailyUsersSketch]]'s:
+    * the exact twin is hash-checked, the estimate passes an in-tolerance
+    * boolean gate.
+    *
+    * The exact twin here shrinks to distinct (user, day) BEFORE the
+    * window fan-out, so even the verification leg never multiplies the
+    * event stream by the window width.
+    */
+  def wauSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(to_date(col("ts")).as("d"), col("user_id"))
+    val perDay = ev.groupBy("d").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .localCheckpoint(true) // ≤ #days rows; self-joined below
+    val est = perDay.toDF("d", "sk").as("a")
+      .join(perDay.toDF("db", "skb").as("b"),
+        datediff(col("d"), col("db")).between(0, WauWindowDays - 1))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n_days_window"),
+        hll_sketch_estimate(hll_union_agg(col("skb"))).as("wau_est"))
+    val userDay = ev.distinct()
+    val exact = userDay.toDF("du", "user_id")
+      .join(perDay.select(col("d")), datediff(col("d"), col("du")).between(0, WauWindowDays - 1))
+      .groupBy("d").agg(countDistinct(col("user_id")).as("wau_exact"))
+    est.join(exact, "d")
+      .select(col("d").as("event_date"), col("n_days_window"), col("wau_exact"),
+        (abs(col("wau_est") - col("wau_exact")).cast("double") * 100.0 /
+          col("wau_exact").cast("double") <= HllTolPct).as("hll_within_tol"))
+  }
+
+  def wauSketchOracle: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS du, user_id FROM events
+       |), days AS (SELECT DISTINCT du AS d FROM ud)
+       |SELECT d AS event_date,
+       |       CAST((SELECT count(*) FROM days b WHERE CAST(days.d - b.d AS BIGINT) BETWEEN 0 AND ${WauWindowDays - 1}) AS BIGINT) AS n_days_window,
+       |       (SELECT count(DISTINCT u.user_id) FROM ud u
+       |        WHERE CAST(days.d - u.du AS BIGINT) BETWEEN 0 AND ${WauWindowDays - 1}) AS wau_exact,
+       |       true AS hll_within_tol
+       |FROM days ORDER BY event_date""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_spectrum" -> ((s, d) => spectrum(s, d, "user_id").orderBy("user_id", "k")
       .select("user_id", "k", "re", "im", "amplitude")),
@@ -2127,7 +2335,10 @@ object EventsOps {
     "events_key_skew" -> ((s, d) => keySkew(s, d)),
     "events_type_transitions" -> ((s, d) => typeTransitions(s, d).orderBy("prev_type", "next_type")),
     "ts_value_quantiles_sketch" -> ((s, d) => valueQuantilesSketch(s, d).orderBy("event_type")),
-    "ts_tumbling_agg" -> ((s, d) => tumbling(s, d))
+    "ts_tumbling_agg" -> ((s, d) => tumbling(s, d)),
+    "ts_cross_corr" -> ((s, d) => crossCorr(s, d).orderBy("ta", "tb", "lag")),
+    "events_ldp_freq" -> ((s, d) => ldpFreq(s, d).orderBy("event_type")),
+    "events_wau_hll" -> ((s, d) => wauSketch(s, d).orderBy("event_date"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -2174,6 +2385,9 @@ object EventsOps {
     "events_key_skew" -> keySkewOracle,
     "events_type_transitions" -> typeTransitionsOracle,
     "ts_value_quantiles_sketch" -> valueQuantilesSketchOracle,
-    "ts_tumbling_agg" -> tumblingOracle
+    "ts_tumbling_agg" -> tumblingOracle,
+    "ts_cross_corr" -> crossCorrOracle,
+    "events_ldp_freq" -> ldpFreqOracle,
+    "events_wau_hll" -> wauSketchOracle
   )
 }
