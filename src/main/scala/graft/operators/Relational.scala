@@ -1756,6 +1756,147 @@ object Relational {
 
   // ---------------- DuckDB oracle twins ----------------
 
+  // ---------------- cohort lifetime value ----------------
+
+  /** Cohort LTV curve — the "how much does a January-acquired customer spend
+    * by month N" readout: customers cohorted by first-order month, revenue
+    * accumulated per (cohort, month-offset), averaged over the FULL cohort
+    * size (not just that month's active customers — inactive months count as
+    * zero spend, which is what makes the curve a lifetime value).
+    *
+    * Determinism: revenue is summed in exact integer cents ([[Num.fx]] at
+    * n=2); the only division is the final per-cohort average. The cumulative
+    * window runs over ≤ #months rows per cohort.
+    *
+    * Scale: one orders scan collapsing to (customer, month) partials
+    * map-side, a per-customer min for the cohort, then rollups on
+    * #cohorts × #offsets rows — the windows never see raw orders.
+    */
+  def ltvCohort(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).cast("date").as("m"),
+        fx(col("o_totalprice"), 2).as("cents"))
+    val perCustMonth = ord.groupBy("o_custkey", "m").agg(sum(col("cents")).as("cents"))
+    val cohort = perCustMonth.groupBy("o_custkey").agg(min(col("m")).as("cohort_month"))
+    val sizes = cohort.groupBy("cohort_month").agg(count(lit(1)).as("cohort_size"))
+    val byOffset = perCustMonth.join(cohort, "o_custkey")
+      .select(col("cohort_month"),
+        round(months_between(col("m"), col("cohort_month"))).cast("long").as("month_offset"),
+        col("o_custkey"), col("cents"))
+      .groupBy("cohort_month", "month_offset")
+      .agg(countDistinct(col("o_custkey")).as("n_active"), sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy("cohort_month").orderBy("month_offset")
+    byOffset.join(broadcast(sizes), "cohort_month")
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("cohort_month"), col("month_offset"), col("cohort_size"), col("n_active"),
+        col("rev_cents"), col("cum_rev_cents"),
+        r6(col("cum_rev_cents").cast("double") / 100.0 / col("cohort_size").cast("double"))
+          .as("avg_ltv"))
+  }
+
+  def ltvCohortOracle: String =
+    s"""WITH ord AS (
+       |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+       |         ${sqlFx("o_totalprice", 2)} AS cents
+       |  FROM orders
+       |), pcm AS (
+       |  SELECT o_custkey, m, CAST(sum(cents) AS BIGINT) AS cents FROM ord GROUP BY 1, 2
+       |), cohort AS (SELECT o_custkey, min(m) AS cohort_month FROM pcm GROUP BY 1),
+       |sizes AS (SELECT cohort_month, count(*) AS cohort_size FROM cohort GROUP BY 1),
+       |off AS (
+       |  SELECT c.cohort_month, CAST(datediff('month', c.cohort_month, p.m) AS BIGINT) AS month_offset,
+       |         p.o_custkey, p.cents
+       |  FROM pcm p JOIN cohort c USING (o_custkey)
+       |), g AS (
+       |  SELECT cohort_month, month_offset, count(DISTINCT o_custkey) AS n_active,
+       |         CAST(sum(cents) AS BIGINT) AS rev_cents
+       |  FROM off GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT *, CAST(sum(rev_cents) OVER (PARTITION BY cohort_month ORDER BY month_offset
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_cents
+       |  FROM g
+       |)
+       |SELECT c.cohort_month, c.month_offset, s.cohort_size, c.n_active,
+       |       c.rev_cents, c.cum_rev_cents,
+       |       ${sqlR6("CAST(c.cum_rev_cents AS DOUBLE) / 100.0 / CAST(s.cohort_size AS DOUBLE)")} AS avg_ltv
+       |FROM cum c JOIN sizes s USING (cohort_month)
+       |ORDER BY cohort_month, month_offset""".stripMargin
+
+  // ---------------- triangle counting on the strong co-purchase graph ----------------
+
+  /** Minimum co-purchase support for a graph edge: pairs co-bought in one
+    * order only are noise at every scale (the 1-support graph is ~30× this
+    * one at sf0.1 and almost fully connected); the support filter collapses
+    * map-side before any graph work. */
+  val TriMinSupport = 2
+
+  /** Per-node triangle counts + local clustering coefficient over the
+    * strong co-purchase graph ([[TriMinSupport]]+ shared orders) — the graph
+    * cohesion readout next to [[pageRank]]'s centrality. Triangles are
+    * enumerated with the oriented-wedge join: every edge is stored once as
+    * (a < b), wedges (a,b)+(a,c) with b < c probe the edge set for (b,c) —
+    * each triangle found exactly once, the Σ outdeg² wedge bound the
+    * MapReduce triangle literature optimizes (at production scale the
+    * orientation key is degree-then-id, which caps outdegree at O(√m); id
+    * order suffices at these sizes and keeps the oracle identical).
+    * Coefficient = 2T / (deg·(deg−1)) over the node's UNDIRECTED degree;
+    * nodes with deg < 2 cannot close a triangle and are excluded.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.toDF("o", "a")
+      .join(li.toDF("o", "b"), "o")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= TriMinSupport)
+      .select("a", "b")
+      .localCheckpoint(true) // support-filtered edge list; scanned 3× below
+    val tris = edges.toDF("a", "b")
+      .join(edges.toDF("a2", "c"), col("a2") === col("a") && col("c") > col("b"))
+      .join(edges.toDF("b2", "c2"),
+        col("b2") === col("b") && col("c2") === col("c"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(perNode, Seq("node"), "left")
+      .select(col("node").as("p_partkey"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        r6(coalesce(col("n_triangles"), lit(0L)).cast("double") * 2.0 /
+          (col("degree") * (col("degree") - 1)).cast("double")).as("clustering"))
+  }
+
+  def trianglesOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |edges AS (
+       |  SELECT x.p AS a, y.p AS b FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport
+       |), tris AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM edges e1
+       |  JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+       |  JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+       |), pernode AS (
+       |  SELECT node, count(*) AS n_triangles FROM (
+       |    SELECT a AS node FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris)
+       |  GROUP BY 1
+       |), deg AS (
+       |  SELECT node, count(*) AS degree FROM (
+       |    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+       |  GROUP BY 1
+       |)
+       |SELECT d.node AS p_partkey, d.degree,
+       |       coalesce(t.n_triangles, 0)::BIGINT AS n_triangles,
+       |       ${sqlR6("CAST(coalesce(t.n_triangles, 0) AS DOUBLE) * 2.0 / CAST(d.degree * (d.degree - 1) AS DOUBLE)")} AS clustering
+       |FROM deg d LEFT JOIN pernode t ON t.node = d.node
+       |WHERE d.degree >= 2
+       |ORDER BY p_partkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_props_json" -> ((s, d) => propsJsonStats(s, d).orderBy("event_type")),
     "events_cube" -> ((s, d) => eventsCube(s, d).orderBy("gid", "event_type", "event_date")),
@@ -1801,7 +1942,9 @@ object Relational {
     "events_cdc_merge" -> ((s, d) => cdcMerge(s, d).orderBy("user_id")),
     "customers_fuzzy_match" -> ((s, d) => fuzzyMatch(s, d).orderBy("c_custkey")),
     "events_type_pivot" -> ((s, d) => typePivot(s, d).orderBy("user_id")),
-    "events_type_unpivot" -> ((s, d) => typeUnpivot(s, d).orderBy("user_id", "event_type"))
+    "events_type_unpivot" -> ((s, d) => typeUnpivot(s, d).orderBy("user_id", "event_type")),
+    "customers_ltv_cohort" -> ((s, d) => ltvCohort(s, d).orderBy("cohort_month", "month_offset")),
+    "graph_triangles" -> ((s, d) => triangles(s, d).orderBy("p_partkey"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1918,6 +2061,8 @@ object Relational {
          |       ${sqlR6(sqlExactSum("value"))} AS session_value
          |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
     "events_type_pivot" -> typePivotOracle,
-    "events_type_unpivot" -> typeUnpivotOracle
+    "events_type_unpivot" -> typeUnpivotOracle,
+    "customers_ltv_cohort" -> ltvCohortOracle,
+    "graph_triangles" -> trianglesOracle
   )
 }
