@@ -1111,9 +1111,128 @@ object Similarity {
        |       CAST(sum(CASE WHEN s_fx < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------- MMR diversified rerank ----------------
+
+  /** Candidate shortlist size the MMR pass reranks. */
+  val MmrCandidates = 20
+  /** Picks per query. */
+  val MmrK = 5
+  /** Relevance weight λ and its complement — kept as SEPARATE constants so
+    * both engines use the identical double literal (computing 1−0.7 yields
+    * 0.30000000000000004, which would diverge from a written 0.3). */
+  val MmrLambda = 0.7
+  val MmrGamma = 0.3
+
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR 1998) —
+    * the diversification stage retrieval pipelines run between ANN shortlist
+    * and presentation: greedily pick [[MmrK]] of the top-[[MmrCandidates]]
+    * candidates, each pick maximizing λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s),
+    * so near-duplicate neighbors don't crowd the result page. The greedy
+    * loop is inherently sequential in k but tiny: it runs entirely on the
+    * (#queries × shortlist) candidate table and its pairwise-sim matrix,
+    * both localCheckpointed once — the corpus is touched only by the
+    * shortlist scan, which is the same broadcast-kernel pass as
+    * [[bruteForceTopK]]. Ordering determinism: rel and sim are r6-rounded
+    * before any comparison, the argmax key is the identical double
+    * expression in both engines, ties break (rel DESC, vid ASC).
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rel", r6(cosine_sim(col("qv"), col("v"))))
+    val wq = Window.partitionBy("qid").orderBy(desc("rel"), asc("vec_id"))
+    val cands = scored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= MmrCandidates)
+      .select(col("qid"), col("vec_id").as("vid"), col("rel"), col("v"))
+      .localCheckpoint(true) // #queries × shortlist rows; looped over below
+    val sims = cands.select(col("qid"), col("vid").as("v1"), col("v").as("va"))
+      .join(cands.select(col("qid"), col("vid").as("v2"), col("v").as("vb")), "qid")
+      .filter(col("v1") =!= col("v2"))
+      .select(col("qid"), col("v1"), col("v2"), r6(cosine_sim(col("va"), col("vb"))).as("sim"))
+      .localCheckpoint(true) // #queries × shortlist² pairwise sims
+      .toDF("sqid", "v1", "v2", "sim") // fresh attribute ids: joined against its own lineage below
+    val flat = cands.drop("v")
+    var chosen = flat.withColumn("rn", row_number().over(wq.orderBy(desc("rel"), asc("vid"))))
+      .filter(col("rn") === 1).drop("rn")
+      .select(col("qid"), col("vid"), col("rel"), lit(0.0).as("maxsim"), lit(1).as("pick_order"))
+    for (k <- 2 to MmrK) {
+      val remaining = flat.join(chosen.select("qid", "vid"), Seq("qid", "vid"), "left_anti")
+      val chosenV = chosen.select(col("qid").as("cqid"), col("vid").as("cvid"))
+      val scoredK = remaining
+        .join(sims, remaining("qid") === sims("sqid") && remaining("vid") === sims("v1"))
+        .join(chosenV, sims("sqid") === col("cqid") && sims("v2") === col("cvid"))
+        .groupBy(remaining("qid"), remaining("vid"), remaining("rel"))
+        .agg(max(col("sim")).as("maxsim"))
+      val wk = Window.partitionBy("qid").orderBy(
+        (lit(MmrLambda) * col("rel") - lit(MmrGamma) * col("maxsim")).desc,
+        col("rel").desc, col("vid").asc)
+      val pick = scoredK.withColumn("rn", row_number().over(wk))
+        .filter(col("rn") === 1).drop("rn")
+        .withColumn("pick_order", lit(k))
+      chosen = chosen.unionByName(pick).localCheckpoint(true)
+    }
+    chosen.select(col("qid"), col("pick_order"), col("vid").as("neighbor_id"),
+      col("rel"), col("maxsim"),
+      r6(lit(MmrLambda) * col("rel") - lit(MmrGamma) * col("maxsim")).as("mmr"))
+  }
+
+  def mmrRerankOracle: String = {
+    val lam = sqlD(MmrLambda)
+    val gam = sqlD(MmrGamma)
+    val steps = (2 to MmrK).map { k =>
+      s"""sc$k AS MATERIALIZED (
+         |  SELECT c.qid, c.vid, c.rel, max(s.sim) AS maxsim
+         |  FROM cands c
+         |  JOIN csims s ON s.qid = c.qid AND s.v1 = c.vid
+         |  JOIN ch${k - 1} h ON h.qid = s.qid AND h.vid = s.v2
+         |  WHERE NOT EXISTS (SELECT 1 FROM ch${k - 1} x WHERE x.qid = c.qid AND x.vid = c.vid)
+         |  GROUP BY 1, 2, 3
+         |), pk$k AS MATERIALIZED (
+         |  SELECT qid, vid, rel, maxsim, $k AS pick_order FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ($lam * rel - $gam * maxsim) DESC, rel DESC, vid ASC) AS rn
+         |    FROM sc$k) WHERE rn = 1
+         |), ch$k AS MATERIALIZED (SELECT * FROM ch${k - 1} UNION ALL SELECT * FROM pk$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $flatSql,
+       |cdots AS MATERIALIZED (
+       |  SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.x * b.x) AS dot
+       |  FROM flat a JOIN flat b ON a.d = b.d
+       |  WHERE a.vec_id < $NumQueries AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2
+       |), cands AS MATERIALIZED (
+       |  SELECT qid, vid, rel FROM (
+       |    SELECT qid, vid, ${sqlR6("dot / (na.nrm * nb.nrm)")} AS rel,
+       |           row_number() OVER (PARTITION BY qid ORDER BY ${sqlR6("dot / (na.nrm * nb.nrm)")} DESC, vid ASC) AS rn
+       |    FROM cdots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = vid)
+       |  WHERE rn <= $MmrCandidates
+       |), csims AS MATERIALIZED (
+       |  SELECT c1.qid, c1.vid AS v1, c2.vid AS v2, ${sqlR6("sum(f1.x * f2.x) / (n1.nrm * n2.nrm)")} AS sim
+       |  FROM cands c1
+       |  JOIN cands c2 ON c2.qid = c1.qid AND c2.vid <> c1.vid
+       |  JOIN flat f1 ON f1.vec_id = c1.vid
+       |  JOIN flat f2 ON f2.vec_id = c2.vid AND f2.d = f1.d
+       |  JOIN norms n1 ON n1.vec_id = c1.vid
+       |  JOIN norms n2 ON n2.vec_id = c2.vid
+       |  GROUP BY c1.qid, c1.vid, c2.vid, n1.nrm, n2.nrm
+       |), ch1 AS MATERIALIZED (
+       |  SELECT qid, vid, rel, 0.0e0 AS maxsim, 1 AS pick_order FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vid ASC) AS rn
+       |    FROM cands) WHERE rn = 1
+       |),
+       |$steps
+       |SELECT qid, CAST(pick_order AS INT) AS pick_order, vid AS neighbor_id, rel, maxsim,
+       |       ${sqlR6(s"$lam * rel - $gam * maxsim")} AS mmr
+       |FROM ch$MmrK ORDER BY qid, pick_order""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_cell_silhouette" -> ((s, d) => cellSilhouette(s, d).orderBy("cell")),
     "ann_mips_topk" -> ((s, d) => mipsTopK(s, d).orderBy("qid", "rank")),
+    "ann_mmr_rerank" -> ((s, d) => mmrRerank(s, d).orderBy("qid", "pick_order")),
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d).orderBy("vec_id")),
     "emb_hard_negatives" -> ((s, d) => hardNegatives(s, d).orderBy("qid", "rank")),
     "ann_bruteforce_topk" -> ((s, d) => bruteForceTopK(s, d).orderBy("qid", "rank")),
@@ -1141,6 +1260,7 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "emb_cell_silhouette" -> cellSilhouetteOracle,
     "ann_mips_topk" -> mipsTopKOracle,
+    "ann_mmr_rerank" -> mmrRerankOracle,
     "dedup_semantic" -> semanticDedupOracle,
     "emb_hard_negatives" -> hardNegativesOracle,
     "ann_bruteforce_topk" -> cosTopKSql(bucketJoin = false),
