@@ -42,6 +42,7 @@ object SparkEntry {
       (graft.sources.SchemaEvolution.queries, graft.sources.SchemaEvolution.oracles),
       (graft.sources.Backfill.queries, graft.sources.Backfill.oracles),
       (graft.sources.ZOrder.queries, graft.sources.ZOrder.oracles),
+      (StatsOps.queries, StatsOps.oracles),
       (TypedOps.queries, TypedOps.oracles),
       (StatefulOps.queries, StatefulOps.oracles),
       (TwsOps.queries, TwsOps.oracles)

@@ -1,0 +1,337 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Num._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-level statistical tests and decompositions over the events and
+  * orders tables — the readout layer a metrics platform runs NEXT TO the Welch
+  * t in `EventsOps.abTest`: rank/ECDF tests that don't assume normality, the
+  * mix-vs-rate decomposition every "why did the metric move" review needs, and
+  * a Benford first-digit audit for the finance-shaped columns.
+  *
+  * Exactness discipline (shared with the rest of the repo): values quantize to
+  * integer cents BEFORE any grouping or ranking, so tie structure, cumulative
+  * counts and rank sums are exact BIGINT arithmetic in both engines; doubles
+  * appear only in final ratios, r6-rounded.
+  *
+  * Scale notes (100 TB thinking): every test here reduces the fact table to a
+  * (group key × distinct quantized value) frequency relation FIRST — a hash agg
+  * with map-side partial collapse — and runs the ordered scan on that reduced
+  * relation. The ordered ECDF/rank pass partitions by the test's group key
+  * (event_type), so parallelism = #groups; for a high-cardinality group key the
+  * same plan scales out, and for a single global test at extreme value
+  * cardinality the sketch-quantile path (`ts_value_quantiles_sketch`) is the
+  * approximate stand-in.
+  */
+object StatsOps {
+
+  /** Kolmogorov's c(α) at α=0.05 — reject when λ = D·√(n_a·n_b/(n_a+n_b))
+    * exceeds it. */
+  val KsCrit05 = 1.358
+
+  /** Two-sample Kolmogorov–Smirnov test per event_type between the A/B arms
+    * (deterministic user-parity assignment, same as `events_abtest` — the
+    * nonparametric companion the platform reads when value distributions are
+    * heavy-tailed and a mean test is not trustworthy).
+    *
+    * D = max_x |F_a(x) − F_b(x)| computed EXACTLY: the per-arm ECDFs step only
+    * at observed values, so D's numerator is max over the (type, cents) grid of
+    * |cum_a·n_b − cum_b·n_a| — pure BIGINT (cum ≤ n, so the products stay below
+    * n_a·n_b ≈ 4·10¹⁴ even at 1000× this fixture, far under 2⁶³). One scan →
+    * (type, cents, arm-count) hash agg → per-type ordered cumulative pass on
+    * the REDUCED grid → per-type max.
+    */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("x"),
+        when(col("user_id") % 2 === 0L, 1L).otherwise(0L).as("a"))
+      .groupBy("event_type", "x")
+      .agg(sum(col("a")).as("ca"), (count(lit(1)) - sum(col("a"))).as("cb"))
+    val wcum = Window.partitionBy("event_type").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy("event_type")
+    val stepped = grid
+      .select(col("event_type"),
+        sum(col("ca")).over(wcum).as("cum_a"), sum(col("cb")).over(wcum).as("cum_b"),
+        sum(col("ca")).over(wall).as("n_a"), sum(col("cb")).over(wall).as("n_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")).as("d_num"))
+    stepped.groupBy("event_type")
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        max(col("d_num")).as("d_num"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        r6(col("d_num").cast("double") / (col("n_a") * col("n_b")).cast("double")).as("ks_d"),
+        r6(col("d_num").cast("double") / (col("n_a") * col("n_b")).cast("double") *
+          sqrt((col("n_a") * col("n_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double"))).as("ks_lambda"))
+      .withColumn("reject_05", col("ks_lambda") > KsCrit05)
+  }
+
+  def ksTestOracle: String =
+    s"""WITH grid AS (
+       |  SELECT event_type, CAST(floor(value*1e2 + 0.5) AS BIGINT) AS x,
+       |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |         CAST(count(*) - sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM events GROUP BY 1, 2
+       |), stepped AS (
+       |  SELECT event_type,
+       |         CAST(sum(ca) OVER wc AS BIGINT) AS cum_a,
+       |         CAST(sum(cb) OVER wc AS BIGINT) AS cum_b,
+       |         CAST(sum(ca) OVER wa AS BIGINT) AS n_a,
+       |         CAST(sum(cb) OVER wa AS BIGINT) AS n_b
+       |  FROM grid
+       |  WINDOW wc AS (PARTITION BY event_type ORDER BY x
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |         wa AS (PARTITION BY event_type)
+       |), agg AS (
+       |  SELECT event_type, max(n_a) AS n_a, max(n_b) AS n_b,
+       |         max(abs(cum_a*n_b - cum_b*n_a)) AS d_num
+       |  FROM stepped GROUP BY 1
+       |)
+       |SELECT event_type, n_a, n_b,
+       |       ${sqlR6("CAST(d_num AS DOUBLE)/(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE))")} AS ks_d,
+       |       ${sqlR6("CAST(d_num AS DOUBLE)/(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)) * sqrt(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE))")} AS ks_lambda,
+       |       ${sqlR6("CAST(d_num AS DOUBLE)/(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)) * sqrt(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE))")} > ${sqlD(KsCrit05)} AS reject_05
+       |FROM agg ORDER BY event_type""".stripMargin
+
+  /** Mann–Whitney U per event_type between the same A/B arms — the rank-based
+    * location test (Mann & Whitney 1947), with the tie correction the cents
+    * quantization makes necessary.
+    *
+    * Rank sums are exact: on the (type, cents) frequency grid, every member of
+    * a tied group of size t gets average rank cum_before + (t+1)/2, so DOUBLED
+    * ranks are the integers 2·cum_before + t + 1 and the doubled arm-A rank sum
+    * R2 = Σ ca·(2·cum_before + t + 1) is exact BIGINT (≤ n·(2n+1) ≈ 8·10¹⁴ at
+    * 1000× this fixture). 2·U_a = R2 − 2·(n_a(n_a+1)/2). The tie term
+    * T = Σ(t³−t) feeds the variance correction
+    * Var = n_a·n_b/12 · (n+1 − T/(n(n−1))); z uses the same-operand expression
+    * in both engines, r6-rounded.
+    */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("x"),
+        when(col("user_id") % 2 === 0L, 1L).otherwise(0L).as("a"))
+      .groupBy("event_type", "x")
+      .agg(count(lit(1)).as("t"), sum(col("a")).as("ca"))
+    val wprev = Window.partitionBy("event_type").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val ranked = grid.select(col("event_type"), col("t"), col("ca"),
+      (coalesce(sum(col("t")).over(wprev), lit(0L)) * 2L + col("t") + 1L).as("r2"))
+    val agg = ranked.groupBy("event_type")
+      .agg(sum(col("ca")).as("n_a"), (sum(col("t")) - sum(col("ca"))).as("n_b"),
+        sum(col("ca") * col("r2")).as("ra2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val u2 = col("ra2") - col("n_a") * (col("n_a") + 1L) // = 2·U_a, exact BIGINT
+    val mu2 = (col("n_a") * col("n_b")).cast("double")   // = 2·E[U]
+    val varU = col("n_a").cast("double") * col("n_b").cast("double") / 12.0 *
+      (n + 1.0 - col("ties").cast("double") / (n * (n - 1.0)))
+    agg.select(col("event_type"), col("n_a"), col("n_b"),
+      (u2.cast("double") / 2.0).as("u_a"),
+      r6((u2.cast("double") - mu2) / 2.0 / sqrt(varU)).as("z"))
+  }
+
+  def mannWhitneyOracle: String = {
+    val varU = "(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)/12.0 * " +
+      "(CAST(n_a + n_b AS DOUBLE) + 1.0 - CAST(ties AS DOUBLE)/" +
+      "(CAST(n_a + n_b AS DOUBLE)*(CAST(n_a + n_b AS DOUBLE) - 1.0))))"
+    s"""WITH grid AS (
+       |  SELECT event_type, CAST(floor(value*1e2 + 0.5) AS BIGINT) AS x,
+       |         count(*) AS t,
+       |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca
+       |  FROM events GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT event_type, t, ca,
+       |         CAST(coalesce(sum(t) OVER (PARTITION BY event_type ORDER BY x
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)*2 + t + 1 AS r2
+       |  FROM grid
+       |), agg AS (
+       |  SELECT event_type,
+       |         CAST(sum(ca) AS BIGINT) AS n_a,
+       |         CAST(sum(t) - sum(ca) AS BIGINT) AS n_b,
+       |         CAST(sum(ca*r2) AS BIGINT) AS ra2,
+       |         CAST(sum(t*t*t - t) AS BIGINT) AS ties
+       |  FROM ranked GROUP BY 1
+       |)
+       |SELECT event_type, n_a, n_b,
+       |       CAST(ra2 - n_a*(n_a + 1) AS DOUBLE)/2.0 AS u_a,
+       |       ${sqlR6(s"(CAST(ra2 - n_a*(n_a + 1) AS DOUBLE) - CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE))/2.0/sqrt($varU)")} AS z
+       |FROM agg ORDER BY event_type""".stripMargin
+  }
+
+  /** Period boundary for the mix-shift decomposition: first half of the
+    * 30-day fixture month vs the second. */
+  val MixCutoff = "2024-01-16"
+
+  /** Mix-vs-rate decomposition of a metric move between two periods — the
+    * Oaxaca–Blinder-style answer to "did the average move because segments
+    * changed their behavior (rate) or because the traffic mix shifted between
+    * segments (mix)?". For overall mean M_p = Σ_s w_ps·m_ps, the per-segment
+    * contribution splits exactly:
+    *   Δ_s = w0·(m1−m0)  [rate]  +  (w1−w0)·m0  [mix]  +  (w1−w0)(m1−m0)  [interaction]
+    * and Σ_s Δ_s = M_1 − M_0 by construction. Shares and means come from exact
+    * cents/count BIGINTs; one scan, one (type × period) agg, a 5-row broadcast
+    * of period totals.
+    */
+  def mixShift(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (col("ts").cast("date") < lit(MixCutoff).cast("date")).as("p0"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"))
+      .groupBy("event_type", "p0")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+    val tot = per.groupBy("p0").agg(sum(col("n")).as("tot_n"))
+    val side = per.join(broadcast(tot), "p0")
+    def arm(flag: Boolean, s: String): DataFrame =
+      side.filter(col("p0") === flag)
+        .select(col("event_type"), col("n").as(s"n_$s"), col("sc").as(s"sc_$s"),
+          col("tot_n").as(s"tot_$s"))
+    def w(s: String) = col(s"n_$s").cast("double") / col(s"tot_$s").cast("double")
+    def m(s: String) = col(s"sc_$s").cast("double") / 1e2 / col(s"n_$s").cast("double")
+    arm(true, "0").join(arm(false, "1"), "event_type")
+      .select(col("event_type"),
+        r6(w("0")).as("w0"), r6(w("1")).as("w1"),
+        r6(m("0")).as("m0"), r6(m("1")).as("m1"),
+        r6(w("0") * (m("1") - m("0"))).as("rate_effect"),
+        r6((w("1") - w("0")) * m("0")).as("mix_effect"),
+        r6((w("1") - w("0")) * (m("1") - m("0"))).as("interaction"),
+        r6(w("1") * m("1") - w("0") * m("0")).as("total_contrib"))
+  }
+
+  def mixShiftOracle: String = {
+    def w(s: String) = s"(CAST(n_$s AS DOUBLE)/CAST(tot_$s AS DOUBLE))"
+    def m(s: String) = s"(CAST(sc_$s AS DOUBLE)/1e2/CAST(n_$s AS DOUBLE))"
+    s"""WITH per AS (
+       |  SELECT event_type, CAST(ts AS DATE) < DATE '$MixCutoff' AS p0,
+       |         count(*) AS n, CAST(sum(CAST(floor(value*1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+       |  FROM events GROUP BY 1, 2
+       |), tot AS (SELECT p0, CAST(sum(n) AS BIGINT) AS tot_n FROM per GROUP BY 1
+       |), j AS (
+       |  SELECT a.event_type,
+       |         a.n AS n_0, a.sc AS sc_0, ta.tot_n AS tot_0,
+       |         b.n AS n_1, b.sc AS sc_1, tb.tot_n AS tot_1
+       |  FROM per a JOIN per b ON a.event_type = b.event_type
+       |  JOIN tot ta ON ta.p0 = a.p0 JOIN tot tb ON tb.p0 = b.p0
+       |  WHERE a.p0 AND NOT b.p0
+       |)
+       |SELECT event_type,
+       |       ${sqlR6(w("0"))} AS w0, ${sqlR6(w("1"))} AS w1,
+       |       ${sqlR6(m("0"))} AS m0, ${sqlR6(m("1"))} AS m1,
+       |       ${sqlR6(s"${w("0")}*(${m("1")} - ${m("0")})")} AS rate_effect,
+       |       ${sqlR6(s"(${w("1")} - ${w("0")})*${m("0")}")} AS mix_effect,
+       |       ${sqlR6(s"(${w("1")} - ${w("0")})*(${m("1")} - ${m("0")})")} AS interaction,
+       |       ${sqlR6(s"${w("1")}*${m("1")} - ${w("0")}*${m("0")}")} AS total_contrib
+       |FROM j ORDER BY event_type""".stripMargin
+  }
+
+  /** Benford first-digit audit over order totals — the forensic-accounting
+    * screen run on every finance-shaped column. The first significant digit is
+    * extracted through exact integer/string ops (cents BIGINT → decimal string
+    * → first char), never floor(log10(x)) — log10 sits exactly ON the power-of-
+    * ten boundaries where a 1-ulp libm skew flips the digit. Expected shares
+    * are Benford's log10(1 + 1/d); the per-digit χ² contribution is reported so
+    * the audit is a 9-row table, not a verdict. (This fixture's totals are
+    * range-bounded [1e3, 5e5), so the audit REPORTS deviation by design —
+    * the operator's job is the measurement.)
+    */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .select(substring(floor(col("o_totalprice") * 1e2 + 0.5).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_d"))
+    val tot = digits.agg(sum(col("n_d")).as("n_tot"))
+    val p = log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    val expd = col("n_tot").cast("double") * p
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_d"),
+        r6(col("n_d").cast("double") / col("n_tot").cast("double")).as("share"),
+        r6(p).as("benford_p"),
+        r6(pow(col("n_d").cast("double") - expd, 2.0) / expd).as("chi2_part"))
+  }
+
+  def benfordOracle: String = {
+    val p = "(log10(1.0 + 1.0/CAST(digit AS DOUBLE)))"
+    val expd = s"(CAST(n_tot AS DOUBLE)*$p)"
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice*1e2 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+       |  FROM orders
+       |), g AS (SELECT digit, count(*) AS n_d FROM d GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_d) AS BIGINT) AS n_tot FROM g)
+       |SELECT digit, n_d,
+       |       ${sqlR6("CAST(n_d AS DOUBLE)/CAST(n_tot AS DOUBLE)")} AS share,
+       |       ${sqlR6(p)} AS benford_p,
+       |       ${sqlR6(s"power(CAST(n_d AS DOUBLE) - $expd, 2.0)/$expd")} AS chi2_part
+       |FROM g, t ORDER BY digit""".stripMargin
+  }
+
+  /** Calendar gap-fill with LOCF — the resampling pass that turns an irregular
+    * event stream into the dense per-(user, day) grid a feature store or
+    * forecast model consumes: each user's observed [first, last] day range is
+    * densified (sequence + explode — a NARROW fan-out, no shuffle), missing
+    * days join as zero-activity rows, and `locf_value` carries the last
+    * observed daily total forward (`last(_, ignoreNulls)` over the per-user
+    * date order — the imputation twin of `mask_impute_locf` on the calendar
+    * axis). Scale: the explode is bounded by span-days per user, the grid joins
+    * back on (user_id, day) — one co-partitioned shuffle — and the LOCF window
+    * partitions by user.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"), sum(col("c")).as("sc"))
+    val grid = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val wlocf = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        r6(coalesce(col("sc"), lit(0L)).cast("double") / 1e2).as("day_value"),
+        r6(coalesce(last(col("sc"), ignoreNulls = true).over(wlocf), lit(0L))
+          .cast("double") / 1e2).as("locf_value"),
+        col("sc").isNotNull.as("observed"))
+  }
+
+  def gapFillOracle: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+       |         CAST(sum(CAST(floor(value*1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+       |  FROM events GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT user_id,
+       |         CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM daily GROUP BY user_id
+       |)
+       |SELECT g.user_id, g.day,
+       |       coalesce(d.n_events, 0) AS n_events,
+       |       ${sqlR6("CAST(coalesce(d.sc, 0) AS DOUBLE)/1e2")} AS day_value,
+       |       ${sqlR6("CAST(coalesce(last_value(d.sc IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS DOUBLE)/1e2")} AS locf_value,
+       |       d.sc IS NOT NULL AS observed
+       |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+       |ORDER BY g.user_id, g.day""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ks_test" -> ((s, d) => ksTest(s, d).orderBy("event_type")),
+    "events_mannwhitney" -> ((s, d) => mannWhitney(s, d).orderBy("event_type")),
+    "events_mix_shift" -> ((s, d) => mixShift(s, d).orderBy("event_type")),
+    "orders_benford" -> ((s, d) => benford(s, d).orderBy("digit")),
+    "events_gap_fill" -> ((s, d) => gapFill(s, d).orderBy("user_id", "day"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "events_ks_test" -> ksTestOracle,
+    "events_mannwhitney" -> mannWhitneyOracle,
+    "events_mix_shift" -> mixShiftOracle,
+    "orders_benford" -> benfordOracle,
+    "events_gap_fill" -> gapFillOracle
+  )
+}
