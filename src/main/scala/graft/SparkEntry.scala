@@ -43,6 +43,7 @@ object SparkEntry {
       (graft.sources.Backfill.queries, graft.sources.Backfill.oracles),
       (graft.sources.ZOrder.queries, graft.sources.ZOrder.oracles),
       (StatsOps.queries, StatsOps.oracles),
+      (EvalOps.queries, EvalOps.oracles),
       (TypedOps.queries, TypedOps.oracles),
       (StatefulOps.queries, StatefulOps.oracles),
       (TwsOps.queries, TwsOps.oracles)

@@ -1,0 +1,384 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Num._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation and data-monitoring readouts over the events table — the
+  * layer a training pipeline runs BETWEEN feature generation and model
+  * promotion: ranking quality (AUC, gains/lift), exact heavy-hitter detection
+  * (the two-pass Misra–Gries pattern), activity-coverage intervals, OHLC
+  * bars, and a per-column profiler (the "expectations" pass every ingest
+  * runs before anything downstream trusts a column).
+  *
+  * Exactness discipline: values quantize to integer cents before ranking or
+  * grouping, so tie structure and rank sums are exact BIGINT arithmetic in
+  * both engines; doubles appear only in final ratios, r6-rounded.
+  */
+object EvalOps {
+
+  // ---------------- ranking quality: AUC ----------------
+
+  /** Per-day ROC AUC of `value` as a score separating purchases (positive)
+    * from clicks (negative) — the offline eval a ranking model reports per
+    * partition of the eval window.
+    *
+    * AUC is the Mann–Whitney statistic: on the per-day (cents) frequency
+    * grid, DOUBLED average ranks are the exact integers 2·cum_before + t + 1
+    * (t = ties across both classes), so the doubled positive rank sum
+    * R2 = Σ p·r2 is exact BIGINT and 2U = R2 − 2·(n_pos(n_pos+1)/2). AUC =
+    * U / (n_pos·n_neg), one double division at the end. Scale: the fact
+    * table collapses to the (day, cents) grid map-side; the ordered pass
+    * runs per day, so parallelism = #days.
+    */
+  def auc(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("ts").cast("date").as("day"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("x"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy("day", "x")
+      .agg(count(lit(1)).as("t"), sum(col("p")).as("np"))
+    val wprev = Window.partitionBy("day").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val ranked = grid.select(col("day"), col("t"), col("np"),
+      (coalesce(sum(col("t")).over(wprev), lit(0L)) * 2L + col("t") + 1L).as("r2"))
+    ranked.groupBy("day")
+      .agg(sum(col("np")).as("n_pos"), (sum(col("t")) - sum(col("np"))).as("n_neg"),
+        sum(col("np") * col("r2")).as("rp2"))
+      .filter(col("n_pos") > 0L && col("n_neg") > 0L) // a one-class day has no AUC
+      .select(col("day"), col("n_pos"), col("n_neg"),
+        r6((col("rp2") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))).as("auc"))
+  }
+
+  def aucOracle: String =
+    s"""WITH grid AS (
+       |  SELECT CAST(ts AS DATE) AS day, CAST(floor(value*1e2 + 0.5) AS BIGINT) AS x,
+       |         count(*) AS t,
+       |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np
+       |  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT day, t, np,
+       |         CAST(coalesce(sum(t) OVER (PARTITION BY day ORDER BY x
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)*2 + t + 1 AS r2
+       |  FROM grid
+       |), agg AS (
+       |  SELECT day, CAST(sum(np) AS BIGINT) AS n_pos,
+       |         CAST(sum(t) - sum(np) AS BIGINT) AS n_neg,
+       |         CAST(sum(np*r2) AS BIGINT) AS rp2
+       |  FROM ranked GROUP BY 1
+       |)
+       |SELECT day, n_pos, n_neg,
+       |       ${sqlR6("CAST(rp2 - n_pos*(n_pos + 1) AS DOUBLE)/(2.0*CAST(n_pos AS DOUBLE)*CAST(n_neg AS DOUBLE))")} AS auc
+       |FROM agg WHERE n_pos > 0 AND n_neg > 0 ORDER BY day""".stripMargin
+
+  // ---------------- ranking quality: gains / lift ----------------
+
+  /** Decile gains table — events ranked by score (value DESC, event_id as
+    * the deterministic tiebreak), cut into 10 equal-count bins; per bin the
+    * purchase rate, cumulative capture share and lift vs the global rate.
+    * The chart a targeting model is judged by when AUC alone is too coarse.
+    *
+    * The ntile runs on a total order (score is cents, tiebreak event_id), so
+    * bin membership is identical in both engines. Scale note: a global
+    * ntile is a single-partition sort; the production form at extreme n is
+    * the rank-histogram cut (`ts_value_quantiles_scalable` pattern) — at
+    * eval-set sizes (≤ tens of millions) the direct form is the right plan.
+    */
+  def scoreLift(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.events(spark, dir)
+      .select(floor(col("value") * 1e2 + 0.5).cast("long").as("x"),
+        col("event_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+    val wd = Window.orderBy(col("x").desc, col("event_id").asc)
+    val binned = scored.withColumn("decile", ntile(10).over(wd))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("n_pos"))
+    val tot = binned.agg(sum(col("n")).as("tot_n"), sum(col("n_pos")).as("tot_pos"))
+    val wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    binned.crossJoin(broadcast(tot))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wcum))
+      .select(col("decile"), col("n"), col("n_pos"),
+        r6(col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"),
+        r6(col("cum_pos").cast("double") / col("tot_pos").cast("double")).as("cum_capture"),
+        r6(col("n_pos").cast("double") / col("n").cast("double") /
+          (col("tot_pos").cast("double") / col("tot_n").cast("double"))).as("lift"))
+  }
+
+  def scoreLiftOracle: String =
+    s"""WITH scored AS (
+       |  SELECT CAST(floor(value*1e2 + 0.5) AS BIGINT) AS x, event_id,
+       |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+       |  FROM events
+       |), binned AS (
+       |  SELECT ntile(10) OVER (ORDER BY x DESC, event_id ASC) AS decile, p FROM scored
+       |), g AS (
+       |  SELECT decile, count(*) AS n, CAST(sum(p) AS BIGINT) AS n_pos FROM binned GROUP BY 1
+       |), t AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n, CAST(sum(n_pos) AS BIGINT) AS tot_pos FROM g),
+       |c AS (
+       |  SELECT g.*, CAST(sum(n_pos) OVER (ORDER BY decile
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+       |  FROM g
+       |)
+       |SELECT decile, n, n_pos,
+       |       ${sqlR6("CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)")} AS pos_rate,
+       |       ${sqlR6("CAST(cum_pos AS DOUBLE)/CAST(tot_pos AS DOUBLE)")} AS cum_capture,
+       |       ${sqlR6("CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)/(CAST(tot_pos AS DOUBLE)/CAST(tot_n AS DOUBLE))")} AS lift
+       |FROM c, t ORDER BY decile""".stripMargin
+
+  // ---------------- exact heavy hitters (two-pass Misra–Gries) ----------------
+
+  /** Heavy-hitter rate: report users with event count > HhFactor × the mean
+    * (threshold n/k with k = ⌊4u/5⌋ counters, i.e. 1.25× mean). */
+  val HhNum = 4
+  val HhDen = 5
+
+  /** Per-partition Misra–Gries summary with k counters over an iterator of
+    * keys. Retains every item whose in-partition frequency exceeds
+    * (partition size)/k — the guarantee the candidate union relies on.
+    */
+  private[graft] def misraGries(it: Iterator[Long], k: Int): Iterator[Long] = {
+    val counters = scala.collection.mutable.HashMap.empty[Long, Long]
+    it.foreach { key =>
+      counters.get(key) match {
+        case Some(c) => counters.update(key, c + 1L)
+        case None if counters.size < k => counters.update(key, 1L)
+        case None =>
+          // decrement-all step; drop zeros
+          val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+          counters.foreach { case (kk, c) =>
+            if (c == 1L) dead += kk else counters.update(kk, c - 1L)
+          }
+          dead.foreach(counters.remove)
+      }
+    }
+    counters.keysIterator.toSeq.iterator
+  }
+
+  /** Exact heavy hitters via the two-pass Misra–Gries pattern — the
+    * distributed form of "which keys exceed n/k": pass 1 runs a k-counter
+    * Misra–Gries summary PER PARTITION (bounded memory, one scan, no
+    * shuffle); any key with global count > n/k must exceed n_p/k in some
+    * partition (pigeonhole), so the union of per-partition survivors is a
+    * guaranteed superset. Pass 2 recounts ONLY the candidates exactly
+    * (broadcast semi-join — the candidate set is ≤ k × partitions rows) and
+    * applies the exact threshold, so the OUTPUT is exact and deterministic
+    * even though the intermediate summaries depend on partition layout.
+    * At 100 TB this is the plan: the raw stream is never shuffled, only
+    * candidates are.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = Tables.events(spark, dir).select(col("user_id"))
+    val stats = keys.agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
+      .collect()(0) // 1 row: corpus size + key cardinality, sets k
+    val n = stats.getLong(0)
+    val k = math.max(1L, stats.getLong(1) * HhNum / HhDen)
+    val thr = n.toDouble / k.toDouble
+    val cands = keys.as[Long].mapPartitions(it => misraGries(it, k.toInt))
+      .toDF("user_id").distinct()
+    keys.join(broadcast(cands), "user_id")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events").cast("double") > thr)
+      .withColumn("threshold", r6(lit(thr)))
+  }
+
+  def heavyHittersOracle: String =
+    s"""WITH t AS (
+       |  SELECT count(*) AS n, count(DISTINCT user_id) AS u FROM events
+       |), thr AS (
+       |  SELECT CAST(n AS DOUBLE)/CAST(greatest(1, u*$HhNum//$HhDen) AS DOUBLE) AS thr FROM t
+       |)
+       |SELECT user_id, count(*) AS n_events, ${sqlR6("max(thr.thr)")} AS threshold
+       |FROM events, thr GROUP BY user_id, thr.thr
+       |HAVING CAST(count(*) AS DOUBLE) > thr.thr
+       |ORDER BY user_id""".stripMargin
+
+  // ---------------- interval union: activity coverage ----------------
+
+  /** Activity interval length: each event opens a [ts, ts+300s) window. */
+  val CoverageSec = 300L
+
+  /** Per-user activity coverage — overlapping [ts, ts+300s) event windows
+    * merged into maximal islands (the classic gaps-and-islands union): a new
+    * island starts when the event's start exceeds the running max end of
+    * everything before it; union seconds = Σ island (max end − min start).
+    * All arithmetic in integer epoch seconds, exact in both engines. Scale:
+    * one (user, second) dedup agg map-side, ordered pass per user.
+    */
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("s"))
+      .groupBy("user_id", "s").agg(count(lit(1)).as("n_ev"))
+    val wprev = Window.partitionBy("user_id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    // epoch seconds are positive, so -1 is a safe "no previous interval" sentinel
+    val flagged = ev.withColumn("prev_end",
+      coalesce(max(col("s") + CoverageSec).over(wprev), lit(-1L)))
+      .withColumn("new_island", (col("s") > col("prev_end")).cast("long"))
+    val wisl = Window.partitionBy("user_id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    flagged.withColumn("island", sum(col("new_island")).over(wisl))
+      .groupBy("user_id", "island")
+      .agg((max(col("s") + CoverageSec) - min(col("s"))).as("len"),
+        sum(col("n_ev")).as("n_ev"))
+      .groupBy("user_id")
+      .agg(sum(col("len")).as("active_seconds"),
+        count(lit(1)).as("n_islands"), sum(col("n_ev")).as("n_events"))
+  }
+
+  def intervalUnionOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, count(*) AS n_ev
+       |  FROM events GROUP BY 1, 2
+       |), flagged AS (
+       |  SELECT user_id, s, n_ev,
+       |         CASE WHEN s > coalesce(max(s + $CoverageSec) OVER (PARTITION BY user_id ORDER BY s
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_island
+       |  FROM ev
+       |), isl AS (
+       |  SELECT user_id, s, n_ev,
+       |         CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY s
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+       |  FROM flagged
+       |), per AS (
+       |  SELECT user_id, island, max(s + $CoverageSec) - min(s) AS len,
+       |         CAST(sum(n_ev) AS BIGINT) AS n_ev
+       |  FROM isl GROUP BY 1, 2
+       |)
+       |SELECT user_id, CAST(sum(len) AS BIGINT) AS active_seconds,
+       |       count(*) AS n_islands, CAST(sum(n_ev) AS BIGINT) AS n_events
+       |FROM per GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  // ---------------- OHLC bars ----------------
+
+  /** Per-(event_type, day) OHLC bars — the resampling every monitoring
+    * dashboard runs on a value stream: open/close by the deterministic
+    * (ts, event_id) order, high/low from exact cents, volume and mean. The
+    * open/close come from a windowed first_value over the total order (the
+    * same rows both engines pick), the rest are plain hash aggs.
+    */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast("date").as("day"),
+        col("ts"), col("event_id"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"))
+    val wAsc = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wDesc = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ev.withColumn("open_c", first(col("c")).over(wAsc))
+      .withColumn("close_c", first(col("c")).over(wDesc))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("volume"),
+        r6(first(col("open_c")).cast("double") / 1e2).as("open"),
+        r6(max(col("c")).cast("double") / 1e2).as("high"),
+        r6(min(col("c")).cast("double") / 1e2).as("low"),
+        r6(first(col("close_c")).cast("double") / 1e2).as("close"),
+        r6(sum(col("c")).cast("double") / 1e2 / count(lit(1)).cast("double")).as("mean"))
+  }
+
+  def ohlcBarsOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+       |         CAST(floor(value*1e2 + 0.5) AS BIGINT) AS c
+       |  FROM events
+       |), w AS (
+       |  SELECT event_type, day, c,
+       |         first_value(c) OVER (PARTITION BY event_type, day ORDER BY ts ASC, event_id ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open_c,
+       |         first_value(c) OVER (PARTITION BY event_type, day ORDER BY ts DESC, event_id DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_c
+       |  FROM ev
+       |)
+       |SELECT event_type, day, count(*) AS volume,
+       |       ${sqlR6("CAST(max(open_c) AS DOUBLE)/1e2")} AS open,
+       |       ${sqlR6("CAST(max(c) AS DOUBLE)/1e2")} AS high,
+       |       ${sqlR6("CAST(min(c) AS DOUBLE)/1e2")} AS low,
+       |       ${sqlR6("CAST(max(close_c) AS DOUBLE)/1e2")} AS close,
+       |       ${sqlR6("CAST(sum(c) AS DOUBLE)/1e2/CAST(count(*) AS DOUBLE)")} AS mean
+       |FROM w GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
+
+  // ---------------- column profiler ----------------
+
+  /** Per-column profile over events — null fraction, distinct count, Shannon
+    * entropy and top-value share for each of (event_type, props, user_id,
+    * value-as-cents): the expectations pass an ingest gate runs before any
+    * downstream job trusts the column. One scan melts the four columns
+    * (narrow 4× fan-out, no shuffle), then a (column, value) agg feeds the
+    * per-column rollup; entropy terms come from exact BIGINT counts.
+    */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val melted = Tables.events(spark, dir)
+      .select(expr(
+        """stack(4,
+          |  'event_type', event_type,
+          |  'props', props,
+          |  'user_id', cast(user_id as string),
+          |  'value_cents', cast(cast(floor(value*1e2 + 0.5) as long) as string)
+          |) as (col_name, val)""".stripMargin))
+    val counts = melted.groupBy("col_name", "val").agg(count(lit(1)).as("c"))
+    val perCol = counts.groupBy("col_name")
+      .agg(sum(col("c")).as("n_total"),
+        sum(when(col("val").isNull, col("c")).otherwise(lit(0L))).as("n_null"),
+        sum(when(col("val").isNotNull, lit(1L)).otherwise(lit(0L))).as("n_distinct"),
+        max(when(col("val").isNotNull, col("c"))).as("top_c"),
+        sum(when(col("val").isNotNull,
+          fx9(col("c").cast("double") * log(col("c").cast("double"))))
+          .otherwise(lit(0L))).as("clogc_fx"))
+    perCol.select(col("col_name"), col("n_total"), col("n_null"), col("n_distinct"),
+      r6(col("n_null").cast("double") / col("n_total").cast("double")).as("null_frac"),
+      r6(col("top_c").cast("double") /
+        (col("n_total") - col("n_null")).cast("double")).as("top_share"),
+      // H = ln m − (Σ c·ln c)/m over non-null counts, m = n_total − n_null
+      r6(log((col("n_total") - col("n_null")).cast("double")) -
+        (col("clogc_fx").cast("double") / 1e9) /
+          (col("n_total") - col("n_null")).cast("double")).as("entropy_nats"))
+  }
+
+  def columnProfileOracle: String =
+    s"""WITH melted AS (
+       |  SELECT 'event_type' AS col_name, event_type AS val FROM events
+       |  UNION ALL SELECT 'props', props FROM events
+       |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+       |  UNION ALL SELECT 'value_cents', CAST(CAST(floor(value*1e2 + 0.5) AS BIGINT) AS VARCHAR) FROM events
+       |), counts AS (
+       |  SELECT col_name, val, count(*) AS c FROM melted GROUP BY 1, 2
+       |), per AS (
+       |  SELECT col_name,
+       |         CAST(sum(c) AS BIGINT) AS n_total,
+       |         CAST(sum(CASE WHEN val IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_null,
+       |         CAST(sum(CASE WHEN val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct,
+       |         CAST(max(CASE WHEN val IS NOT NULL THEN c END) AS BIGINT) AS top_c,
+       |         CAST(sum(CASE WHEN val IS NOT NULL THEN ${sqlFx9("CAST(c AS DOUBLE)*ln(CAST(c AS DOUBLE))")} ELSE 0 END) AS BIGINT) AS clogc_fx
+       |  FROM counts GROUP BY 1
+       |)
+       |SELECT col_name, n_total, n_null, n_distinct,
+       |       ${sqlR6("CAST(n_null AS DOUBLE)/CAST(n_total AS DOUBLE)")} AS null_frac,
+       |       ${sqlR6("CAST(top_c AS DOUBLE)/CAST(n_total - n_null AS DOUBLE)")} AS top_share,
+       |       ${sqlR6("ln(CAST(n_total - n_null AS DOUBLE)) - (CAST(clogc_fx AS DOUBLE)/1e9)/CAST(n_total - n_null AS DOUBLE)")} AS entropy_nats
+       |FROM per ORDER BY col_name""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_auc" -> ((s, d) => auc(s, d).orderBy("day")),
+    "events_score_lift" -> ((s, d) => scoreLift(s, d).orderBy("decile")),
+    "events_heavy_hitters" -> ((s, d) => heavyHitters(s, d).orderBy("user_id")),
+    "events_interval_union" -> ((s, d) => intervalUnion(s, d).orderBy("user_id")),
+    "events_ohlc_bars" -> ((s, d) => ohlcBars(s, d).orderBy("event_type", "day")),
+    "events_column_profile" -> ((s, d) => columnProfile(s, d).orderBy("col_name"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "events_auc" -> aucOracle,
+    "events_score_lift" -> scoreLiftOracle,
+    "events_heavy_hitters" -> heavyHittersOracle,
+    "events_interval_union" -> intervalUnionOracle,
+    "events_ohlc_bars" -> ohlcBarsOracle,
+    "events_column_profile" -> columnProfileOracle
+  )
+}

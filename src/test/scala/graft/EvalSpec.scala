@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.EvalOps
+import org.apache.spark.sql.functions._
+
+/** The two-pass heavy-hitter operator leans on one mathematical guarantee:
+  * a k-counter Misra–Gries summary retains EVERY item whose frequency in the
+  * scanned stream exceeds n/k. If that holds per partition, the pigeonhole
+  * argument makes the union of partition summaries a superset of the global
+  * heavy hitters, and the exact recount pass makes the output exact. These
+  * tests pin the guarantee on adversarial streams, and the end-to-end
+  * operator against a brute-force recount.
+  */
+class EvalSpec extends SparkSpec {
+
+  private def mg(xs: Seq[Long], k: Int): Set[Long] =
+    EvalOps.misraGries(xs.iterator, k).toSet
+
+  test("misra-gries retains every item with freq > n/k (skewed stream)") {
+    // 3 heavy items at ~20% each drowned in 1000 distinct singletons,
+    // heavy occurrences placed worst-case: all AFTER the singleton flood
+    val singles = (1000L to 1999L).toSeq
+    val heavy = Seq.fill(250)(1L) ++ Seq.fill(250)(2L) ++ Seq.fill(250)(3L)
+    val stream = singles ++ heavy
+    val n = stream.size
+    for (k <- Seq(10, 50, 100)) {
+      val out = mg(stream, k)
+      val musts = stream.groupBy(identity).filter(_._2.size > n / k).keySet
+      assert(musts.subsetOf(out), s"k=$k missing ${musts -- out}")
+    }
+  }
+
+  test("misra-gries summary size never exceeds k") {
+    val stream = (1L to 5000L) ++ (1L to 5000L).map(_ % 7L)
+    for (k <- Seq(1, 3, 17)) assert(mg(stream, k).size <= k)
+  }
+
+  test("heavy hitters output equals the brute-force recount") {
+    val got = EvalOps.heavyHitters(spark, sf)
+      .select("user_id", "n_events").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    val u = ev.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    val thr = n.toDouble / math.max(1L, u * EvalOps.HhNum / EvalOps.HhDen)
+    val want = ev.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .filter(_._2.toDouble > thr).toMap
+    assert(got == want)
+    assert(want.nonEmpty, "fixture should produce at least one heavy hitter")
+  }
+}
