@@ -748,7 +748,74 @@ object Dedup {
       .groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"))
 
+  /** Blocking key for the edit-distance detector: normalized-text prefix
+    * length and the length-bucket width. */
+  val EditBlockPrefix = 16
+  val EditLenBucket = 32
+  /** Edit-distance accept threshold (absolute edits on normalized text). */
+  val EditMaxDist = 8
+  /** Degenerate-block guard, same stance as [[MaxBandBucket]]: a block that
+    * collects mass-duplicated boilerplate would make the within-block join
+    * quadratic; such text is exact-dedup's job. Fixture max block: 4. */
+  val MaxEditBlock = 64
+
+  /** Near-dup pairs by LEVENSHTEIN edit distance with sorted-key blocking —
+    * the character-level detector next to the token-level ones (minhash,
+    * simhash, n-gram Jaccard): it catches small in-place edits (typo fixes,
+    * token substitutions) that token-set detectors under-weight, and its
+    * absolute-edit threshold is what content-moderation and plagiarism
+    * pipelines specify. Candidates are blocked on (16-char normalized
+    * prefix, length//32): two docs within 8 edits of each other that DON'T
+    * share the prefix block are possible (an edit in the first 16 chars) —
+    * the standard recall trade of prefix blocking, bounded by running the
+    * same operator on a second key (suffix or mid-window) exactly like the
+    * multi-band LSH family does. O(len²) DP runs only inside blocks (max
+    * block 4 here, guarded at [[MaxEditBlock]]); normalized text shuffles
+    * once on the block key — at 100 TB the same plan holds because block
+    * cardinality grows with the corpus while block SIZE stays boilerplate-
+    * bounded.
+    */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        substring(col("t"), 1, EditBlockPrefix).as("pfx"),
+        floor(length(col("t")).cast("double") / EditLenBucket).cast("long").as("lb"))
+    val bcnt = d.groupBy("pfx", "lb").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= MaxEditBlock)
+    val blocked = d.join(bcnt.select("pfx", "lb"), Seq("pfx", "lb"))
+    blocked.select(col("pfx"), col("lb"), col("doc_id").as("doc_a"), col("t").as("ta"))
+      .join(blocked.select(col("pfx"), col("lb"), col("doc_id").as("doc_b"), col("t").as("tb")),
+        Seq("pfx", "lb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("edit_dist") <= EditMaxDist)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        r6(lit(1.0) - col("edit_dist").cast("double") /
+          greatest(length(col("ta")), length(col("tb"))).cast("double")).as("similarity"))
+  }
+
+  def editDistancePairsOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents
+       |), k AS (
+       |  SELECT doc_id, t, substr(t, 1, $EditBlockPrefix) AS pfx, len(t)//$EditLenBucket AS lb FROM d
+       |), bcnt AS (
+       |  SELECT pfx, lb FROM k GROUP BY 1, 2 HAVING count(*) <= $MaxEditBlock
+       |), blocked AS (
+       |  SELECT k.* FROM k JOIN bcnt USING (pfx, lb)
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+       |       ${sqlR6("1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)/CAST(greatest(len(a.t), len(b.t)) AS DOUBLE)")} AS similarity
+       |FROM blocked a JOIN blocked b ON a.pfx = b.pfx AND a.lb = b.lb AND a.doc_id < b.doc_id
+       |WHERE levenshtein(a.t, b.t) <= $EditMaxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_edit_distance" -> ((s, d) => editDistancePairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_cluster_sizes" -> ((s, d) => clusterSizeHist(s, d).orderBy("cluster_size")),
     "dedup_exact" -> ((s, d) => exact(s, d).orderBy("doc_id")),
     "dedup_canonical" -> ((s, d) => canonical(s, d).orderBy("doc_id")),
@@ -767,6 +834,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "dedup_edit_distance" -> editDistancePairsOracle,
     "dedup_exact" ->
       """SELECT doc_id,
         |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

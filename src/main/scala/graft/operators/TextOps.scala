@@ -544,7 +544,63 @@ object TextOps {
        |FROM st
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Collocation reporting floor: pairs below this joint count are noise
+    * (PMI's low-count bias is the classic failure of the raw statistic). */
+  val PmiMinCount = 5
+  val PmiTopK = 50
+
+  /** Top adjacent-word collocations by pointwise mutual information — the
+    * phrase-discovery pass (Church & Hanks 1990) a tokenizer-training or
+    * phrase-mining pipeline runs before deciding merge candidates:
+    * PMI(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) ) over the adjacent-pair
+    * space, with marginals taken over the SAME pair relation (left-position
+    * and right-position counts), so the three counts and N are one exact
+    * BIGINT family. The min-count floor removes PMI's low-frequency bias;
+    * ranking uses the r6-rounded score with a (w1, w2) tiebreak so both
+    * engines rank identical values.
+    *
+    * Scale: the pair expansion is narrow (sequence + element_at over the
+    * in-row array); everything after is vocabulary²-bounded hash aggs, and
+    * the final top-k is a TakeOrdered, never a global sort.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(spark, dir).select(words.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint(eager = true) // feeds joint + both marginals + N
+    val joint = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= PmiMinCount)
+    val left = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val right = pairs.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val tot = pairs.agg(count(lit(1)).as("n"))
+    joint.join(left, "w1").join(right, "w2").crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        r6(log(col("c12").cast("double") * col("n").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double")))).as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2")).limit(PmiTopK)
+  }
+
+  def pmiCollocationsOracle: String =
+    s"""WITH w AS (SELECT $wordsSql AS ws FROM documents),
+       |pairs AS (
+       |  SELECT ws[g.i] AS w1, ws[g.i + 1] AS w2
+       |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+       |  WHERE len(ws) >= 2
+       |), joint AS (
+       |  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2 HAVING count(*) >= $PmiMinCount
+       |), lft AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+       |rgt AS (SELECT w2, count(*) AS c2 FROM pairs GROUP BY 1),
+       |tot AS (SELECT count(*) AS n FROM pairs)
+       |SELECT j.w1, j.w2, j.c12, l.c1, r.c2,
+       |       ${sqlR6("ln(CAST(j.c12 AS DOUBLE)*CAST(t.n AS DOUBLE)/(CAST(l.c1 AS DOUBLE)*CAST(r.c2 AS DOUBLE)))")} AS pmi
+       |FROM joint j JOIN lft l USING (w1) JOIN rgt r USING (w2), tot t
+       |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pmi_collocations" -> ((s, d) => pmiCollocations(s, d)),
     "docs_rag_chunks" -> ((s, d) => ragChunks(s, d).orderBy("doc_id", "chunk_idx")),
     "text_langid_confusion" -> ((s, d) => langIdConfusion(s, d).orderBy("lang", "pred_lang")),
     "text_lexical_diversity" -> ((s, d) => lexicalDiversity(s, d).orderBy("doc_id")),
@@ -562,6 +618,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_pmi_collocations" -> pmiCollocationsOracle,
     "docs_rag_chunks" -> ragChunksOracle,
     "text_langid_confusion" -> langIdConfusionOracle,
     "text_lexical_diversity" -> lexicalDiversityOracle,

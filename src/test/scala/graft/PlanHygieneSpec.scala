@@ -87,6 +87,7 @@ class PlanHygieneSpec extends SparkSpec {
       "events_weighted_sample", // A-ES weighted draw: top-K smallest keys
       "graph_pagerank",         // top-100 ranks
       "market_basket_pairs",    // top-50 by support
+      "text_pmi_collocations",  // top-50 by PMI
       "tpch_q18")               // top-100 orders
     val bad = mustTakeOrdered.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
