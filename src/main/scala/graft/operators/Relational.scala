@@ -1897,7 +1897,135 @@ object Relational {
        |WHERE d.degree >= 2
        |ORDER BY p_partkey""".stripMargin
 
+  /** K-hop seed count: the [[KhopSeeds]] smallest node ids in the strong
+    * graph anchor the reachability probe. */
+  val KhopSeeds = 10
+
+  /** Strong co-purchase edge list (support ≥ [[TriMinSupport]]), stored once
+    * per unordered pair as (a < b) — the shared substrate of [[triangles]],
+    * [[kHop]] and [[degreeStats]]. */
+  private def strongEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    li.toDF("o", "a")
+      .join(li.toDF("o", "b"), "o")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= TriMinSupport)
+      .select("a", "b")
+  }
+
+  /** 2-hop reachability from the [[KhopSeeds]] smallest nodes of the strong
+    * co-purchase graph — the frontier-expansion BFS primitive (friends-of-
+    * friends, recommendation candidate generation) as two join rounds:
+    * adjacency is the symmetrized edge list, hop 1 = seeds ⋈ adj, hop 2 =
+    * frontier ⋈ adj, and the reach set is the DISTINCT union minus the seed
+    * itself. The seed list broadcasts (bounded), so hop joins shuffle only
+    * the adjacency stream; at 100 TB each hop is the standard Pregel
+    * superstep with frontier dedup between rounds.
+    */
+  def kHop(spark: SparkSession, dir: String): DataFrame = {
+    val e = strongEdges(spark, dir).localCheckpoint(true)
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val seeds = adj.select(col("u")).distinct().orderBy("u").limit(KhopSeeds)
+      .select(col("u").as("seed"))
+    val hop1 = adj.join(broadcast(seeds), col("u") === col("seed"))
+      .select(col("seed"), col("v")).distinct()
+      .localCheckpoint(true) // frontier feeds the count AND the next hop
+    val hop2 = hop1.select(col("seed"), col("v").as("u"))
+      .join(adj, "u")
+      .select(col("seed"), col("v"))
+    val reach = hop1.unionAll(hop2).filter(col("v") =!= col("seed")).distinct()
+      .groupBy("seed").agg(count(lit(1)).as("n_within_2"))
+    hop1.groupBy("seed").agg(count(lit(1)).as("n_1hop"))
+      .join(reach, "seed")
+      .select(col("seed").as("p_partkey"), col("n_1hop"), col("n_within_2"))
+  }
+
+  def kHopOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT x.p AS a, y.p AS b FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport
+       |), adj AS (
+       |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+       |), seeds AS (
+       |  SELECT u AS seed FROM adj GROUP BY 1 ORDER BY u LIMIT $KhopSeeds
+       |), hop1 AS (
+       |  SELECT DISTINCT s.seed, a.v FROM adj a JOIN seeds s ON a.u = s.seed
+       |), hop2 AS (
+       |  SELECT h.seed, a.v FROM hop1 h JOIN adj a ON a.u = h.v
+       |), reach AS (
+       |  SELECT seed, count(*) AS n_within_2 FROM (
+       |    SELECT DISTINCT seed, v FROM (SELECT * FROM hop1 UNION ALL SELECT * FROM hop2)
+       |    WHERE v <> seed)
+       |  GROUP BY 1
+       |)
+       |SELECT h.seed AS p_partkey, count(*) AS n_1hop, max(r.n_within_2) AS n_within_2
+       |FROM hop1 h JOIN reach r USING (seed)
+       |GROUP BY h.seed ORDER BY p_partkey""".stripMargin
+
+  /** Degree histogram + degree assortativity of the strong co-purchase
+    * graph — the two shape dials a graph pipeline checks before running
+    * anything iterative on it (a heavy-tailed histogram means salting the
+    * hot nodes; negative assortativity means hubs touch leaves, the usual
+    * retail shape). Assortativity is Newman's degree-correlation r: the
+    * Pearson correlation of (deg u, deg v) over DIRECTED edge endpoints
+    * (each undirected edge counted both ways, which makes the two marginals
+    * identical) — five exact BIGINT sums; degrees are integers so every
+    * term is exact, one double formula at the end, r6-rounded. The
+    * histogram rides the same degree relation; edges shuffle once.
+    */
+  def degreeStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = strongEdges(spark, dir).localCheckpoint(true)
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val pairs = e
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+      .select(col("da"), col("db"))
+    // both directions: marginals of j and k coincide by construction
+    val sums = pairs.select(col("da").as("j"), col("db").as("k"))
+      .unionAll(pairs.select(col("db").as("j"), col("da").as("k")))
+      .agg(count(lit(1)).as("m2"), sum(col("j")).as("sj"),
+        sum(col("j") * col("j")).as("sjj"), sum(col("j") * col("k")).as("sjk"))
+    val rNum = col("m2").cast("double") * col("sjk").cast("double") -
+      col("sj").cast("double") * col("sj").cast("double")
+    val rDen = col("m2").cast("double") * col("sjj").cast("double") -
+      col("sj").cast("double") * col("sj").cast("double")
+    deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(sums))
+      .select(col("degree"), col("n_nodes"), r6(rNum / rDen).as("assortativity"))
+  }
+
+  def degreeStatsOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT x.p AS a, y.p AS b FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport
+       |), deg AS (
+       |  SELECT node, count(*) AS degree FROM (
+       |    SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+       |), pairs AS (
+       |  SELECT da.degree AS j, db.degree AS k
+       |  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+       |), bdir AS (
+       |  SELECT j, k FROM pairs UNION ALL SELECT k, j FROM pairs
+       |), sums AS (
+       |  SELECT count(*) AS m2, CAST(sum(j) AS BIGINT) AS sj,
+       |         CAST(sum(j*j) AS BIGINT) AS sjj, CAST(sum(j*k) AS BIGINT) AS sjk
+       |  FROM bdir
+       |)
+       |SELECT d.degree, count(*) AS n_nodes,
+       |       ${sqlR6("(CAST(m2 AS DOUBLE)*CAST(sjk AS DOUBLE) - CAST(sj AS DOUBLE)*CAST(sj AS DOUBLE)) / (CAST(m2 AS DOUBLE)*CAST(sjj AS DOUBLE) - CAST(sj AS DOUBLE)*CAST(sj AS DOUBLE))")} AS assortativity
+       |FROM deg d, sums GROUP BY d.degree, sums.m2, sums.sj, sums.sjj, sums.sjk
+       |ORDER BY degree""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_khop" -> ((s, d) => kHop(s, d).orderBy("p_partkey")),
+    "graph_degree_stats" -> ((s, d) => degreeStats(s, d).orderBy("degree")),
     "events_props_json" -> ((s, d) => propsJsonStats(s, d).orderBy("event_type")),
     "events_cube" -> ((s, d) => eventsCube(s, d).orderBy("gid", "event_type", "event_date")),
     "tpch_q1" -> ((s, d) => q1(s, d).orderBy("l_returnflag", "l_linestatus")),
@@ -1975,6 +2103,8 @@ object Relational {
     "tpch_q15" -> q15Oracle,
     "tpch_q20" -> q20Oracle,
     "graph_pagerank" -> pageRankOracle,
+    "graph_khop" -> kHopOracle,
+    "graph_degree_stats" -> degreeStatsOracle,
     "customers_rfm" -> rfmOracle,
     "star_integrity_audit" -> integrityAuditOracle,
     "customers_revenue_gini" -> revenueGiniOracle,
