@@ -319,7 +319,144 @@ object StatsOps {
        |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
        |ORDER BY g.user_id, g.day""".stripMargin
 
+  /** Per-series partial autocorrelation at lags 1..3 via the Durbin–Levinson
+    * recursion over the already-oracled ACF (`ts_autocorr`) — the AR-order
+    * diagnostic read next to the ACF: φ11 = r1, φ22 = (r2−r1²)/(1−r1²),
+    * φ33 from the level-2 coefficients. Every intermediate is r6-rounded
+    * before reuse (the round-before-reuse rule), so both engines run the
+    * identical double recursion on identical rounded inputs. Cost: exactly
+    * the ACF pass (one shuffle on user_id) plus a per-row formula.
+    */
+  def pacf(spark: SparkSession, dir: String): DataFrame = {
+    val acf = EventsOps.autocorr(spark, dir)
+    val r1 = col("acf_1"); val r2 = col("acf_2"); val r3 = col("acf_3")
+    val p2 = r6((r2 - r1 * r1) / (lit(1.0) - r1 * r1))
+    val out = acf
+      .withColumn("pacf_1", r1)
+      .withColumn("pacf_2", p2)
+      .withColumn("phi21", r6(r1 - col("pacf_2") * r1))
+    out.withColumn("pacf_3",
+      r6((r3 - col("phi21") * r2 - col("pacf_2") * r1) /
+        (lit(1.0) - col("phi21") * r1 - col("pacf_2") * r2)))
+      .select("user_id", "n", "pacf_1", "pacf_2", "pacf_3")
+  }
+
+  def pacfOracle: String =
+    s"""WITH acf AS (${EventsOps.autocorrOracle.replace("ORDER BY user_id", "")}),
+       |lvl2 AS (
+       |  SELECT user_id, n, acf_1, acf_2, acf_3,
+       |         acf_1 AS pacf_1,
+       |         ${sqlR6("(acf_2 - acf_1*acf_1)/(1.0e0 - acf_1*acf_1)")} AS pacf_2
+       |  FROM acf
+       |), lvl2b AS (
+       |  SELECT *, ${sqlR6("acf_1 - pacf_2*acf_1")} AS phi21 FROM lvl2
+       |)
+       |SELECT user_id, n, pacf_1, pacf_2,
+       |       ${sqlR6("(acf_3 - phi21*acf_2 - pacf_2*acf_1)/(1.0e0 - phi21*acf_1 - pacf_2*acf_2)")} AS pacf_3
+       |FROM lvl2b ORDER BY user_id""".stripMargin
+
+  /** LTTB buckets per series (the downsample target size). */
+  val LttbBuckets = 30
+
+  /** Largest-triangle-three-buckets downsampling per user series — the
+    * standard visualization/summarization downsampler (Steinarsson 2013),
+    * in its parallel first-point-anchor variant: the canonical algorithm
+    * anchors each bucket's triangle on the PREVIOUSLY SELECTED point, which
+    * makes the walk serial; anchoring on the adjacent buckets' first points
+    * keeps the per-bucket argmax independent (one window pass), which is
+    * the form that parallelizes over a cluster. First and last buckets
+    * emit the series endpoints, middle buckets the point maximizing the
+    * exact doubled triangle area |(xa−xc)(y−ya) − (xa−x)(yc−ya)| on integer
+    * (epoch-second, cents) coordinates — all BIGINT, tiebreak (ts,
+    * event_id). One shuffle on user_id covers indexing, bucketing,
+    * anchors and the argmax.
+    */
+  def lttb(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wAll = Window.partitionBy("user_id")
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_timestamp(col("ts")).as("x"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("y"))
+      .withColumn("i", row_number().over(wOrd) - 1L)
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("bucket",
+        floor(col("i").cast("double") * LttbBuckets / col("n").cast("double")).cast("long"))
+    // first point of each bucket = the anchor the neighbours use
+    val wBucket = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    val withAnchor = base
+      .withColumn("bx", first(col("x")).over(wBucket))
+      .withColumn("by", first(col("y")).over(wBucket))
+    val anchors = withAnchor.select("user_id", "bucket", "bx", "by").distinct()
+    val wB = Window.partitionBy("user_id").orderBy("bucket")
+    val ctx = anchors
+      .withColumn("xa", lag(col("bx"), 1).over(wB))
+      .withColumn("ya", lag(col("by"), 1).over(wB))
+      .withColumn("xc", lead(col("bx"), 1).over(wB))
+      .withColumn("yc", lead(col("by"), 1).over(wB))
+      .select("user_id", "bucket", "xa", "ya", "xc", "yc")
+    val scored = base.join(ctx, Seq("user_id", "bucket"))
+      .withColumn("area2",
+        abs((col("xa") - col("xc")) * (col("y") - col("ya")) -
+          (col("xa") - col("x")) * (col("yc") - col("ya"))))
+    val wPick = Window.partitionBy("user_id", "bucket")
+      .orderBy(desc("area2"), asc("ts"), asc("event_id"))
+    val mids = scored.filter(col("xa").isNotNull && col("xc").isNotNull)
+      .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
+    // the endpoints live in each user's min/max bucket, which the anchor
+    // filter (xa/xc non-null) always excludes — no double emission
+    val ends = base.filter(col("i") === 0L || col("i") === col("n") - 1L)
+    mids.select(col("user_id"), col("bucket"), col("ts"), col("event_id"),
+      r6(col("y").cast("double") / 1e2).as("value"))
+      .unionAll(ends.select(col("user_id"), col("bucket"), col("ts"), col("event_id"),
+        r6(col("y").cast("double") / 1e2).as("value")))
+  }
+
+  def lttbOracle: String =
+    s"""WITH base AS (
+       |  SELECT user_id, ts, event_id,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS x,
+       |         CAST(floor(value*1e2 + 0.5) AS BIGINT) AS y,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+       |         count(*) OVER (PARTITION BY user_id) AS n
+       |  FROM events
+       |), bkt AS (
+       |  SELECT *, CAST(floor(CAST(i AS DOUBLE) * $LttbBuckets / CAST(n AS DOUBLE)) AS BIGINT) AS bucket
+       |  FROM base
+       |), firsts AS (
+       |  SELECT *, first_value(x) OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) AS bx,
+       |         first_value(y) OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) AS by
+       |  FROM bkt
+       |), anchors AS (
+       |  SELECT DISTINCT user_id, bucket, bx, by FROM firsts
+       |), ctx AS (
+       |  SELECT user_id, bucket,
+       |         lag(bx) OVER w AS xa, lag(by) OVER w AS ya,
+       |         lead(bx) OVER w AS xc, lead(by) OVER w AS yc
+       |  FROM anchors WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+       |), scored AS (
+       |  SELECT b.user_id, b.bucket, b.ts, b.event_id, b.y, b.i, b.n,
+       |         abs((c.xa - c.xc)*(b.y - c.ya) - (c.xa - b.x)*(c.yc - c.ya)) AS area2,
+       |         c.xa, c.xc
+       |  FROM bkt b JOIN ctx c ON c.user_id = b.user_id AND c.bucket = b.bucket
+       |), mids AS (
+       |  SELECT user_id, bucket, ts, event_id, y FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+       |             ORDER BY area2 DESC, ts, event_id) AS rk
+       |    FROM scored WHERE xa IS NOT NULL AND xc IS NOT NULL)
+       |  WHERE rk = 1
+       |), ends AS (
+       |  SELECT user_id, bucket, ts, event_id, y FROM bkt
+       |  WHERE i = 0 OR i = n - 1
+       |)
+       |SELECT user_id, bucket, ts, event_id, ${sqlR6("CAST(y AS DOUBLE)/1e2")} AS value FROM mids
+       |UNION ALL
+       |SELECT user_id, bucket, ts, event_id, ${sqlR6("CAST(y AS DOUBLE)/1e2")} AS value FROM ends
+       |ORDER BY user_id, bucket, ts, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_pacf" -> ((s, d) => pacf(s, d).orderBy("user_id")),
+    "ts_lttb" -> ((s, d) => lttb(s, d).orderBy("user_id", "bucket", "ts", "event_id")),
     "events_ks_test" -> ((s, d) => ksTest(s, d).orderBy("event_type")),
     "events_mannwhitney" -> ((s, d) => mannWhitney(s, d).orderBy("event_type")),
     "events_mix_shift" -> ((s, d) => mixShift(s, d).orderBy("event_type")),
@@ -328,6 +465,8 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "ts_pacf" -> pacfOracle,
+    "ts_lttb" -> lttbOracle,
     "events_ks_test" -> ksTestOracle,
     "events_mannwhitney" -> mannWhitneyOracle,
     "events_mix_shift" -> mixShiftOracle,
