@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Num._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the flagship composition of the LLM-pipeline
@@ -104,13 +105,69 @@ object Curation {
       .na.fill("ALL", Seq("source", "lang"))
   }
 
+  /** Keywords reported per cluster. */
+  val ClusterKeywordsK = 5
+
+  /** Top TF-IDF terms per IVF cell — the "what is each cluster about" labeling
+    * pass a topic-exploration or data-audit UI runs after clustering: docs
+    * joined to their (cached, shared) coarse-quantizer cell on the aligned
+    * id, term frequency aggregated per (cell, word), and idf taken over CELLS
+    * as the document unit (cf = number of cells containing the word — the
+    * standard cluster-labeling variant, which suppresses corpus-wide
+    * boilerplate exactly like document-idf suppresses stopwords). Ranking
+    * uses the r6-rounded score with a word tiebreak. Cross-modal shape:
+    * vectors never move — only the (vec_id, cell) pairs join the text scan.
+    */
+  def clusterKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val cells = PqOps.corpusCells(spark, dir).withColumnRenamed("vec_id", "doc_id")
+    val tf = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+      .join(cells, "doc_id")
+      .groupBy("cell", "word").agg(count(lit(1)).as("ctw"))
+      .localCheckpoint(eager = true) // feeds cf, ncell and the scored join
+    val cf = tf.groupBy("word").agg(count(lit(1)).as("cfc"))
+    val nc = tf.select("cell").distinct().agg(count(lit(1)).as("ncell"))
+    val scored = tf.join(cf, "word").crossJoin(broadcast(nc))
+      .withColumn("score",
+        r6(col("ctw").cast("double") *
+          log(col("ncell").cast("double") / col("cfc").cast("double"))))
+    val w = Window.partitionBy("cell").orderBy(desc("score"), asc("word"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ClusterKeywordsK)
+      .select("cell", "rank", "word", "ctw", "cfc", "score")
+  }
+
+  def clusterKeywordsOracle: String =
+    s"""WITH ${Similarity.flatSql},
+       |${Similarity.ivfBucketCtes},
+       |cells AS (SELECT vec_id AS doc_id, c AS cell FROM bkt),
+       |wds AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents
+       |), tf AS (
+       |  SELECT cell, word, count(*) AS ctw
+       |  FROM wds JOIN cells USING (doc_id) GROUP BY 1, 2
+       |), cf AS (SELECT word, count(*) AS cfc FROM tf GROUP BY 1),
+       |nc AS (SELECT count(DISTINCT cell) AS ncell FROM tf),
+       |scored AS (
+       |  SELECT t.cell, t.word, t.ctw, c.cfc,
+       |         ${sqlR6("CAST(t.ctw AS DOUBLE) * ln(CAST(n.ncell AS DOUBLE)/CAST(c.cfc AS DOUBLE))")} AS score
+       |  FROM tf t JOIN cf c USING (word), nc n
+       |)
+       |SELECT cell, rank, word, ctw, cfc, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY score DESC, word) AS rank
+       |  FROM scored)
+       |WHERE rank <= $ClusterKeywordsK
+       |ORDER BY cell, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_cluster_keywords" -> ((s, d) => clusterKeywords(s, d).orderBy("cell", "rank")),
     "docs_curated" -> ((s, d) => curated(s, d).orderBy("doc_id")),
     "docs_curation_report" -> ((s, d) => curationReport(s, d).orderBy("source", "lang")),
     "docs_training_manifest" -> ((s, d) => trainingManifest(s, d).orderBy("doc_id"))
   )
 
   def oracles: Map[String, String] = Map(
+    "docs_cluster_keywords" -> clusterKeywordsOracle,
     "docs_curated" -> (Dedup.minhashPairsSqlChain +
       s""",
          |${TextOps.qualityCteSql("qy")},
