@@ -1401,6 +1401,143 @@ object Relational {
        |WHERE NOT coalesce(d.tombstone, false)
        |ORDER BY user_id""".stripMargin
 
+  /** Snapshot data-diff — the reconciliation audit run after every CDC sync
+    * ("what did the merge actually change?"): the pre-cutoff keyed snapshot
+    * vs the merged current state, every key classified added / deleted /
+    * changed / unchanged, with the total absolute value drift for the
+    * changed class. Values compare as exact cents. Rides [[cdcMergeOf]];
+    * both sides are key-sized (one row per user) before the join, so the
+    * diff costs one more key-sized full outer join — the same shape a
+    * petabyte reconciliation has, because the event tables never re-enter.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    val base = ev.filter(col("ts") < lit(CdcCutoff).cast("timestamp"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), floor(col("value") * 1e2 + 0.5).cast("long").as("b_c"))
+    val merged = cdcMergeOf(ev)
+      .select(col("user_id"), floor(col("value") * 1e2 + 0.5).cast("long").as("m_c"))
+    val classed = base.join(merged, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("b_c").isNull, "added")
+          .when(col("m_c").isNull, "deleted")
+          .when(col("b_c") === col("m_c"), "unchanged")
+          .otherwise("changed").as("diff_class"),
+        when(col("b_c").isNotNull && col("m_c").isNotNull,
+          abs(col("m_c") - col("b_c"))).otherwise(lit(0L)).as("drift_c"))
+    classed.groupBy("diff_class")
+      .agg(count(lit(1)).as("n_keys"),
+        r6(sum(col("drift_c")).cast("double") / 1e2).as("abs_value_drift"))
+  }
+
+  def snapshotDiffOracle: String =
+    s"""WITH base AS (
+       |  SELECT user_id, CAST(floor(value*1e2 + 0.5) AS BIGINT) AS b_c FROM (
+       |    SELECT user_id, value,
+       |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts < TIMESTAMP '$CdcCutoff')
+       |  WHERE rn = 1
+       |), merged AS (
+       |  SELECT user_id, CAST(floor(value*1e2 + 0.5) AS BIGINT) AS m_c
+       |  FROM (${cdcMergeOracle.replace("ORDER BY user_id", "")})
+       |), classed AS (
+       |  SELECT CASE WHEN b.b_c IS NULL THEN 'added'
+       |              WHEN m.m_c IS NULL THEN 'deleted'
+       |              WHEN b.b_c = m.m_c THEN 'unchanged'
+       |              ELSE 'changed' END AS diff_class,
+       |         CASE WHEN b.b_c IS NOT NULL AND m.m_c IS NOT NULL
+       |              THEN abs(m.m_c - b.b_c) ELSE 0 END AS drift_c
+       |  FROM base b FULL OUTER JOIN merged m ON m.user_id = b.user_id
+       |)
+       |SELECT diff_class, count(*) AS n_keys,
+       |       ${sqlR6("CAST(sum(drift_c) AS DOUBLE)/1e2")} AS abs_value_drift
+       |FROM classed GROUP BY 1 ORDER BY diff_class""".stripMargin
+
+  /** Path length cap and report size for [[sessionPaths]]. */
+  val PathMaxEvents = 5
+  val PathTopK = 20
+
+  /** Top session paths — the "what do users actually do" sequence readout of
+    * product analytics: each 30-min-gap session reduced to its first
+    * [[PathMaxEvents]] event types in time order, joined with '>', counted
+    * across all sessions, top [[PathTopK]]. The per-session sequence is
+    * assembled with sort_array(collect_list(struct(ts, event_id, type))) —
+    * a deterministic total order, NOT collect_list alone (whose order is
+    * partition-arrival and irreproducible). Scale: sessions collapse
+    * map-side after one user_id shuffle; the path table is
+    * distinct-paths-sized; the report is a TakeOrdered.
+    */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMin = (col("ts").cast("double") - col("prev_ts").cast("double")) / 60.0
+    val sess = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || gapMin > 30.0, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "session_seq")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(array_join(
+        transform(slice(col("evs"), 1, PathMaxEvents), e => e.getField("event_type")),
+        ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path")).limit(PathTopK)
+  }
+
+  def sessionPathsOracle: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR (epoch(ts) - epoch(lag(ts) OVER w))/60.0 > 30.0
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sess AS (
+       |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+       |  FROM marked
+       |), paths AS (
+       |  SELECT array_to_string(
+       |           (list(event_type ORDER BY ts, event_id))[1:$PathMaxEvents], '>') AS path
+       |  FROM sess GROUP BY user_id, session_seq
+       |)
+       |SELECT path, count(*) AS n_sessions
+       |FROM paths GROUP BY 1
+       |ORDER BY n_sessions DESC, path LIMIT $PathTopK""".stripMargin
+
+  /** Hour-of-day × ISO-weekday activity profile — the seasonality heatmap
+    * every ops dashboard renders: per (isodow, hour) exact event counts,
+    * exact-cents mean value, and each cell's share of the week. One scan,
+    * one 168-cell hash agg, a broadcast total.
+    */
+  def hourWeekProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select((weekday(col("ts")) + 1).as("isodow"), hour(col("ts")).as("hour"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"))
+      .groupBy("isodow", "hour")
+      .agg(count(lit(1)).as("n_events"), sum(col("c")).as("sc"))
+    val tot = cells.agg(sum(col("n_events")).as("tot"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("isodow"), col("hour"), col("n_events"),
+        r6(col("sc").cast("double") / 1e2 / col("n_events").cast("double")).as("mean_value"),
+        r6(col("n_events").cast("double") / col("tot").cast("double")).as("share"))
+  }
+
+  def hourWeekProfileOracle: String =
+    s"""WITH cells AS (
+       |  SELECT isodow(ts) AS isodow, CAST(hour(ts) AS INT) AS hour,
+       |         count(*) AS n_events,
+       |         CAST(sum(CAST(floor(value*1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+       |  FROM events GROUP BY 1, 2
+       |), t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM cells)
+       |SELECT CAST(isodow AS INT) AS isodow, hour, n_events,
+       |       ${sqlR6("CAST(sc AS DOUBLE)/1e2/CAST(n_events AS DOUBLE)")} AS mean_value,
+       |       ${sqlR6("CAST(n_events AS DOUBLE)/CAST(tot AS DOUBLE)")} AS share
+       |FROM cells, t ORDER BY isodow, hour""".stripMargin
+
   /** Gap-based sessionization of events: new session when > 30 min idle. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2068,6 +2205,9 @@ object Relational {
     "events_sessionize" -> ((s, d) => sessionize(s, d).orderBy("user_id", "session_seq")),
     "events_scd2" -> ((s, d) => scd2(s, d).orderBy("user_id", "event_type", "valid_from", "event_id")),
     "events_cdc_merge" -> ((s, d) => cdcMerge(s, d).orderBy("user_id")),
+    "events_snapshot_diff" -> ((s, d) => snapshotDiff(s, d).orderBy("diff_class")),
+    "events_session_paths" -> ((s, d) => sessionPaths(s, d)),
+    "events_hourweek_profile" -> ((s, d) => hourWeekProfile(s, d).orderBy("isodow", "hour")),
     "customers_fuzzy_match" -> ((s, d) => fuzzyMatch(s, d).orderBy("c_custkey")),
     "events_type_pivot" -> ((s, d) => typePivot(s, d).orderBy("user_id")),
     "events_type_unpivot" -> ((s, d) => typeUnpivot(s, d).orderBy("user_id", "event_type")),
@@ -2080,6 +2220,9 @@ object Relational {
     "events_cube" -> eventsCubeOracle,
     "events_scd2" -> scd2Oracle,
     "events_cdc_merge" -> cdcMergeOracle,
+    "events_snapshot_diff" -> snapshotDiffOracle,
+    "events_session_paths" -> sessionPathsOracle,
+    "events_hourweek_profile" -> hourWeekProfileOracle,
     "customers_fuzzy_match" -> fuzzyMatchOracle,
     "events_funnel_latency" -> funnelLatencyOracle,
     "events_attribution" -> attributionLinearOracle,

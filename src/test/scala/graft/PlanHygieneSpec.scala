@@ -88,6 +88,7 @@ class PlanHygieneSpec extends SparkSpec {
       "graph_pagerank",         // top-100 ranks
       "market_basket_pairs",    // top-50 by support
       "text_pmi_collocations",  // top-50 by PMI
+      "events_session_paths",   // top-20 session paths
       "tpch_q18")               // top-100 orders
     val bad = mustTakeOrdered.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
