@@ -1589,6 +1589,128 @@ object Relational {
        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
        |ORDER BY user_id, event_type, valid_from, event_id""".stripMargin
 
+  /** SCD-2 point-in-time lookup join — the probe side of [[scd2]]: every
+    * purchase event resolves the signup-version row VALID AT its timestamp
+    * (valid_from ≤ ts < valid_to, open current row unbounded) — the
+    * versioned-dimension enrichment a warehouse serves instead of scanning
+    * the change log. The join is user_id-equi (co-partitioned both sides)
+    * with the interval predicate as a residual filter: per-user version
+    * chains are disjoint, so at most one row matches and correctness needs
+    * no dedup; purchases before the user's first version keep NULLs via the
+    * left join. At 100 TB this is the shape that scales — the range never
+    * enters the shuffle key.
+    */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("user_id") % Scd2UserMod === 0)
+    val w = Window.partitionBy("d_user").orderBy("valid_from", "dim_event_id")
+    val dim = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("d_user"), col("event_id").as("dim_event_id"),
+        col("ts").as("valid_from"), floor(col("value") * 1e2 + 0.5).cast("long").as("dim_c"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+    val probe = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    probe.join(dim,
+        probe("user_id") === dim("d_user") && dim("valid_from") <= probe("ts") &&
+          (dim("valid_to").isNull || probe("ts") < dim("valid_to")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("dim_event_id"), col("valid_from"),
+        r6(col("dim_c").cast("double") / 1e2).as("dim_value"))
+  }
+
+  def scd2LookupOracle: String =
+    s"""WITH ev AS (SELECT * FROM events WHERE user_id % $Scd2UserMod = 0),
+       |dim AS (
+       |  SELECT user_id AS d_user, event_id AS dim_event_id, ts AS valid_from,
+       |         CAST(floor(value*1e2 + 0.5) AS BIGINT) AS dim_c,
+       |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+       |  FROM ev WHERE event_type = 'signup'
+       |)
+       |SELECT p.event_id, p.user_id, p.ts, d.dim_event_id, d.valid_from,
+       |       ${sqlR6("CAST(d.dim_c AS DOUBLE)/1e2")} AS dim_value
+       |FROM (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase') p
+       |LEFT JOIN dim d ON d.d_user = p.user_id AND d.valid_from <= p.ts
+       |  AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+       |ORDER BY p.event_id""".stripMargin
+
+  /** Per-type latency-style SLO quantiles (p50/p90/p99) by the EXACT
+    * order-statistic rank: k_q = ⌈q·n⌉ computed in pure integer arithmetic
+    * ((q_num·n + q_den − 1) div q_den — Spark Column `/` is double division,
+    * so the div is written floor()), then the k-th value selected by
+    * row_number over (cents, event_id). This is the exact form of the
+    * sketch-quantile pair (`ts_value_quantiles_sketch`): right while a
+    * per-type sort fits an executor; the rank-histogram and KLL paths are
+    * the documented scale-outs. One shuffle on event_type.
+    */
+  def typeSlo(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    val wAll = Window.partitionBy("event_type")
+    def kOf(num: Int, den: Int) =
+      floor((col("n") * num + den - 1).cast("double") / den).cast("long")
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        r6(max(when(col("rn") === kOf(1, 2), col("c"))).cast("double") / 1e2).as("p50"),
+        r6(max(when(col("rn") === kOf(9, 10), col("c"))).cast("double") / 1e2).as("p90"),
+        r6(max(when(col("rn") === kOf(99, 100), col("c"))).cast("double") / 1e2).as("p99"))
+  }
+
+  def typeSloOracle: String =
+    s"""WITH ranked AS (
+       |  SELECT event_type, CAST(floor(value*1e2 + 0.5) AS BIGINT) AS c,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY floor(value*1e2 + 0.5), event_id) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events
+       |)
+       |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       |       ${sqlR6("CAST(max(CASE WHEN rn = (n*1 + 1)//2 THEN c END) AS DOUBLE)/1e2")} AS p50,
+       |       ${sqlR6("CAST(max(CASE WHEN rn = (n*9 + 9)//10 THEN c END) AS DOUBLE)/1e2")} AS p90,
+       |       ${sqlR6("CAST(max(CASE WHEN rn = (n*99 + 99)//100 THEN c END) AS DOUBLE)/1e2")} AS p99
+       |FROM ranked GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** Trailing window for the MAU side of the stickiness ratio. */
+  val MauWindowDays = 30
+
+  /** DAU/MAU stickiness per day — the engagement ratio every growth report
+    * leads with: exact daily actives over exact trailing-30-day actives.
+    * The (user, day) relation dedups FIRST (map-side collapse to ~u×days
+    * rows); the 30-row day spine broadcasts against it with a range
+    * predicate (a broadcast nested-loop on a TINY build side — the right
+    * plan when one side is a calendar). This is the EXACT twin of the
+    * HLL rolling-WAU sketch (`events_wau_hll`), which is the 100-TB path;
+    * registering both prices the sketch's error against truth.
+    */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      .localCheckpoint(eager = true) // feeds the spine, DAU and MAU scans
+    val spine = ud.select(col("day").as("d")).distinct()
+    val dau = ud.groupBy(col("day").as("d")).agg(countDistinct(col("user_id")).as("dau"))
+    val mau = ud.join(broadcast(spine),
+        col("day") <= col("d") && col("day") > date_sub(col("d"), MauWindowDays))
+      .groupBy("d").agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, "d")
+      .select(col("d").as("day"), col("dau"), col("mau"),
+        r6(col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
+  }
+
+  def stickinessOracle: String =
+    s"""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       |spine AS (SELECT DISTINCT day AS d FROM ud),
+       |dau AS (SELECT day AS d, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+       |mau AS (
+       |  SELECT s.d, count(DISTINCT u.user_id) AS mau
+       |  FROM ud u JOIN spine s ON u.day <= s.d AND u.day > s.d - $MauWindowDays
+       |  GROUP BY 1
+       |)
+       |SELECT d.d AS day, d.dau, m.mau,
+       |       ${sqlR6("CAST(d.dau AS DOUBLE)/CAST(m.mau AS DOUBLE)")} AS stickiness
+       |FROM dau d JOIN mau m USING (d) ORDER BY day""".stripMargin
+
   /** Schema-on-read over the semi-structured `props` JSON column — the
     * extract-then-aggregate pass every event pipeline runs on its property
     * bag. `get_json_object` is codegen'd and the extraction is a pure
@@ -2206,6 +2328,9 @@ object Relational {
     "events_scd2" -> ((s, d) => scd2(s, d).orderBy("user_id", "event_type", "valid_from", "event_id")),
     "events_cdc_merge" -> ((s, d) => cdcMerge(s, d).orderBy("user_id")),
     "events_snapshot_diff" -> ((s, d) => snapshotDiff(s, d).orderBy("diff_class")),
+    "events_scd2_lookup" -> ((s, d) => scd2Lookup(s, d).orderBy("event_id")),
+    "events_type_slo" -> ((s, d) => typeSlo(s, d).orderBy("event_type")),
+    "events_stickiness" -> ((s, d) => stickiness(s, d).orderBy("day")),
     "events_session_paths" -> ((s, d) => sessionPaths(s, d)),
     "events_hourweek_profile" -> ((s, d) => hourWeekProfile(s, d).orderBy("isodow", "hour")),
     "customers_fuzzy_match" -> ((s, d) => fuzzyMatch(s, d).orderBy("c_custkey")),
@@ -2221,6 +2346,9 @@ object Relational {
     "events_scd2" -> scd2Oracle,
     "events_cdc_merge" -> cdcMergeOracle,
     "events_snapshot_diff" -> snapshotDiffOracle,
+    "events_scd2_lookup" -> scd2LookupOracle,
+    "events_type_slo" -> typeSloOracle,
+    "events_stickiness" -> stickinessOracle,
     "events_session_paths" -> sessionPathsOracle,
     "events_hourweek_profile" -> hourWeekProfileOracle,
     "customers_fuzzy_match" -> fuzzyMatchOracle,
