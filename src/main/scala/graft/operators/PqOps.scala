@@ -466,7 +466,49 @@ object PqOps {
        |       ${sqlR6(s"CAST(n AS DOUBLE) * ${Similarity.KMeansK}.0e0 / CAST(sum(n) OVER () AS DOUBLE)")} AS load_factor
        |FROM cnt ORDER BY cell""".stripMargin
 
+  /** Per-subspace PQ reconstruction distortion — the codebook-quality dial
+    * read next to the recall ladder: mean squared quantization error per
+    * subquantizer (avg over the corpus of min_c ||x_m − w_{m,c}||²) and each
+    * subspace's share of the total error. A subspace carrying several times
+    * its fair share is where extra codebook bits buy recall (the allocation
+    * signal OPQ's snake-draft uses). Rides the fused [[graft.plans.PqDists]]
+    * distance-table kernel — the per-m minimum falls out of the SAME array
+    * the ADC queries broadcast; distortions are r6 at the kernel boundary and
+    * fx9-summed, so the means and shares are order-independent exact.
+    */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val cb = fitted(spark, dir)
+    val posM = cb.map(_._1) // table position → subspace id (codewords may drop)
+    val perVec = emb(spark, dir)
+      .select(col("vec_id"),
+        posexplode(graft.plans.VectorFunctions.pq_dists(col("v"), SubDim, cb)))
+      .select(col("vec_id"),
+        element_at(typedLit(posM), col("pos") + 1).as("m"), col("col").as("dist"))
+      .groupBy("vec_id", "m").agg(min(col("dist")).as("dist"))
+    val per = perVec.groupBy("m")
+      .agg(count(lit(1)).as("n"), sum(fx9(col("dist"))).as("s_fx"))
+    val tot = per.agg(sum(col("s_fx")).as("tot_fx"))
+    per.crossJoin(broadcast(tot))
+      .select(col("m"), col("n"),
+        r6(col("s_fx").cast("double") / 1e9 / col("n").cast("double")).as("mean_sq_err"),
+        r6(col("s_fx").cast("double") / col("tot_fx").cast("double")).as("err_share"))
+  }
+
+  def pqDistortionOracle: String =
+    s"""WITH ${Similarity.flatSql},
+       |$pqChainSql,
+       |dst AS (SELECT vec_id, m, min(dist) AS dist FROM fdist GROUP BY 1, 2),
+       |per AS (
+       |  SELECT m, count(*) AS n, CAST(sum(${sqlFx9("dist")}) AS BIGINT) AS s_fx
+       |  FROM dst GROUP BY 1
+       |), t AS (SELECT CAST(sum(s_fx) AS BIGINT) AS tot_fx FROM per)
+       |SELECT m, n,
+       |       ${sqlR6("CAST(s_fx AS DOUBLE)/1e9/CAST(n AS DOUBLE)")} AS mean_sq_err,
+       |       ${sqlR6("CAST(s_fx AS DOUBLE)/CAST(tot_fx AS DOUBLE)")} AS err_share
+       |FROM per, t ORDER BY m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pq_distortion" -> ((s, d) => pqDistortion(s, d).orderBy("m")),
     "emb_cell_balance" -> ((s, d) => cellBalance(s, d).orderBy("cell")),
     "ann_pq_codebooks" -> ((s, d) => codebooksFlat(s, d).orderBy("m", "c", "sd")),
     "ann_pq_codes" -> ((s, d) => codes(s, d).orderBy("vec_id", "m")),
@@ -479,6 +521,7 @@ object PqOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "emb_pq_distortion" -> pqDistortionOracle,
     "emb_cell_balance" -> cellBalanceOracle,
     "ann_pq_codebooks" ->
       s"""WITH ${Similarity.flatSql},
