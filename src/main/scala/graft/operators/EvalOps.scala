@@ -364,7 +364,67 @@ object EvalOps {
        |       ${sqlR6("ln(CAST(n_total - n_null AS DOUBLE)) - (CAST(clogc_fx AS DOUBLE)/1e9)/CAST(n_total - n_null AS DOUBLE)")} AS entropy_nats
        |FROM per ORDER BY col_name""".stripMargin
 
+  // ---------------- calibration ----------------
+
+  /** Reliability (calibration) table — the companion the gains chart needs
+    * before anyone trusts the scores as probabilities: the rank-normalized
+    * score p̂ = r/n (r = row_number by (cents, event_id), an EXACT rational)
+    * binned into deciles; per bin the mean score, the empirical purchase
+    * rate, their gap, and the bin's Brier contribution. Everything is exact
+    * BIGINT arithmetic until the final r6 ratios: Brier's numerator is
+    * Σ(r − y·n)² (≤ n²·bin_size, far under 2⁶³ at fixture scales; the
+    * production form at extreme n quantizes p̂ first), over denominator
+    * n²·bin_size. The |gap|-weighted sum over bins is the ECE readout a
+    * monitoring page derives from this table.
+    */
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("x"), col("event_id"))
+    val ranked = Tables.events(spark, dir)
+      .select(floor(col("value") * 1e2 + 0.5).cast("long").as("x"),
+        col("event_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .withColumn("r", row_number().over(w).cast("long"))
+    val n = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bin", floor((col("r") - 1).cast("double") * 10 / col("n").cast("double")).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_bin"), max(col("n")).as("n"),
+        sum(col("r")).as("sr"), sum(col("y")).as("sy"),
+        sum((col("r") - col("y") * col("n")) * (col("r") - col("y") * col("n"))).as("sq"))
+      .select(col("bin"), col("n_bin"),
+        r6(col("sr").cast("double") / col("n").cast("double") / col("n_bin").cast("double")).as("mean_score"),
+        r6(col("sy").cast("double") / col("n_bin").cast("double")).as("pos_rate"),
+        r6(col("sr").cast("double") / col("n").cast("double") / col("n_bin").cast("double") -
+          col("sy").cast("double") / col("n_bin").cast("double")).as("gap"),
+        r6(col("sq").cast("double") /
+          (col("n").cast("double") * col("n").cast("double") * col("n_bin").cast("double"))).as("brier"))
+  }
+
+  def calibrationOracle: String =
+    s"""WITH ranked AS (
+       |  SELECT CAST(floor(value*1e2 + 0.5) AS BIGINT) AS x, event_id,
+       |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+       |         CAST(row_number() OVER (ORDER BY floor(value*1e2 + 0.5), event_id) AS BIGINT) AS r,
+       |         count(*) OVER () AS n
+       |  FROM events
+       |), binned AS (
+       |  SELECT *, CAST(floor(CAST(r - 1 AS DOUBLE) * 10 / CAST(n AS DOUBLE)) AS BIGINT) AS bin
+       |  FROM ranked
+       |), g AS (
+       |  SELECT bin, count(*) AS n_bin, CAST(max(n) AS BIGINT) AS n,
+       |         CAST(sum(r) AS BIGINT) AS sr, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum((r - y*n)*(r - y*n)) AS BIGINT) AS sq
+       |  FROM binned GROUP BY 1
+       |)
+       |SELECT bin, n_bin,
+       |       ${sqlR6("CAST(sr AS DOUBLE)/CAST(n AS DOUBLE)/CAST(n_bin AS DOUBLE)")} AS mean_score,
+       |       ${sqlR6("CAST(sy AS DOUBLE)/CAST(n_bin AS DOUBLE)")} AS pos_rate,
+       |       ${sqlR6("CAST(sr AS DOUBLE)/CAST(n AS DOUBLE)/CAST(n_bin AS DOUBLE) - CAST(sy AS DOUBLE)/CAST(n_bin AS DOUBLE)")} AS gap,
+       |       ${sqlR6("CAST(sq AS DOUBLE)/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n_bin AS DOUBLE))")} AS brier
+       |FROM g ORDER BY bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_calibration" -> ((s, d) => calibration(s, d).orderBy("bin")),
     "events_auc" -> ((s, d) => auc(s, d).orderBy("day")),
     "events_score_lift" -> ((s, d) => scoreLift(s, d).orderBy("decile")),
     "events_heavy_hitters" -> ((s, d) => heavyHitters(s, d).orderBy("user_id")),
@@ -374,6 +434,7 @@ object EvalOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_calibration" -> calibrationOracle,
     "events_auc" -> aucOracle,
     "events_score_lift" -> scoreLiftOracle,
     "events_heavy_hitters" -> heavyHittersOracle,

@@ -2156,6 +2156,61 @@ object Relational {
        |WHERE d.degree >= 2
        |ORDER BY p_partkey""".stripMargin
 
+  /** Item-item CF neighbors per part and minimum co-occurrence support. */
+  val CfTopK = 5
+  val CfMinSupport = 2
+
+  /** Item-item collaborative filtering — the classic "customers who bought
+    * this also bought" recommender (Sarwar et al., WWW 2001) as co-occurrence
+    * cosine: sim(a,b) = c_ab / √(c_a·c_b) over order baskets, support-
+    * filtered at [[CfMinSupport]], top [[CfTopK]] neighbors per item. All
+    * three counts are one exact BIGINT family from the same (order, part)
+    * relation; the only double is the final cosine, r6-rounded with an id
+    * tiebreak. Scale: pair generation is the within-order self-join (bounded
+    * by basket size, never catalog²); the per-item top-k is a
+    * WindowGroupLimit, and item marginals broadcast.
+    */
+  def itemItemCf(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint(true) // feeds marginals and the pair self-join
+    val itemN = li.groupBy("p").agg(count(lit(1)).as("c"))
+    val pairs = li.toDF("o", "a")
+      .join(li.toDF("o", "b"), "o")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= CfMinSupport)
+    val sym = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b"), col("c_ab")))
+    val scored = sym
+      .join(broadcast(itemN.select(col("p").as("a"), col("c").as("c_a"))), "a")
+      .join(broadcast(itemN.select(col("p").as("b"), col("c").as("c_b"))), "b")
+      .withColumn("cos", r6(col("c_ab").cast("double") /
+        sqrt(col("c_a").cast("double") * col("c_b").cast("double"))))
+    val w = Window.partitionBy("a").orderBy(desc("cos"), asc("b"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= CfTopK)
+      .select(col("a").as("p_partkey"), col("rank"), col("b").as("also_bought"),
+        col("c_ab"), col("cos"))
+  }
+
+  def itemItemCfOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |itemn AS (SELECT p, count(*) AS c FROM li GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.p AS a, y.p AS b, count(*) AS c_ab
+       |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $CfMinSupport
+       |), sym AS (
+       |  SELECT a, b, c_ab FROM pairs UNION ALL SELECT b, a, c_ab FROM pairs
+       |), scored AS (
+       |  SELECT s.a, s.b, s.c_ab,
+       |         ${sqlR6("CAST(s.c_ab AS DOUBLE) / sqrt(CAST(na.c AS DOUBLE)*CAST(nb.c AS DOUBLE))")} AS cos
+       |  FROM sym s JOIN itemn na ON na.p = s.a JOIN itemn nb ON nb.p = s.b
+       |)
+       |SELECT a AS p_partkey, CAST(rank AS INT) AS rank, b AS also_bought, c_ab, cos
+       |FROM (SELECT *, row_number() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS rank
+       |      FROM scored)
+       |WHERE rank <= $CfTopK ORDER BY p_partkey, rank""".stripMargin
+
   /** K-hop seed count: the [[KhopSeeds]] smallest node ids in the strong
     * graph anchor the reachability probe. */
   val KhopSeeds = 10
@@ -2284,6 +2339,7 @@ object Relational {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_khop" -> ((s, d) => kHop(s, d).orderBy("p_partkey")),
+    "items_cf_topk" -> ((s, d) => itemItemCf(s, d).orderBy("p_partkey", "rank")),
     "graph_degree_stats" -> ((s, d) => degreeStats(s, d).orderBy("degree")),
     "events_props_json" -> ((s, d) => propsJsonStats(s, d).orderBy("event_type")),
     "events_cube" -> ((s, d) => eventsCube(s, d).orderBy("gid", "event_type", "event_date")),
@@ -2375,6 +2431,7 @@ object Relational {
     "tpch_q20" -> q20Oracle,
     "graph_pagerank" -> pageRankOracle,
     "graph_khop" -> kHopOracle,
+    "items_cf_topk" -> itemItemCfOracle,
     "graph_degree_stats" -> degreeStatsOracle,
     "customers_rfm" -> rfmOracle,
     "star_integrity_audit" -> integrityAuditOracle,

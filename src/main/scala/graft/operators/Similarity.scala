@@ -1229,7 +1229,49 @@ object Similarity {
        |FROM ch$MmrK ORDER BY qid, pick_order""".stripMargin
   }
 
+  /** Label-filtered vector search — the "vector search with a metadata
+    * predicate" mode every production retrieval API exposes: top-k cosine
+    * among corpus vectors sharing the QUERY's label. The filter is an
+    * equi-join key, not a post-filter: candidates prune to the label
+    * partition BEFORE any scoring (the posting-list shape — at 100 TB the
+    * label is the partition/bucket key and each search touches one
+    * posting list, which is also why post-filtered ANN under-fills k and
+    * this form doesn't). Scoring and ranking ride the same fused cosine
+    * kernel and per-qid heap as the unfiltered family.
+    */
+  def filteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("label"))
+    val scored = e.join(broadcast(q), "label")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", r6(cosine_sim(col("qv"), col("v"))))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopK)
+      .select(col("qid"), col("label"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("cos"))
+  }
+
+  def filteredTopKOracle: String =
+    s"""WITH $flatSql,
+       |lab AS (SELECT DISTINCT vec_id, label FROM embeddings),
+       |dots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.x * b.x) AS dot
+       |  FROM flat a JOIN flat b ON a.d = b.d AND a.label = b.label
+       |  WHERE a.vec_id < $NumQueries AND a.vec_id <> b.vec_id
+       |  GROUP BY ALL
+       |), cosv AS (
+       |  SELECT qid, vid, ${sqlR6("dot / (na.nrm * nb.nrm)")} AS cos
+       |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = vid
+       |)
+       |SELECT c.qid, l.label, c.vid AS neighbor_id, CAST(c.rn AS INT) AS rank, c.cos
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn
+       |      FROM cosv) c
+       |JOIN lab l ON l.vec_id = c.qid
+       |WHERE c.rn <= $TopK ORDER BY c.qid, c.rn""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_filtered_topk" -> ((s, d) => filteredTopK(s, d).orderBy("qid", "rank")),
     "emb_cell_silhouette" -> ((s, d) => cellSilhouette(s, d).orderBy("cell")),
     "ann_mips_topk" -> ((s, d) => mipsTopK(s, d).orderBy("qid", "rank")),
     "ann_mmr_rerank" -> ((s, d) => mmrRerank(s, d).orderBy("qid", "pick_order")),
@@ -1258,6 +1300,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "ann_filtered_topk" -> filteredTopKOracle,
     "emb_cell_silhouette" -> cellSilhouetteOracle,
     "ann_mips_topk" -> mipsTopKOracle,
     "ann_mmr_rerank" -> mmrRerankOracle,
