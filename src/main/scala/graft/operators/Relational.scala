@@ -2296,9 +2296,11 @@ object Relational {
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
+    // deg is node-sized (≤ catalog) — broadcast both probes so the 30×-larger
+    // edge list never shuffles
     val pairs = e
-      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+      .join(broadcast(deg.select(col("node").as("a"), col("degree").as("da"))), "a")
+      .join(broadcast(deg.select(col("node").as("b"), col("degree").as("db"))), "b")
       .select(col("da"), col("db"))
     // both directions: marginals of j and k coincide by construction
     val sums = pairs.select(col("da").as("j"), col("db").as("k"))
