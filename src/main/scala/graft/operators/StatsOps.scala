@@ -454,7 +454,106 @@ object StatsOps {
        |SELECT user_id, bucket, ts, event_id, ${sqlR6("CAST(y AS DOUBLE)/1e2")} AS value FROM ends
        |ORDER BY user_id, bucket, ts, event_id""".stripMargin
 
+  /** Lag fan width for the Theil–Sen variant: slopes over steps 1..K. */
+  val TheilSenK = 5
+
+  /** Robust per-series trend via the bounded-pair Theil–Sen variant — the
+    * median of finite-difference slopes (value change per event step) over
+    * lags 1..[[TheilSenK]], the outlier-resistant answer where the OLS trend
+    * (`ts_poly_trend`) chases spikes. Full Theil–Sen medians ALL O(n²)
+    * pairs; the banded form (slopes only between rows ≤ K steps apart) is
+    * the standard scalable variant and keeps the work a K-lag window fan.
+    * Slopes quantize to exact micro-cents-per-step BIGINTs before the
+    * median, and the median is the exact lower order statistic (rank
+    * ⌈n/2⌉ by value — tie permutations cannot move the selected VALUE), so
+    * both engines agree bit-for-bit. One shuffle on user_id.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"))
+    val lagged = (1 to TheilSenK).foldLeft(base)((df, k) =>
+      df.withColumn(s"s$k",
+        floor((col("c") - lag(col("c"), k).over(wOrd)).cast("double") * 1e6 / k + 0.5)
+          .cast("long")))
+    val slopes = lagged.select(col("user_id"),
+      explode(array((1 to TheilSenK).map(k => col(s"s$k")): _*)).as("s"))
+      .filter(col("s").isNotNull)
+    val wRank = Window.partitionBy("user_id").orderBy("s")
+    val wAll = Window.partitionBy("user_id")
+    slopes
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("n_slopes", count(lit(1)).over(wAll))
+      .groupBy("user_id")
+      .agg(max(col("n_slopes")).as("n_slopes"),
+        r6(max(when(col("rn") === floor((col("n_slopes") + 1).cast("double") / 2).cast("long"),
+          col("s"))).cast("double") / 1e8).as("theil_slope"),
+        r6((sum(col("s")).cast("double") / 1e8) / count(lit(1)).cast("double")).as("mean_slope"))
+  }
+
+  def theilSenOracle: String = {
+    val lagCols = (1 to TheilSenK).map(k =>
+      s"CAST(floor(CAST(c - lag(c, $k) OVER w AS DOUBLE) * 1e6 / $k + 0.5) AS BIGINT) AS s$k")
+      .mkString(", ")
+    val unions = (1 to TheilSenK).map(k =>
+      s"SELECT user_id, s$k AS s FROM lagged WHERE s$k IS NOT NULL")
+      .mkString(" UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT user_id, ts, event_id, CAST(floor(value*1e2 + 0.5) AS BIGINT) AS c
+       |  FROM events
+       |), lagged AS (
+       |  SELECT user_id, $lagCols
+       |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), slopes AS ($unions),
+       |ranked AS (
+       |  SELECT user_id, s,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY s) AS rn,
+       |         count(*) OVER (PARTITION BY user_id) AS n_slopes
+       |  FROM slopes
+       |)
+       |SELECT user_id, CAST(max(n_slopes) AS BIGINT) AS n_slopes,
+       |       ${sqlR6("CAST(max(CASE WHEN rn = (n_slopes + 1)//2 THEN s END) AS DOUBLE)/1e8")} AS theil_slope,
+       |       ${sqlR6("(CAST(sum(s) AS DOUBLE)/1e8)/CAST(count(*) AS DOUBLE)")} AS mean_slope
+       |FROM ranked GROUP BY 1 ORDER BY user_id""".stripMargin
+  }
+
+  /** Order-basket profile — the order-composition histogram a retailer reads
+    * before pricing or recommendation work: orders grouped by basket size
+    * (distinct parts), with exact-cents average order value and average
+    * distinct-supplier count per size. One lineitem scan collapses to
+    * per-order stats map-side; the profile is basket-size-bounded.
+    */
+  def basketProfile(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"),
+          floor(col("o_totalprice") * 1e2 + 0.5).cast("long").as("total_c")), "l_orderkey")
+    per.groupBy("n_parts")
+      .agg(count(lit(1)).as("n_orders"),
+        r6(sum(col("total_c")).cast("double") / 1e2 / count(lit(1)).cast("double")).as("avg_order_value"),
+        r6(sum(col("n_supps")).cast("double") / count(lit(1)).cast("double")).as("avg_suppliers"))
+  }
+
+  def basketProfileOracle: String =
+    s"""WITH per AS (
+       |  SELECT l.l_orderkey, count(DISTINCT l.l_partkey) AS n_parts,
+       |         count(DISTINCT l.l_suppkey) AS n_supps,
+       |         CAST(max(floor(o.o_totalprice*1e2 + 0.5)) AS BIGINT) AS total_c
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  GROUP BY 1
+       |)
+       |SELECT CAST(n_parts AS BIGINT) AS n_parts, count(*) AS n_orders,
+       |       ${sqlR6("CAST(sum(total_c) AS DOUBLE)/1e2/CAST(count(*) AS DOUBLE)")} AS avg_order_value,
+       |       ${sqlR6("CAST(sum(n_supps) AS DOUBLE)/CAST(count(*) AS DOUBLE)")} AS avg_suppliers
+       |FROM per GROUP BY 1 ORDER BY n_parts""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_theilsen" -> ((s, d) => theilSen(s, d).orderBy("user_id")),
+    "orders_basket_profile" -> ((s, d) => basketProfile(s, d).orderBy("n_parts")),
     "ts_pacf" -> ((s, d) => pacf(s, d).orderBy("user_id")),
     "ts_lttb" -> ((s, d) => lttb(s, d).orderBy("user_id", "bucket", "ts", "event_id")),
     "events_ks_test" -> ((s, d) => ksTest(s, d).orderBy("event_type")),
@@ -465,6 +564,8 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "ts_theilsen" -> theilSenOracle,
+    "orders_basket_profile" -> basketProfileOracle,
     "ts_pacf" -> pacfOracle,
     "ts_lttb" -> lttbOracle,
     "events_ks_test" -> ksTestOracle,

@@ -156,6 +156,37 @@ object StreamingOps {
         r6(col("sum_value") / col("n_events")).as("avg_value"))
   }
 
+  /** Trending report size per window. */
+  val TrendingTopK = 3
+
+  /** Streaming per-window trending top-k — the "what's trending this hour"
+    * readout: the event stream drains incrementally (readStream +
+    * AvailableNow) into the stateful tumbling (window, type) counts, and the
+    * RANKING runs as a batch pass over the drained state — the standard
+    * two-stage shape, because a rank inside a streaming aggregation would
+    * need the whole window's final counts before emission anyway (in
+    * production the second stage is the downstream job reading the sink
+    * table each trigger). Ranking by exact counts with a type tiebreak, so
+    * the report is deterministic.
+    */
+  def streamTopkTrending(spark: SparkSession, dir: String): DataFrame = {
+    val sink = "stream_trending_sink"
+    spark.catalog.dropTempView(sink)
+    val agg = tumblingCounts(Tables.eventsStream(spark, dir))
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ws").orderBy(desc("n_events"), asc("event_type"))
+    spark.table(sink)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TrendingTopK)
+      .select(col("ws"), col("rank"), col("event_type"), col("n_events"))
+  }
+
   /** Driver-visible run of [[dedupWithinWatermark]] — a REAL incremental
     * execution (the engine rejects `dropDuplicatesWithinWatermark` under a
     * batch plan), fed a DELIBERATE redelivery: a second file source re-streams
@@ -263,6 +294,7 @@ object StreamingOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_mv_merge" -> ((s, d) => streamMvMerge(s, d).orderBy("event_type", "event_date")),
+    "stream_topk_trending" -> ((s, d) => streamTopkTrending(s, d).orderBy("ws", "rank")),
     "stream_tumbling_agg" -> ((s, d) => streamTumbling(s, d).orderBy("ws", "event_type")),
     "stream_static_enrich" -> ((s, d) =>
       streamStaticEnrich(s, d).orderBy("c_mktsegment", "event_type")),
@@ -297,6 +329,15 @@ object StreamingOps {
          |       ${sqlR6("sum(e.value)")} AS sum_value
          |FROM events e JOIN customer c ON e.user_id = c.c_custkey
          |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin,
+    "stream_topk_trending" ->
+      s"""WITH g AS (
+         |  SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n_events
+         |  FROM events GROUP BY 1, 2
+         |)
+         |SELECT ws, CAST(rank AS INT) AS rank, event_type, n_events
+         |FROM (SELECT *, row_number() OVER (PARTITION BY ws ORDER BY n_events DESC, event_type ASC) AS rank
+         |      FROM g)
+         |WHERE rank <= $TrendingTopK ORDER BY ws, rank""".stripMargin,
     "stream_tumbling_agg" ->
       s"""SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n_events,
          |       ${sqlR6("sum(value)")} AS sum_value, ${sqlR6("sum(value) / count(*)")} AS avg_value
