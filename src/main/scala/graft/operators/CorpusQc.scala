@@ -250,6 +250,68 @@ object CorpusQc {
         frac.as("shared_frac"), (frac > SharedFracThreshold).as("boilerplate"))
   }
 
+  /** A chunk digest seen in at least this many docs is boilerplate for the
+    * scrub pass. */
+  val ScrubMinDocs = 2
+
+  /** Boilerplate SCRUB — the action form of [[chunkDedup]]'s report: every
+    * cross-doc duplicated chunk (digest in ≥ [[ScrubMinDocs]] docs) is
+    * dropped from all but the digest's FIRST doc (min doc_id — the same
+    * keep-first rule as the exact-dedup canonical), and each doc reports its
+    * surviving token budget. The CCNet paragraph-dedup write path: what the
+    * training pipeline feeds the tokenizer after the shared headers/footers
+    * are removed. Within-doc repeats of a kept digest survive in the keeper
+    * doc by design (intra-doc repetition is `text_repetition`'s gate, not
+    * this one's). Scale: digests shuffle twice (stats + join-back), text
+    * never moves; the word arithmetic is per-doc integers.
+    */
+  def boilerplateScrub(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunks(spark, dir)
+    val stats = ch.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("keeper"))
+    val perDoc = ch.join(stats, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") >= ScrubMinDocs && col("doc_id") > col("keeper"), 1L)
+          .otherwise(0L)).as("n_dropped"))
+    docs(spark, dir).select(col("doc_id"), size(words).cast("long").as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_words") - coalesce(col("n_dropped"), lit(0L)) * ChunkWords).as("kept_words"),
+        r6(coalesce(col("n_dropped"), lit(0L)).cast("double") * ChunkWords /
+          col("n_words").cast("double")).as("scrub_frac"))
+  }
+
+  def boilerplateScrubOracle: String =
+    s"""WITH ch_h AS (
+       |  SELECT doc_id,
+       |         list_transform(regexp_split_to_array(text, '\\s+'),
+       |                        w -> ('0x' || substr(md5(w), 1, 7))::BIGINT) AS hw
+       |  FROM documents
+       |), ch AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(
+       |           generate_series(0, CAST(floor(len(hw) / ${ChunkWords.toDouble}) AS INT) - 1),
+       |           c -> ${gramDigestSql(s"c * $ChunkWords", ChunkWords)})) AS g
+       |  FROM ch_h WHERE len(hw) >= $ChunkWords
+       |), stats AS (
+       |  SELECT g, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper FROM ch GROUP BY 1
+       |), per AS (
+       |  SELECT ch.doc_id, count(*) AS n_chunks,
+       |         CAST(sum(CASE WHEN s.n_docs >= $ScrubMinDocs AND ch.doc_id > s.keeper
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |  FROM ch JOIN stats s USING (g) GROUP BY 1
+       |)
+       |SELECT d.doc_id, CAST(len(regexp_split_to_array(d.text, '\\s+')) AS BIGINT) AS n_words,
+       |       coalesce(p.n_chunks, 0) AS n_chunks,
+       |       coalesce(p.n_dropped, 0) AS n_dropped,
+       |       CAST(len(regexp_split_to_array(d.text, '\\s+')) - coalesce(p.n_dropped, 0)*$ChunkWords AS BIGINT) AS kept_words,
+       |       ${sqlR6(s"CAST(coalesce(p.n_dropped, 0)*$ChunkWords AS DOUBLE) / CAST(len(regexp_split_to_array(d.text, '\\s+')) AS DOUBLE)")} AS scrub_frac
+       |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---------------- unigram-LM negative log-likelihood (perplexity filter) ----------------
 
   /** Per-doc mean unigram negative log-likelihood — the corpus-LM perplexity
@@ -719,6 +781,7 @@ object CorpusQc {
     "docs_decontam" -> ((s, d) => decontam(s, d).orderBy("doc_id")),
     "docs_decontam_bloom" -> ((s, d) => decontamBloom(s, d).orderBy("doc_id")),
     "docs_chunk_dedup" -> ((s, d) => chunkDedup(s, d).orderBy("doc_id")),
+    "docs_boilerplate_scrub" -> ((s, d) => boilerplateScrub(s, d).orderBy("doc_id")),
     "text_unigram_nll" -> ((s, d) => unigramNll(s, d).orderBy("doc_id")),
     "text_bigram_nll" -> ((s, d) => bigramNll(s, d).orderBy("doc_id")),
     "docs_split_stable" -> ((s, d) => docSplit(s, d).orderBy("source", "split")),
@@ -770,6 +833,7 @@ object CorpusQc {
          |FROM documents d JOIN p2 ON p2.doc_id = d.doc_id JOIN p5 ON p5.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "docs_decontam" -> decontamOracle,
+    "docs_boilerplate_scrub" -> boilerplateScrubOracle,
     // The bloom variant is DEFINED to produce the exact operator's output
     // (the bloom only pre-filters; false positives die in the confirm join),
     // so its oracle is the identical exact SQL — any bloom-induced deviation

@@ -423,7 +423,123 @@ object EvalOps {
        |       ${sqlR6("CAST(sq AS DOUBLE)/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n_bin AS DOUBLE))")} AS brier
        |FROM g ORDER BY bin""".stripMargin
 
+  // ---------------- winsorization ----------------
+
+  /** Per-type winsorization report — the outlier-clipping pass a feature
+    * pipeline applies before any mean-based statistic: exact p1/p99
+    * thresholds by order-statistic rank (the integer ⌈q·n⌉ formula, no
+    * interpolation), values clipped into [p1, p99], and the before/after
+    * means with clip counts so the transform is auditable. All arithmetic is
+    * exact cents; thresholds are per-type literal-sized and broadcast back.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    val wAll = Window.partitionBy("event_type")
+    def kOf(num: Int, den: Int) =
+      floor((col("n") * num + den - 1).cast("double") / den).cast("long")
+    val ranked = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val thr = ranked.groupBy("event_type")
+      .agg(max(when(col("rn") === kOf(1, 100), col("c"))).as("lo"),
+        max(when(col("rn") === kOf(99, 100), col("c"))).as("hi"))
+    ranked.join(broadcast(thr), "event_type")
+      .withColumn("clipped", least(greatest(col("c"), col("lo")), col("hi")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c") < col("lo"), 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when(col("c") > col("hi"), 1L).otherwise(0L)).as("n_clip_high"),
+        r6(max(col("lo")).cast("double") / 1e2).as("p1"),
+        r6(max(col("hi")).cast("double") / 1e2).as("p99"),
+        r6(sum(col("c")).cast("double") / 1e2 / count(lit(1)).cast("double")).as("mean_raw"),
+        r6(sum(col("clipped")).cast("double") / 1e2 / count(lit(1)).cast("double")).as("mean_winsorized"))
+  }
+
+  def winsorizeOracle: String =
+    s"""WITH ranked AS (
+       |  SELECT event_type, CAST(floor(value*1e2 + 0.5) AS BIGINT) AS c,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY floor(value*1e2 + 0.5), event_id) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events
+       |), thr AS (
+       |  SELECT event_type,
+       |         CAST(max(CASE WHEN rn = (n*1 + 99)//100 THEN c END) AS BIGINT) AS lo,
+       |         CAST(max(CASE WHEN rn = (n*99 + 99)//100 THEN c END) AS BIGINT) AS hi
+       |  FROM ranked GROUP BY 1
+       |)
+       |SELECT r.event_type, count(*) AS n,
+       |       CAST(sum(CASE WHEN r.c < t.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+       |       CAST(sum(CASE WHEN r.c > t.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+       |       ${sqlR6("CAST(max(t.lo) AS DOUBLE)/1e2")} AS p1,
+       |       ${sqlR6("CAST(max(t.hi) AS DOUBLE)/1e2")} AS p99,
+       |       ${sqlR6("CAST(sum(r.c) AS DOUBLE)/1e2/CAST(count(*) AS DOUBLE)")} AS mean_raw,
+       |       ${sqlR6("CAST(sum(least(greatest(r.c, t.lo), t.hi)) AS DOUBLE)/1e2/CAST(count(*) AS DOUBLE)")} AS mean_winsorized
+       |FROM ranked r JOIN thr t USING (event_type)
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // ---------------- session position profile ----------------
+
+  /** Positions reported by the session-position profile. */
+  val PositionCap = 10
+
+  /** Within-session position effects — "how does behavior change from the
+    * 1st to the Nth event of a session": per position (1..[[PositionCap]])
+    * the event count, exact-cents mean value, and purchase share. Sessions
+    * are the standard 30-min-gap islands (the same definition as
+    * `events_sessionize`); position is the row_number within the session.
+    * One shuffle on user_id covers sessionization and positioning; the
+    * profile is position-bounded.
+    */
+  def sessionPositionProfile(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMin = (col("ts").cast("double") - col("prev_ts").cast("double")) / 60.0
+    val sess = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || gapMin > 30.0, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wPos = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    sess.withColumn("pos", row_number().over(wPos))
+      .filter(col("pos") <= PositionCap)
+      .select(col("pos"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n_events"),
+        r6(sum(col("c")).cast("double") / 1e2 / count(lit(1)).cast("double")).as("mean_value"),
+        r6(sum(col("p")).cast("double") / count(lit(1)).cast("double")).as("purchase_share"))
+  }
+
+  def sessionPositionProfileOracle: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, event_id, event_type, value,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR (epoch(ts) - epoch(lag(ts) OVER w))/60.0 > 30.0
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sess AS (
+       |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+       |  FROM marked
+       |), pos AS (
+       |  SELECT row_number() OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS pos,
+       |         CAST(floor(value*1e2 + 0.5) AS BIGINT) AS c,
+       |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+       |  FROM sess
+       |)
+       |SELECT CAST(pos AS INT) AS pos, count(*) AS n_events,
+       |       ${sqlR6("CAST(sum(c) AS DOUBLE)/1e2/CAST(count(*) AS DOUBLE)")} AS mean_value,
+       |       ${sqlR6("CAST(sum(p) AS DOUBLE)/CAST(count(*) AS DOUBLE)")} AS purchase_share
+       |FROM pos WHERE pos <= $PositionCap
+       |GROUP BY 1 ORDER BY pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_winsorize" -> ((s, d) => winsorize(s, d).orderBy("event_type")),
+    "events_session_position" -> ((s, d) => sessionPositionProfile(s, d).orderBy("pos")),
     "events_calibration" -> ((s, d) => calibration(s, d).orderBy("bin")),
     "events_auc" -> ((s, d) => auc(s, d).orderBy("day")),
     "events_score_lift" -> ((s, d) => scoreLift(s, d).orderBy("decile")),
@@ -434,6 +550,8 @@ object EvalOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_winsorize" -> winsorizeOracle,
+    "events_session_position" -> sessionPositionProfileOracle,
     "events_calibration" -> calibrationOracle,
     "events_auc" -> aucOracle,
     "events_score_lift" -> scoreLiftOracle,
