@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Num._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -537,7 +537,80 @@ object EvalOps {
        |FROM pos WHERE pos <= $PositionCap
        |GROUP BY 1 ORDER BY pos""".stripMargin
 
+  // ---------------- deterministic Poisson bootstrap ----------------
+
+  /** Bootstrap replicas and the Poisson(1) inverse-CDF thresholds (cumulative
+    * probabilities P(X ≤ k), k = 0..5; draws cap at 6). */
+  val BootstrapB = 100
+  val PoissonCum: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+  /** Per-type bootstrap confidence interval for the mean value — the
+    * resampling answer where the CLT's normal approximation is not trusted.
+    * Poisson bootstrap (the distributed form — per-row i.i.d. Poisson(1)
+    * weights replace the global multinomial draw, which would need the row
+    * count in advance): each of [[BootstrapB]] replicas draws every row's
+    * weight by inverse-CDF over the cross-engine LCG (`DetRand.u01`, key =
+    * event_id·B + b), so both engines reproduce the identical resample.
+    * Replica means are exact weighted-cents ratios, fx6-quantized for the
+    * exact 2.5%/97.5% order statistics over the B replicate means. The
+    * explode is a narrow ×B fan-out collapsing map-side into (type, b)
+    * partials — nothing corpus-sized shuffles.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val u = graft.functions.DetRand.u01(col("event_id") * BootstrapB + col("b"), 7)
+    val weight = PoissonCum.zipWithIndex.foldRight(lit(PoissonCum.size): Column) {
+      case ((p, k), elseC) => when(u < p, k).otherwise(elseC)
+    }
+    val reps = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"))
+      .select(col("event_type"), col("event_id"), col("c"),
+        explode(sequence(lit(0), lit(BootstrapB - 1))).as("b"))
+      .withColumn("w", weight.cast("long"))
+      .groupBy("event_type", "b")
+      .agg(sum(col("w") * col("c")).as("swc"), sum(col("w")).as("sw"))
+      .withColumn("mean_fx",
+        floor(col("swc").cast("double") * 1e6 / col("sw").cast("double") + 0.5).cast("long"))
+    val wRank = Window.partitionBy("event_type").orderBy("mean_fx")
+    reps.withColumn("rn", row_number().over(wRank).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_reps"),
+        r6(max(when(col("rn") === math.ceil(0.025 * BootstrapB).toLong, col("mean_fx")))
+          .cast("double") / 1e8).as("ci_lo"),
+        r6(max(when(col("rn") === math.ceil(0.975 * BootstrapB).toLong, col("mean_fx")))
+          .cast("double") / 1e8).as("ci_hi"))
+  }
+
+  def bootstrapCiOracle: String = {
+    val u = graft.functions.DetRand.sqlU01(s"event_id*$BootstrapB + b.b", 7)
+    val weight = PoissonCum.zipWithIndex.foldRight(PoissonCum.size.toString) {
+      case ((p, k), elseS) => s"CASE WHEN ($u) < ${sqlD(p)} THEN $k ELSE $elseS END"
+    }
+    s"""WITH reps AS (
+       |  SELECT event_type, b.b,
+       |         CAST(sum(CAST(($weight) AS BIGINT) * CAST(floor(value*1e2 + 0.5) AS BIGINT)) AS BIGINT) AS swc,
+       |         CAST(sum(CAST(($weight) AS BIGINT)) AS BIGINT) AS sw
+       |  FROM events CROSS JOIN range(0, $BootstrapB) b(b)
+       |  GROUP BY 1, 2
+       |), means AS (
+       |  SELECT event_type,
+       |         CAST(floor(CAST(swc AS DOUBLE)*1e6/CAST(sw AS DOUBLE) + 0.5) AS BIGINT) AS mean_fx
+       |  FROM reps
+       |), ranked AS (
+       |  SELECT event_type, mean_fx,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY mean_fx) AS rn
+       |  FROM means
+       |)
+       |SELECT event_type, count(*) AS n_reps,
+       |       ${sqlR6(s"CAST(max(CASE WHEN rn = ${math.ceil(0.025 * BootstrapB).toLong} THEN mean_fx END) AS DOUBLE)/1e8")} AS ci_lo,
+       |       ${sqlR6(s"CAST(max(CASE WHEN rn = ${math.ceil(0.975 * BootstrapB).toLong} THEN mean_fx END) AS DOUBLE)/1e8")} AS ci_hi
+       |FROM ranked GROUP BY 1 ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_bootstrap_ci" -> ((s, d) => bootstrapCi(s, d).orderBy("event_type")),
     "events_winsorize" -> ((s, d) => winsorize(s, d).orderBy("event_type")),
     "events_session_position" -> ((s, d) => sessionPositionProfile(s, d).orderBy("pos")),
     "events_calibration" -> ((s, d) => calibration(s, d).orderBy("bin")),
@@ -550,6 +623,7 @@ object EvalOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_bootstrap_ci" -> bootstrapCiOracle,
     "events_winsorize" -> winsorizeOracle,
     "events_session_position" -> sessionPositionProfileOracle,
     "events_calibration" -> calibrationOracle,

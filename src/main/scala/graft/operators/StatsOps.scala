@@ -551,7 +551,82 @@ object StatsOps {
        |       ${sqlR6("CAST(sum(n_supps) AS DOUBLE)/CAST(count(*) AS DOUBLE)")} AS avg_suppliers
        |FROM per GROUP BY 1 ORDER BY n_parts""".stripMargin
 
+  /** Split-conformal miscoverage level: intervals target 1 − α = 90%. */
+  val ConformalAlpha = 0.1
+
+  /** Split-conformal prediction intervals per series (Vovk et al.; the
+    * distribution-free uncertainty wrapper every forecast deployment now
+    * ships): nonconformity scores are the lag-1 absolute errors |c_t −
+    * c_{t−1}| in exact cents; the TIME-ordered first half calibrates, the
+    * second half evaluates. qhat is the ⌈(n_cal+1)(1−α)⌉-th smallest
+    * calibration score (exact order statistic, capped at n_cal), and the
+    * reported coverage is the eval fraction within qhat — the guarantee
+    * check (≥ 90% in expectation) an operator reads before trusting the
+    * bands. One shuffle on user_id covers the lag, the split, the rank and
+    * both aggregates.
+    */
+  def conformal(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val res = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"))
+      .withColumn("r", abs(col("c") - lag(col("c"), 1).over(wOrd)))
+      .filter(col("r").isNotNull)
+      .withColumn("t_rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n_res", count(lit(1)).over(Window.partitionBy("user_id")))
+      .withColumn("is_cal", col("t_rn") <= floor(col("n_res").cast("double") / 2).cast("long"))
+    val wCal = Window.partitionBy("user_id").orderBy("r")
+    val cal = res.filter(col("is_cal"))
+      .withColumn("rn", row_number().over(wCal).cast("long"))
+      .withColumn("n_cal", count(lit(1)).over(Window.partitionBy("user_id")))
+      .groupBy("user_id")
+      .agg(max(col("n_cal")).as("n_cal"),
+        max(when(col("rn") ===
+          least(col("n_cal"),
+            ceil((col("n_cal") + 1).cast("double") * (1.0 - ConformalAlpha)).cast("long")),
+          col("r"))).as("qhat_c"))
+    res.filter(!col("is_cal"))
+      .join(cal, "user_id")
+      .groupBy("user_id")
+      .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_eval"),
+        r6(max(col("qhat_c")).cast("double") / 1e2).as("qhat"),
+        r6(sum(when(col("r") <= col("qhat_c"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("coverage"))
+  }
+
+  def conformalOracle: String =
+    s"""WITH res AS (
+       |  SELECT user_id, ts, event_id,
+       |         abs(CAST(floor(value*1e2 + 0.5) AS BIGINT) -
+       |             lag(CAST(floor(value*1e2 + 0.5) AS BIGINT)) OVER w) AS r
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), keep AS (
+       |  SELECT user_id, r,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_rn,
+       |         count(*) OVER (PARTITION BY user_id) AS n_res
+       |  FROM (SELECT * FROM res WHERE r IS NOT NULL)
+       |), cal AS (
+       |  SELECT user_id, CAST(max(n_cal) AS BIGINT) AS n_cal,
+       |         CAST(max(CASE WHEN rn = least(n_cal,
+       |                CAST(ceil(CAST(n_cal + 1 AS DOUBLE) * ${sqlD(1.0 - ConformalAlpha)}) AS BIGINT))
+       |              THEN r END) AS BIGINT) AS qhat_c
+       |  FROM (
+       |    SELECT user_id, r,
+       |           row_number() OVER (PARTITION BY user_id ORDER BY r) AS rn,
+       |           count(*) OVER (PARTITION BY user_id) AS n_cal
+       |    FROM keep WHERE t_rn <= n_res//2)
+       |  GROUP BY 1
+       |)
+       |SELECT k.user_id, CAST(max(c.n_cal) AS BIGINT) AS n_cal, count(*) AS n_eval,
+       |       ${sqlR6("CAST(max(c.qhat_c) AS DOUBLE)/1e2")} AS qhat,
+       |       ${sqlR6("CAST(sum(CASE WHEN k.r <= c.qhat_c THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE)")} AS coverage
+       |FROM keep k JOIN cal c USING (user_id)
+       |WHERE k.t_rn > k.n_res//2
+       |GROUP BY 1 ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_conformal" -> ((s, d) => conformal(s, d).orderBy("user_id")),
     "ts_theilsen" -> ((s, d) => theilSen(s, d).orderBy("user_id")),
     "orders_basket_profile" -> ((s, d) => basketProfile(s, d).orderBy("n_parts")),
     "ts_pacf" -> ((s, d) => pacf(s, d).orderBy("user_id")),
@@ -564,6 +639,7 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "ts_conformal" -> conformalOracle,
     "ts_theilsen" -> theilSenOracle,
     "orders_basket_profile" -> basketProfileOracle,
     "ts_pacf" -> pacfOracle,
