@@ -814,7 +814,37 @@ object Dedup {
        |WHERE levenshtein(a.t, b.t) <= $EditMaxDist
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Per-doc n-gram novelty — the "how much of this document is NEW" curve a
+    * curriculum or crawl-dedup pipeline reads in ingestion order: of a doc's
+    * distinct 3-gram shingles, the fraction whose FIRST corpus occurrence
+    * (min doc_id over the digest) is this doc. High-novelty docs carry fresh
+    * content; near-zero novelty marks recombinations of already-seen text
+    * that an aggressive dedup policy would drop even when no single pairwise
+    * detector fires. Rides the canonical shingle-digest table; only 8-byte
+    * digests shuffle (once for first-occurrence, once for the join-back).
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir).localCheckpoint(true)
+    val first = sh.groupBy("base").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "base")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        r6(col("n_novel").cast("double") / col("n_shingles").cast("double")).as("novelty"))
+  }
+
+  def ngramNoveltyOracle: String =
+    s"""WITH $docShinglesSql,
+       |firstdoc AS (SELECT base, min(doc_id) AS first_doc FROM shingles GROUP BY 1)
+       |SELECT s.doc_id, count(*) AS n_shingles,
+       |       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |       ${sqlR6("CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE)")} AS novelty
+       |FROM shingles s JOIN firstdoc f USING (base)
+       |GROUP BY 1 ORDER BY s.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_ngram_novelty" -> ((s, d) => ngramNovelty(s, d).orderBy("doc_id")),
     "dedup_edit_distance" -> ((s, d) => editDistancePairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_cluster_sizes" -> ((s, d) => clusterSizeHist(s, d).orderBy("cluster_size")),
     "dedup_exact" -> ((s, d) => exact(s, d).orderBy("doc_id")),
@@ -834,6 +864,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "docs_ngram_novelty" -> ngramNoveltyOracle,
     "dedup_edit_distance" -> editDistancePairsOracle,
     "dedup_exact" ->
       """SELECT doc_id,

@@ -609,7 +609,62 @@ object EvalOps {
        |FROM ranked GROUP BY 1 ORDER BY event_type""".stripMargin
   }
 
+  // ---------------- behavioral user similarity ----------------
+
+  /** Neighbors reported per user. */
+  val UserSimTopK = 5
+
+  /** Behavioral user similarity — "users like you" from the event log alone:
+    * each user's event-type count vector (the simplest behavioral
+    * embedding), cosine similarity via exact integer dot products over the
+    * type-keyed join, top [[UserSimTopK]] neighbors per user. The join
+    * explodes to users² per type, which is the DECLARED brute-force rung:
+    * at corpus scale the same vectors feed the LSH/IVF family (the
+    * `dedup_embedding_nn` path) — this operator is the exact ground truth
+    * those would approximate, same stance as `ann_bruteforce_topk`.
+    * Determinism: dot and norms² are exact BIGINTs; the only double is the
+    * final cosine, r6-rounded with an id tiebreak.
+    */
+  def userSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // feeds norms and both join sides
+    val norms = cnt.groupBy("user_id").agg(sum(col("n") * col("n")).as("nrm2"))
+    val dots = cnt.toDF("ua", "event_type", "na")
+      .join(cnt.toDF("ub", "event_type", "nb"), "event_type")
+      .filter(col("ua") =!= col("ub"))
+      .groupBy("ua", "ub").agg(sum(col("na") * col("nb")).as("dot"))
+    val scored = dots
+      .join(broadcast(norms.select(col("user_id").as("ua"), col("nrm2").as("n2a"))), "ua")
+      .join(broadcast(norms.select(col("user_id").as("ub"), col("nrm2").as("n2b"))), "ub")
+      .withColumn("cos", r6(col("dot").cast("double") /
+        sqrt(col("n2a").cast("double") * col("n2b").cast("double"))))
+    val w = Window.partitionBy("ua").orderBy(desc("cos"), asc("ub"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= UserSimTopK)
+      .select(col("ua").as("user_id"), col("rank"), col("ub").as("similar_user"), col("cos"))
+  }
+
+  def userSimilarityOracle: String =
+    s"""WITH cnt AS (
+       |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+       |), norms AS (
+       |  SELECT user_id, CAST(sum(n*n) AS BIGINT) AS nrm2 FROM cnt GROUP BY 1
+       |), dots AS (
+       |  SELECT a.user_id AS ua, b.user_id AS ub, CAST(sum(a.n*b.n) AS BIGINT) AS dot
+       |  FROM cnt a JOIN cnt b ON a.event_type = b.event_type AND a.user_id <> b.user_id
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT d.ua, d.ub,
+       |         ${sqlR6("CAST(d.dot AS DOUBLE)/sqrt(CAST(na.nrm2 AS DOUBLE)*CAST(nb.nrm2 AS DOUBLE))")} AS cos
+       |  FROM dots d JOIN norms na ON na.user_id = d.ua JOIN norms nb ON nb.user_id = d.ub
+       |)
+       |SELECT ua AS user_id, CAST(rank AS INT) AS rank, ub AS similar_user, cos
+       |FROM (SELECT *, row_number() OVER (PARTITION BY ua ORDER BY cos DESC, ub ASC) AS rank
+       |      FROM scored)
+       |WHERE rank <= $UserSimTopK ORDER BY user_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_user_similarity" -> ((s, d) => userSimilarity(s, d).orderBy("user_id", "rank")),
     "events_bootstrap_ci" -> ((s, d) => bootstrapCi(s, d).orderBy("event_type")),
     "events_winsorize" -> ((s, d) => winsorize(s, d).orderBy("event_type")),
     "events_session_position" -> ((s, d) => sessionPositionProfile(s, d).orderBy("pos")),
@@ -623,6 +678,7 @@ object EvalOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_user_similarity" -> userSimilarityOracle,
     "events_bootstrap_ci" -> bootstrapCiOracle,
     "events_winsorize" -> winsorizeOracle,
     "events_session_position" -> sessionPositionProfileOracle,

@@ -1270,8 +1270,41 @@ object Similarity {
        |JOIN lab l ON l.vec_id = c.qid
        |WHERE c.rn <= $TopK ORDER BY c.qid, c.rn""".stripMargin
 
+  /** Label precision@k of the UNFILTERED exact top-k — the retrieval-quality
+    * eval that needs no human judgments: treating each query's class label
+    * as relevance ground truth, the share of its [[TopK]] cosine neighbors
+    * sharing the label. Read next to `ann_filtered_topk` (which constrains
+    * the label) and the recall ladder (which measures the INDEX against
+    * exact search): this row measures the EMBEDDING itself. Derived from the
+    * same brute-force ranking; the label table joins twice on ids only.
+    */
+  def labelPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val labels = emb(spark, dir).select(col("vec_id"), col("label"))
+    bruteForceTopK(spark, dir)
+      .join(broadcast(labels.select(col("vec_id").as("qid"), col("label").as("qlabel"))), "qid")
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel"))),
+        "neighbor_id")
+      .groupBy("qid", "qlabel")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L)).as("n_match"))
+      .select(col("qid"), col("qlabel"), col("k"), col("n_match"),
+        r6(col("n_match").cast("double") / col("k").cast("double")).as("precision"))
+  }
+
+  def labelPrecisionOracle: String =
+    s"""WITH lab AS (SELECT DISTINCT vec_id, label FROM embeddings),
+       |tk AS (SELECT * FROM (${cosTopKSql(bucketJoin = false)}))
+       |SELECT t.qid, ql.label AS qlabel, count(*) AS k,
+       |       CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |       ${sqlR6("CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE)")} AS precision
+       |FROM tk t
+       |JOIN lab ql ON ql.vec_id = t.qid
+       |JOIN lab nl ON nl.vec_id = t.neighbor_id
+       |GROUP BY 1, 2 ORDER BY qid""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_filtered_topk" -> ((s, d) => filteredTopK(s, d).orderBy("qid", "rank")),
+    "ann_label_precision" -> ((s, d) => labelPrecision(s, d).orderBy("qid")),
     "emb_cell_silhouette" -> ((s, d) => cellSilhouette(s, d).orderBy("cell")),
     "ann_mips_topk" -> ((s, d) => mipsTopK(s, d).orderBy("qid", "rank")),
     "ann_mmr_rerank" -> ((s, d) => mmrRerank(s, d).orderBy("qid", "pick_order")),
@@ -1301,6 +1334,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "ann_filtered_topk" -> filteredTopKOracle,
+    "ann_label_precision" -> labelPrecisionOracle,
     "emb_cell_silhouette" -> cellSilhouetteOracle,
     "ann_mips_topk" -> mipsTopKOracle,
     "ann_mmr_rerank" -> mmrRerankOracle,
