@@ -843,7 +843,47 @@ object Dedup {
        |FROM shingles s JOIN firstdoc f USING (base)
        |GROUP BY 1 ORDER BY s.doc_id""".stripMargin
 
+  /** Dedup policy what-if sweep — the decision table an operator reads before
+    * picking the production Jaccard threshold: for each candidate threshold
+    * 0.1..0.9, how many docs the pairwise-greedy rule (drop the larger id of
+    * every qualifying pair — `docs_curated`'s demotion) would remove, and
+    * the retained fraction. One pass over the (tiny) verified-pair table
+    * crossed with the 9-row threshold spine; the corpus is touched only for
+    * its count.
+    */
+  def policySweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).select("doc_b", "jaccard")
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val thr = Tables.documents(spark, dir).sparkSession
+      .range(1, 10).select((col("id").cast("double") / 10.0).as("t"))
+    pairs.crossJoin(broadcast(thr))
+      .filter(col("jaccard") >= col("t"))
+      .groupBy("t").agg(countDistinct(col("doc_b")).as("n_dropped"))
+      .join(broadcast(thr), Seq("t"), "right")
+      .crossJoin(broadcast(nDocs))
+      .select(r6(col("t")).as("threshold"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"), col("n_docs"),
+        r6((col("n_docs") - coalesce(col("n_dropped"), lit(0L))).cast("double") /
+          col("n_docs").cast("double")).as("retained_frac"))
+  }
+
+  def policySweepOracle: String =
+    minhashPairsSqlChain +
+      s""", thr AS (SELECT CAST(i AS DOUBLE)/10.0 AS t FROM range(1, 10) r(i)),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |drops AS (
+         |  SELECT t.t, count(DISTINCT j.doc_b) AS n_dropped
+         |  FROM jac j JOIN thr t ON j.jaccard >= t.t
+         |  GROUP BY 1
+         |)
+         |SELECT ${sqlR6("t.t")} AS threshold,
+         |       coalesce(d.n_dropped, 0) AS n_dropped, nd.n_docs,
+         |       ${sqlR6("CAST(nd.n_docs - coalesce(d.n_dropped, 0) AS DOUBLE)/CAST(nd.n_docs AS DOUBLE)")} AS retained_frac
+         |FROM thr t LEFT JOIN drops d ON d.t = t.t, nd
+         |ORDER BY threshold""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_policy_sweep" -> ((s, d) => policySweep(s, d).orderBy("threshold")),
     "docs_ngram_novelty" -> ((s, d) => ngramNovelty(s, d).orderBy("doc_id")),
     "dedup_edit_distance" -> ((s, d) => editDistancePairs(s, d).orderBy("doc_a", "doc_b")),
     "dedup_cluster_sizes" -> ((s, d) => clusterSizeHist(s, d).orderBy("cluster_size")),
@@ -864,6 +904,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "dedup_policy_sweep" -> policySweepOracle,
     "docs_ngram_novelty" -> ngramNoveltyOracle,
     "dedup_edit_distance" -> editDistancePairsOracle,
     "dedup_exact" ->

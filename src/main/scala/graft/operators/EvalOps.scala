@@ -609,6 +609,71 @@ object EvalOps {
        |FROM ranked GROUP BY 1 ORDER BY event_type""".stripMargin
   }
 
+  // ---------------- NDCG ----------------
+
+  /** NDCG cutoff. */
+  val NdcgK = 10
+
+  /** Per-day NDCG@[[NdcgK]] of the value-score ranking against binary
+    * purchase relevance — the position-weighted companion to [[auc]] (AUC
+    * weights all pair inversions equally; NDCG concentrates on the top of
+    * the list, which is what a serving surface actually shows). Ranking by
+    * (cents DESC, event_id) is a total order, so both engines rank the
+    * identical list; the per-position discount 1/log2(i+1) enters as an
+    * fx9-quantized term per HIT, making DCG and the ideal DCG exact BIGINT
+    * sums; days with no positive have no NDCG and are excluded (same stance
+    * as the AUC guard).
+    */
+  def ndcg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("day").orderBy(col("x").desc, col("event_id").asc)
+    val ranked = Tables.events(spark, dir)
+      .select(col("ts").cast("date").as("day"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("x"),
+        col("event_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .withColumn("i", row_number().over(w).cast("long"))
+    val gain = fx9(lit(1.0) / log(2.0, col("i").cast("double") + 1.0))
+    val dcg = ranked.filter(col("i") <= NdcgK)
+      .groupBy("day")
+      .agg(sum(when(col("y") === 1L, gain).otherwise(lit(0L))).as("dcg_fx"))
+    val wIdeal = Window.partitionBy("day").orderBy(col("y").desc, col("x").desc, col("event_id").asc)
+    val ideal = ranked.withColumn("i", row_number().over(wIdeal).cast("long"))
+      .filter(col("i") <= NdcgK)
+      .groupBy("day")
+      .agg(sum(when(col("y") === 1L, gain).otherwise(lit(0L))).as("idcg_fx"),
+        sum(col("y")).as("n_pos_topk"))
+    dcg.join(ideal, "day")
+      .filter(col("idcg_fx") > 0L)
+      .select(col("day"), col("n_pos_topk"),
+        r6(col("dcg_fx").cast("double") / col("idcg_fx").cast("double")).as("ndcg"))
+  }
+
+  def ndcgOracle: String = {
+    val gain = sqlFx9("1.0e0 / log2(CAST(i AS DOUBLE) + 1.0e0)")
+    s"""WITH base AS (
+       |  SELECT CAST(ts AS DATE) AS day, CAST(floor(value*1e2 + 0.5) AS BIGINT) AS x,
+       |         event_id, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+       |  FROM events
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY day ORDER BY x DESC, event_id ASC) AS i
+       |  FROM base
+       |), dcg AS (
+       |  SELECT day, CAST(sum(CASE WHEN y = 1 THEN $gain ELSE 0 END) AS BIGINT) AS dcg_fx
+       |  FROM ranked WHERE i <= $NdcgK GROUP BY 1
+       |), ideal0 AS (
+       |  SELECT *, row_number() OVER (PARTITION BY day ORDER BY y DESC, x DESC, event_id ASC) AS i
+       |  FROM base
+       |), ideal AS (
+       |  SELECT day, CAST(sum(CASE WHEN y = 1 THEN $gain ELSE 0 END) AS BIGINT) AS idcg_fx,
+       |         CAST(sum(y) AS BIGINT) AS n_pos_topk
+       |  FROM ideal0 WHERE i <= $NdcgK GROUP BY 1
+       |)
+       |SELECT d.day, i.n_pos_topk,
+       |       ${sqlR6("CAST(d.dcg_fx AS DOUBLE)/CAST(i.idcg_fx AS DOUBLE)")} AS ndcg
+       |FROM dcg d JOIN ideal i USING (day)
+       |WHERE i.idcg_fx > 0 ORDER BY day""".stripMargin
+  }
+
   // ---------------- behavioral user similarity ----------------
 
   /** Neighbors reported per user. */
@@ -626,19 +691,27 @@ object EvalOps {
     * final cosine, r6-rounded with an id tiebreak.
     */
   def userSimilarity(spark: SparkSession, dir: String): DataFrame = {
-    val cnt = Tables.events(spark, dir)
-      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = true) // feeds norms and both join sides
-    val norms = cnt.groupBy("user_id").agg(sum(col("n") * col("n")).as("nrm2"))
-    val dots = cnt.toDF("ua", "event_type", "na")
-      .join(cnt.toDF("ub", "event_type", "nb"), "event_type")
+    // densify each user's type-count vector with pivot (the internal distinct
+    // collect is bounded by the type vocabulary — the CMS-probe stance). The
+    // first cut joined the count table on event_type: ~5 distinct join keys
+    // collapse a shuffle join to 5 straggler tasks, and the users²×types
+    // intermediate re-aggregates to users² — measured 8.0 s at sf0.1 vs
+    // 2-3 s for this single-pass form (pairs materialize once, dot/norms are
+    // an inline literal fold, the ann_bruteforce crossJoin(broadcast) shape).
+    val vecs = Tables.events(spark, dir)
+      .groupBy("user_id").pivot("event_type").agg(count(lit(1)))
+      .na.fill(0L)
+      .localCheckpoint(eager = true) // one user-sized table feeds both sides
+    val types = vecs.columns.filterNot(_ == "user_id").sorted
+    val a = vecs.select(col("user_id").as("ua") +: types.map(t => col(t).as(s"a_$t")): _*)
+    val b = vecs.select(col("user_id").as("ub") +: types.map(t => col(t).as(s"b_$t")): _*)
+    val dot = types.map(t => col(s"a_$t") * col(s"b_$t")).reduce(_ + _)
+    val n2a = types.map(t => col(s"a_$t") * col(s"a_$t")).reduce(_ + _)
+    val n2b = types.map(t => col(s"b_$t") * col(s"b_$t")).reduce(_ + _)
+    val scored = a.crossJoin(broadcast(b))
       .filter(col("ua") =!= col("ub"))
-      .groupBy("ua", "ub").agg(sum(col("na") * col("nb")).as("dot"))
-    val scored = dots
-      .join(broadcast(norms.select(col("user_id").as("ua"), col("nrm2").as("n2a"))), "ua")
-      .join(broadcast(norms.select(col("user_id").as("ub"), col("nrm2").as("n2b"))), "ub")
-      .withColumn("cos", r6(col("dot").cast("double") /
-        sqrt(col("n2a").cast("double") * col("n2b").cast("double"))))
+      .withColumn("cos", r6(dot.cast("double") /
+        sqrt(n2a.cast("double") * n2b.cast("double"))))
     val w = Window.partitionBy("ua").orderBy(desc("cos"), asc("ub"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= UserSimTopK)
       .select(col("ua").as("user_id"), col("rank"), col("ub").as("similar_user"), col("cos"))
@@ -665,6 +738,7 @@ object EvalOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_user_similarity" -> ((s, d) => userSimilarity(s, d).orderBy("user_id", "rank")),
+    "events_ndcg" -> ((s, d) => ndcg(s, d).orderBy("day")),
     "events_bootstrap_ci" -> ((s, d) => bootstrapCi(s, d).orderBy("event_type")),
     "events_winsorize" -> ((s, d) => winsorize(s, d).orderBy("event_type")),
     "events_session_position" -> ((s, d) => sessionPositionProfile(s, d).orderBy("pos")),
@@ -679,6 +753,7 @@ object EvalOps {
 
   def oracles: Map[String, String] = Map(
     "events_user_similarity" -> userSimilarityOracle,
+    "events_ndcg" -> ndcgOracle,
     "events_bootstrap_ci" -> bootstrapCiOracle,
     "events_winsorize" -> winsorizeOracle,
     "events_session_position" -> sessionPositionProfileOracle,

@@ -625,7 +625,52 @@ object StatsOps {
        |WHERE k.t_rn > k.n_res//2
        |GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** Per-customer reorder cadence — the replenishment signal a retention or
+    * inventory model consumes: exact integer day gaps between consecutive
+    * orders, the exact median gap (lower order statistic), min/max, and the
+    * order count. Customers with fewer than two orders have no cadence and
+    * are excluded. One shuffle on o_custkey covers the ordering, the gap
+    * lag, and the median rank.
+    */
+  def reorderInterval(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(wOrd)).cast("long"))
+      .filter(col("gap_days").isNotNull)
+    val wRank = Window.partitionBy("o_custkey").orderBy("gap_days")
+    val wAll = Window.partitionBy("o_custkey")
+    gaps.withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("n_gaps", count(lit(1)).over(wAll))
+      .groupBy("o_custkey")
+      .agg(max(col("n_gaps")).as("n_gaps"),
+        max(when(col("rn") === floor((col("n_gaps") + 1).cast("double") / 2).cast("long"),
+          col("gap_days"))).as("median_gap_days"),
+        min(col("gap_days")).as("min_gap_days"),
+        max(col("gap_days")).as("max_gap_days"))
+  }
+
+  def reorderIntervalOracle: String =
+    s"""WITH gaps AS (
+       |  SELECT o_custkey,
+       |         CAST(datediff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS gap_days
+       |  FROM orders
+       |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       |), ranked AS (
+       |  SELECT o_custkey, gap_days,
+       |         row_number() OVER (PARTITION BY o_custkey ORDER BY gap_days) AS rn,
+       |         count(*) OVER (PARTITION BY o_custkey) AS n_gaps
+       |  FROM gaps WHERE gap_days IS NOT NULL
+       |)
+       |SELECT o_custkey, CAST(max(n_gaps) AS BIGINT) AS n_gaps,
+       |       CAST(max(CASE WHEN rn = (n_gaps + 1)//2 THEN gap_days END) AS BIGINT) AS median_gap_days,
+       |       CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+       |       CAST(max(gap_days) AS BIGINT) AS max_gap_days
+       |FROM ranked GROUP BY 1 ORDER BY o_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_reorder_interval" -> ((s, d) => reorderInterval(s, d).orderBy("o_custkey")),
     "ts_conformal" -> ((s, d) => conformal(s, d).orderBy("user_id")),
     "ts_theilsen" -> ((s, d) => theilSen(s, d).orderBy("user_id")),
     "orders_basket_profile" -> ((s, d) => basketProfile(s, d).orderBy("n_parts")),
@@ -639,6 +684,7 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "orders_reorder_interval" -> reorderIntervalOracle,
     "ts_conformal" -> conformalOracle,
     "ts_theilsen" -> theilSenOracle,
     "orders_basket_profile" -> basketProfileOracle,
