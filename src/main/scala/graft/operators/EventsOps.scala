@@ -1597,6 +1597,67 @@ object EventsOps {
        |       ${sqlR6("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)")} AS p
        |FROM c ORDER BY prev_type, next_type""".stripMargin
 
+  /** Power-iteration count for the stationary distribution (fixed unroll —
+    * each step is one broadcast join + agg in Spark and one CTE in the
+    * oracle, the pagerank pattern on the 5-state chain). */
+  val StationaryIters = 4
+
+  /** Stationary distribution of the event-type Markov chain — the long-run
+    * "where do users spend their time" readout derived from
+    * `events_type_transitions`: π ← π·P iterated [[StationaryIters]] times
+    * from uniform. Same determinism discipline as pagerank: transition
+    * probabilities are the r6-rounded matrix, each π·p term fx12-quantizes
+    * before the order-insensitive sum, and π r9-rounds before reuse. The
+    * state vector broadcasts; every iteration is a states²-sized join — at
+    * any scale this is a driver-trivial computation whose INPUT matrix is
+    * the distributed aggregation.
+    */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val trans = typeTransitions(spark, dir)
+      .select(col("prev_type"), col("next_type"), col("p"))
+      .localCheckpoint(true) // scanned once per unrolled iteration
+    val wAll = Window.partitionBy()
+    var pi = trans.select(col("prev_type").as("state")).distinct()
+      .withColumn("pi", r(lit(1.0) / count(lit(1)).over(wAll).cast("double"), 9))
+    for (_ <- 1 to StationaryIters) {
+      pi = trans.join(broadcast(pi), col("prev_type") === col("state"))
+        .select(col("next_type"),
+          floor(col("pi") * col("p") * 1e12 + 0.5).cast("long").as("c"))
+        .groupBy("next_type").agg(sum(col("c")).as("s"))
+        .select(col("next_type").as("state"),
+          r(col("s").cast("double") / 1e12, 9).as("pi"))
+    }
+    pi.select(col("state"), r6(col("pi")).as("pi"))
+  }
+
+  def markovStationaryOracle: String = {
+    val steps = (1 to StationaryIters).map { i =>
+      s"""pi$i AS (
+         |  SELECT t.next_type AS state,
+         |         ${sqlR(s"CAST(sum(CAST(floor(p.pi * t.p * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12", 9)} AS pi
+         |  FROM t JOIN pi${i - 1} p ON p.state = t.prev_type
+         |  GROUP BY 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH l AS (
+       |  SELECT event_type AS next_type,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+       |  FROM events
+       |), c AS (
+       |  SELECT prev_type, next_type, count(*) AS n FROM l
+       |  WHERE prev_type IS NOT NULL GROUP BY 1, 2
+       |), t AS (
+       |  SELECT prev_type, next_type,
+       |         ${sqlR6("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)")} AS p
+       |  FROM c
+       |), pi0 AS (
+       |  SELECT prev_type AS state, ${sqlR("1.0e0 / CAST(count(*) OVER () AS DOUBLE)", 9)} AS pi
+       |  FROM (SELECT DISTINCT prev_type FROM c)
+       |),
+       |$steps
+       |SELECT state, ${sqlR6("pi")} AS pi FROM pi$StationaryIters ORDER BY state""".stripMargin
+  }
+
   /** Seasonal lag (in per-user event positions) for the forecast benchmark. */
   val ForecastSeason = 24
 
@@ -2334,6 +2395,7 @@ object EventsOps {
     "ts_changepoint" -> ((s, d) => changepoint(s, d).orderBy("user_id")),
     "events_key_skew" -> ((s, d) => keySkew(s, d)),
     "events_type_transitions" -> ((s, d) => typeTransitions(s, d).orderBy("prev_type", "next_type")),
+    "events_markov_stationary" -> ((s, d) => markovStationary(s, d).orderBy("state")),
     "ts_value_quantiles_sketch" -> ((s, d) => valueQuantilesSketch(s, d).orderBy("event_type")),
     "ts_tumbling_agg" -> ((s, d) => tumbling(s, d)),
     "ts_cross_corr" -> ((s, d) => crossCorr(s, d).orderBy("ta", "tb", "lag")),
@@ -2384,6 +2446,7 @@ object EventsOps {
     "ts_changepoint" -> changepointOracle,
     "events_key_skew" -> keySkewOracle,
     "events_type_transitions" -> typeTransitionsOracle,
+    "events_markov_stationary" -> markovStationaryOracle,
     "ts_value_quantiles_sketch" -> valueQuantilesSketchOracle,
     "ts_tumbling_agg" -> tumblingOracle,
     "ts_cross_corr" -> crossCorrOracle,

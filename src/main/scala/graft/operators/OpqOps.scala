@@ -177,6 +177,13 @@ object OpqOps {
       (0 until PcaD).map(p => basisFor(spark, dir).loadings(p).toSeq)
     val proj = PqOps.emb(spark, dir).select(col("vec_id"),
       graft.plans.VectorFunctions.mat_vec_fx(col("v"), mat).as("pv"))
+    rankReduced(proj, k)
+  }
+
+  /** Exact L2 ranking in a reduced space: corpus stays partitioned, the
+    * [[Similarity.NumQueries]] reduced queries broadcast, per-query top-k is
+    * a WindowGroupLimit — the shared tail of the dim-reduction rungs. */
+  private def rankReduced(proj: DataFrame, k: Int): DataFrame = {
     val q = proj.filter(col("vec_id") < Similarity.NumQueries)
       .select(col("vec_id").as("qid"), col("pv").as("qv"))
     val scored = proj.crossJoin(broadcast(q))
@@ -187,6 +194,27 @@ object OpqOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"), col("dist"))
   }
+
+  /** Matryoshka-style PREFIX truncation: keep the embedding's first [[PcaD]]
+    * coordinates verbatim and rank by exact L2 in that subspace — no
+    * projection, no training, just a narrower scan. This is the rung an
+    * MRL-trained model (Kusupati et al., NeurIPS 2022) earns: its head dims
+    * are optimized to carry the signal, so prefix recall ≈ PCA recall. On a
+    * generic embedding the gap between `ann_prefix_recall` and
+    * `ann_pca_recall` (same 16-dim budget, PCA picks the directions) is the
+    * measured value of the learned/decorrelated basis — the "is my model
+    * Matryoshka" dial. Scale: identical plan to [[pcaTopK]] minus the
+    * mat-vec; `slice` keeps the stage in whole-stage codegen.
+    */
+  def prefixTopK(spark: SparkSession, dir: String): DataFrame = {
+    val proj = PqOps.emb(spark, dir)
+      .select(col("vec_id"), slice(col("v"), 1, PcaD).as("pv"))
+    rankReduced(proj, PqOps.TopK)
+  }
+
+  /** Recall@[[PqOps.TopK]] of prefix-16 ranking vs exact 64-dim L2. */
+  def prefixRecall(spark: SparkSession, dir: String): DataFrame =
+    Similarity.recallOf(PqOps.bfL2TopK(spark, dir), prefixTopK(spark, dir))
 
   /** PCA shortlist + exact re-rank — the [[PqOps.ivfPqRerankTopK]] two-stage
     * composition on the DIMENSIONALITY axis: the truncated space prunes the
@@ -311,6 +339,7 @@ object OpqOps {
     "ann_pca_topk" -> ((s, d) => pcaTopK(s, d).orderBy("qid", "rank")),
     "ann_pca_recall" -> ((s, d) => pcaRecall(s, d).orderBy("qid")),
     "ann_pca_rerank_recall" -> ((s, d) => pcaRerankRecall(s, d).orderBy("qid")),
+    "ann_prefix_recall" -> ((s, d) => prefixRecall(s, d).orderBy("qid")),
     "emb_pca_basis" -> ((s, d) => basisFlat(s, d).orderBy("p", "d")),
     "ann_opq_topk" -> ((s, d) => opqAdcTopK(s, d).orderBy("qid", "rank")),
     "ann_opq_recall" -> ((s, d) => opqAdcRecall(s, d).orderBy("qid"))
@@ -325,6 +354,20 @@ object OpqOps {
          |$pcaTopkSql
          |SELECT qid, vid AS neighbor_id, CAST(rn AS INT) AS rank, dist
          |FROM pca_topk ORDER BY qid, rank""".stripMargin,
+    "ann_prefix_recall" ->
+      s"""WITH ${Similarity.flatSql},
+         |pd AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vid, ${sqlR6("sum(pow(a.x - b.x, 2))")} AS dist
+         |  FROM flat a JOIN flat b ON b.d = a.d
+         |  WHERE a.d < $PcaD AND a.vec_id < ${Similarity.NumQueries} AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2
+         |), pref_topk AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rn FROM pd)
+         |  WHERE rn <= ${PqOps.TopK}
+         |),
+         |${PqOps.bfL2Ctes},
+         |${PqOps.recallTailSql("pref_topk")}""".stripMargin,
     "ann_pca_recall" ->
       s"""WITH RECURSIVE ${Similarity.flatSql},
          |${Similarity.covSql},

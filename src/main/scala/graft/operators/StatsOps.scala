@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Num._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -669,7 +669,145 @@ object StatsOps {
        |       CAST(max(gap_days) AS BIGINT) AS max_gap_days
        |FROM ranked GROUP BY 1 ORDER BY o_custkey""".stripMargin
 
+  /** Supplier-concentration HHI per part — the Herfindahl–Hirschman index a
+    * supply-chain or marketplace-health review computes: per part, the sum
+    * of squared supplier quantity shares. Kept as an EXACT rational —
+    * Σ q_s² / (Σ q_s)² over centi-quantity BIGINTs — so no per-share double
+    * ever forms; 1.0 means single-sourced, 1/n means evenly spread. Two
+    * nested hash aggs on the natural keys, nothing else.
+    */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_quantity") * 1e2 + 0.5).cast("long").as("q"))
+      .groupBy("l_partkey", "l_suppkey").agg(sum(col("q")).as("qs"))
+    ps.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("qs")).as("qtot"), sum(col("qs") * col("qs")).as("qsq"),
+        max(col("qs")).as("qmax"))
+      .select(col("l_partkey"), col("n_suppliers"),
+        r6(col("qsq").cast("double") /
+          (col("qtot").cast("double") * col("qtot").cast("double"))).as("hhi"),
+        r6(col("qmax").cast("double") / col("qtot").cast("double")).as("top_share"))
+  }
+
+  def supplierHhiOracle: String =
+    s"""WITH ps AS (
+       |  SELECT l_partkey, l_suppkey,
+       |         CAST(sum(CAST(floor(l_quantity*1e2 + 0.5) AS BIGINT)) AS BIGINT) AS qs
+       |  FROM lineitem GROUP BY 1, 2
+       |)
+       |SELECT l_partkey, count(*) AS n_suppliers,
+       |       ${sqlR6("CAST(sum(qs*qs) AS DOUBLE)/(CAST(sum(qs) AS DOUBLE)*CAST(sum(qs) AS DOUBLE))")} AS hhi,
+       |       ${sqlR6("CAST(max(qs) AS DOUBLE)/CAST(sum(qs) AS DOUBLE)")} AS top_share
+       |FROM ps GROUP BY 1 ORDER BY l_partkey""".stripMargin
+
+  /** Pre/post boundary for the CUPED covariate: the first half of the
+    * events window is "pre-experiment", the second half the measured
+    * period. */
+  val CupedSplit = "2024-01-16"
+
+  /** CUPED variance reduction (Deng et al., WSDM 2013) next to
+    * `events_abtest`: per user, the pre-period spend X is the control
+    * covariate for the post-period metric Y; θ = cov(X,Y)/var(X) fitted
+    * POOLED across both arms (X predates assignment, so θ is
+    * treatment-independent), and the released per-arm readout is the
+    * adjusted Ŷ = Y − θ·(X − X̄) with its variance next to the raw one —
+    * `var_reduction` is the fraction of metric noise the covariate
+    * removed, i.e. how much smaller the experiment could have been.
+    *
+    * Exactness: X/Y quantize to integer CENTS per user, so all five pooled
+    * sums (n, ΣX, ΣY, ΣXY, ΣXX) are exact BIGINTs (per-user cents ≈ 2·10⁶,
+    * squares ≈ 4·10¹², ×10⁶ users stays under 2⁶³ at 1000× this fixture);
+    * θ and X̄ r9-round before application, each adjusted value re-quantizes
+    * to cents before the per-arm moment sums (order-insensitive). Plan: one
+    * events scan → per-user hash agg → 1-row pooled agg broadcast back →
+    * per-arm agg of the adjusted projection. Two shuffles, both on keys
+    * that scale with users, never events.
+    */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 1e2 + 0.5).cast("long")
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"),
+        when(col("ts") < lit(CupedSplit).cast("timestamp"), cents)
+          .otherwise(0L).as("xc"),
+        when(col("ts") >= lit(CupedSplit).cast("timestamp"), cents)
+          .otherwise(0L).as("yc"))
+      .groupBy("user_id")
+      .agg(sum(col("xc")).as("x"), sum(col("yc")).as("y"))
+    val pooled = perUser.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(
+        r(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")), 9).as("theta"),
+        r(col("sx").cast("double") / 1e2 / col("n").cast("double"), 9).as("xbar"))
+    val adj = perUser.crossJoin(broadcast(pooled))
+      .select(
+        when(col("user_id") % 2 === 0L, lit("A")).otherwise(lit("B")).as("arm"),
+        col("y"),
+        fx(col("y").cast("double") / 1e2 -
+          col("theta") * (col("x").cast("double") / 1e2 - col("xbar")), 2).as("q"),
+        col("theta"))
+    def vr(s2: Column, s1: Column, n: Column): Column =
+      (s2.cast("double") / 1e4 -
+        (s1.cast("double") / 1e2) * (s1.cast("double") / 1e2) / n.cast("double")) /
+        (n - 1L).cast("double")
+    adj.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+        sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sqq"),
+        max(col("theta")).as("theta"))
+      .select(col("arm"), col("n_users"),
+        r6(col("sy").cast("double") / 1e2 / col("n_users").cast("double")).as("mean_y"),
+        r6(col("sq").cast("double") / 1e2 / col("n_users").cast("double")).as("mean_y_adj"),
+        r6(vr(col("syy"), col("sy"), col("n_users"))).as("var_y"),
+        r6(vr(col("sqq"), col("sq"), col("n_users"))).as("var_y_adj"),
+        r6(lit(1.0) - vr(col("sqq"), col("sq"), col("n_users")) /
+          vr(col("syy"), col("sy"), col("n_users"))).as("var_reduction"),
+        r6(col("theta")).as("theta"))
+  }
+
+  def cupedOracle: String = {
+    def vr(s2: String, s1: String, n: String): String =
+      s"((CAST($s2 AS DOUBLE)/1e4 - (CAST($s1 AS DOUBLE)/1e2)*(CAST($s1 AS DOUBLE)/1e2)/CAST($n AS DOUBLE)) / CAST($n - 1 AS DOUBLE))"
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |         CAST(sum(CASE WHEN ts < TIMESTAMP '$CupedSplit' THEN CAST(floor(value*1e2 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+       |         CAST(sum(CASE WHEN ts >= TIMESTAMP '$CupedSplit' THEN CAST(floor(value*1e2 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+       |  FROM events GROUP BY 1
+       |), pooled AS (
+       |  SELECT ${sqlR("(CAST(count(*) AS DOUBLE)*CAST(sum(x*y) AS DOUBLE) - CAST(sum(x) AS DOUBLE)*CAST(sum(y) AS DOUBLE)) / (CAST(count(*) AS DOUBLE)*CAST(sum(x*x) AS DOUBLE) - CAST(sum(x) AS DOUBLE)*CAST(sum(x) AS DOUBLE))", 9)} AS theta,
+       |         ${sqlR("CAST(sum(x) AS DOUBLE)/1e2/CAST(count(*) AS DOUBLE)", 9)} AS xbar
+       |  FROM pu
+       |), adj AS (
+       |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm, y,
+       |         ${sqlFx("CAST(y AS DOUBLE)/1e2 - theta*(CAST(x AS DOUBLE)/1e2 - xbar)", 2)} AS q,
+       |         theta
+       |  FROM pu, pooled
+       |), arms AS (
+       |  SELECT arm, count(*) AS n_users,
+       |         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y*y) AS BIGINT) AS syy,
+       |         CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q*q) AS BIGINT) AS sqq,
+       |         max(theta) AS theta
+       |  FROM adj GROUP BY 1
+       |)
+       |SELECT arm, n_users,
+       |       ${sqlR6("CAST(sy AS DOUBLE)/1e2/CAST(n_users AS DOUBLE)")} AS mean_y,
+       |       ${sqlR6("CAST(sq AS DOUBLE)/1e2/CAST(n_users AS DOUBLE)")} AS mean_y_adj,
+       |       ${sqlR6(vr("syy", "sy", "n_users"))} AS var_y,
+       |       ${sqlR6(vr("sqq", "sq", "n_users"))} AS var_y_adj,
+       |       ${sqlR6(s"1.0e0 - ${vr("sqq", "sq", "n_users")}/${vr("syy", "sy", "n_users")}")} AS var_reduction,
+       |       ${sqlR6("theta")} AS theta
+       |FROM arms ORDER BY arm""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cuped" -> ((s, d) => cuped(s, d).orderBy("arm")),
+    "parts_supplier_hhi" -> ((s, d) => supplierHhi(s, d).orderBy("l_partkey")),
     "orders_reorder_interval" -> ((s, d) => reorderInterval(s, d).orderBy("o_custkey")),
     "ts_conformal" -> ((s, d) => conformal(s, d).orderBy("user_id")),
     "ts_theilsen" -> ((s, d) => theilSen(s, d).orderBy("user_id")),
@@ -684,6 +822,8 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_cuped" -> cupedOracle,
+    "parts_supplier_hhi" -> supplierHhiOracle,
     "orders_reorder_interval" -> reorderIntervalOracle,
     "ts_conformal" -> conformalOracle,
     "ts_theilsen" -> theilSenOracle,
