@@ -2339,7 +2339,84 @@ object Relational {
        |FROM deg d, sums GROUP BY d.degree, sums.m2, sums.sj, sums.sjj, sums.sjk
        |ORDER BY degree""".stripMargin
 
+  /** Link-prediction shortlist size and the noise floor on shared
+    * neighbors — pairs with a single common neighbor are not worth
+    * surfacing and dominate the wedge volume. */
+  val LinkPredTopN = 50
+  val LinkPredMinCn = 2
+
+  /** Link prediction on the strong co-purchase graph — the three classic
+    * neighborhood scores (common neighbors, Jaccard, Adamic–Adar) for
+    * NON-adjacent part pairs, the candidate-generation step of a
+    * "customers who bought X also bought Y" recommender evaluated before
+    * any model training. Candidates are 2-paths (u,m),(m,w) with u < w
+    * minus existing edges (anti join); Adamic–Adar weights each shared
+    * neighbor by 1/ln(deg m), fx12-quantized so the per-pair sum is
+    * order-insensitive integer arithmetic. The node-sized degree table
+    * broadcasts into the wedge stream (the edge list never shuffles for
+    * it), and the top-[[LinkPredTopN]] by shared-neighbor count is a
+    * TakeOrdered, not a global sort. The wedge volume is the same
+    * Σ outdeg² bound as [[triangles]] — at production scale the hub cap
+    * (degree-ordered orientation) applies identically.
+    */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val e = strongEdges(spark, dir).localCheckpoint(true)
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+    val wedges = adj.select(col("u").as("x"), col("v").as("m"))
+      .join(adj.select(col("u").as("m"), col("v").as("y")), "m")
+      .filter(col("x") < col("y"))
+      .join(e.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"), "left_anti")
+    val scored = wedges
+      .join(broadcast(deg.select(col("node").as("m"), col("deg").as("deg_m"))), "m")
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(fx(lit(1.0) / log(col("deg_m").cast("double")), 12)).as("aafx"))
+      .filter(col("common_neighbors") >= LinkPredMinCn)
+      .join(broadcast(deg.select(col("node").as("x"), col("deg").as("deg_x"))), "x")
+      .join(broadcast(deg.select(col("node").as("y"), col("deg").as("deg_y"))), "y")
+    scored.select(col("x").as("part_a"), col("y").as("part_b"),
+      col("common_neighbors"),
+      r6(col("common_neighbors").cast("double") /
+        (col("deg_x") + col("deg_y") - col("common_neighbors")).cast("double"))
+        .as("jaccard"),
+      r6(col("aafx").cast("double") / 1e12).as("adamic_adar"))
+      .orderBy(desc("common_neighbors"), col("part_a"), col("part_b"))
+      .limit(LinkPredTopN)
+  }
+
+  def linkPredictOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT x.p AS a, y.p AS b FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport
+       |), adj AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+       |), deg AS MATERIALIZED (
+       |  SELECT u AS node, count(*) AS deg FROM adj GROUP BY 1
+       |), wedges AS (
+       |  SELECT p1.u AS x, p1.v AS m, p2.v AS y
+       |  FROM adj p1 JOIN adj p2 ON p2.u = p1.v AND p1.u < p2.v
+       |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p1.u AND e.b = p2.v)
+       |), scored AS (
+       |  SELECT w.x, w.y, count(*) AS common_neighbors,
+       |         CAST(sum(${sqlFx("1.0e0/ln(CAST(dm.deg AS DOUBLE))", 12)}) AS BIGINT) AS aafx
+       |  FROM wedges w JOIN deg dm ON dm.node = w.m
+       |  GROUP BY 1, 2 HAVING count(*) >= $LinkPredMinCn
+       |)
+       |SELECT s.x AS part_a, s.y AS part_b, s.common_neighbors,
+       |       ${sqlR6("CAST(s.common_neighbors AS DOUBLE)/CAST(dx.deg + dy.deg - s.common_neighbors AS DOUBLE)")} AS jaccard,
+       |       ${sqlR6("CAST(s.aafx AS DOUBLE)/1e12")} AS adamic_adar
+       |FROM scored s
+       |JOIN deg dx ON dx.node = s.x JOIN deg dy ON dy.node = s.y
+       |ORDER BY s.common_neighbors DESC, part_a, part_b
+       |LIMIT $LinkPredTopN""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_link_predict" -> ((s, d) =>
+      linkPredict(s, d).orderBy(desc("common_neighbors"), col("part_a"), col("part_b"))),
     "graph_khop" -> ((s, d) => kHop(s, d).orderBy("p_partkey")),
     "items_cf_topk" -> ((s, d) => itemItemCf(s, d).orderBy("p_partkey", "rank")),
     "graph_degree_stats" -> ((s, d) => degreeStats(s, d).orderBy("degree")),
@@ -2432,6 +2509,7 @@ object Relational {
     "tpch_q15" -> q15Oracle,
     "tpch_q20" -> q20Oracle,
     "graph_pagerank" -> pageRankOracle,
+    "graph_link_predict" -> linkPredictOracle,
     "graph_khop" -> kHopOracle,
     "items_cf_topk" -> itemItemCfOracle,
     "graph_degree_stats" -> degreeStatsOracle,

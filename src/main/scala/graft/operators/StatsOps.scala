@@ -805,7 +805,279 @@ object StatsOps {
        |FROM arms ORDER BY arm""".stripMargin
   }
 
+  /** Users whose last event falls within this many days of the corpus's last
+    * day are treated as still active (right-censored), not churned. */
+  val KmCensorDays = 7
+
+  /** Kaplan–Meier survival curve of user lifetime — the product-limit
+    * estimator a retention review runs when churn times are right-censored:
+    * duration = days between a user's first and last event; a user whose
+    * last event is within [[KmCensorDays]] of the corpus end is censored
+    * (still active), everyone else is a "death" at their duration. At each
+    * distinct duration t: n_risk = users with duration ≥ t, and
+    * S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) over death times.
+    *
+    * Determinism: each step factor (n−d)/n is a single IEEE division of
+    * exact BIGINTs — bit-identical across engines — and the cumulative
+    * product is exp(Σ ln f) over the duration-ordered window (sequential,
+    * not merge-order); ln's ≤1-ulp skew accumulates across ≤ a few hundred
+    * steps, absorbed by the final r6. Scale: one user-keyed hash agg over
+    * events, a 1-row global broadcast, then all window work happens on the
+    * distinct-duration relation (≤ days in the window — tiny at any corpus
+    * size), so the single-partition window is safe by construction.
+    */
+  def survivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val day = floor(unix_timestamp(col("ts")).cast("double") / 86400.0).cast("long")
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), day.as("d"))
+      .groupBy("user_id").agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val glob = perUser.agg(max(col("d1")).as("dmax"), count(lit(1)).as("n_total"))
+    val byDur = perUser.crossJoin(broadcast(glob))
+      .select((col("d1") - col("d0")).as("dur"),
+        when(col("d1") <= col("dmax") - KmCensorDays, 1L).otherwise(0L).as("death"),
+        col("n_total"))
+      .groupBy("dur")
+      .agg(sum(col("death")).as("n_deaths"), count(lit(1)).as("n_leaving"),
+        max(col("n_total")).as("n_total"))
+    val wPrev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("n_leaving")).over(wPrev), lit(0L)))
+      .withColumn("f", when(col("n_deaths") > 0,
+          (col("n_risk") - col("n_deaths")).cast("double") / col("n_risk").cast("double"))
+        .otherwise(lit(1.0)))
+      .select(col("dur").as("duration_days"), col("n_risk"), col("n_deaths"),
+        (col("n_leaving") - col("n_deaths")).as("n_censored"),
+        r6(exp(sum(log(col("f"))).over(wCum))).as("survival"))
+  }
+
+  def survivalKmOracle: String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |         min(CAST(floor(floor(epoch(ts))/86400.0) AS BIGINT)) AS d0,
+       |         max(CAST(floor(floor(epoch(ts))/86400.0) AS BIGINT)) AS d1
+       |  FROM events GROUP BY 1
+       |), gtot AS (
+       |  SELECT max(d1) AS dmax, count(*) AS n_total FROM pu
+       |), bd AS (
+       |  SELECT (d1 - d0) AS dur,
+       |         CAST(sum(CASE WHEN d1 <= dmax - $KmCensorDays THEN 1 ELSE 0 END) AS BIGINT) AS n_deaths,
+       |         count(*) AS n_leaving, max(n_total) AS n_total
+       |  FROM pu, gtot GROUP BY 1
+       |), km AS (
+       |  SELECT dur, n_deaths, n_leaving,
+       |         CAST(n_total - coalesce(sum(n_leaving) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+       |  FROM bd
+       |)
+       |SELECT dur AS duration_days, n_risk, n_deaths,
+       |       (n_leaving - n_deaths) AS n_censored,
+       |       ${sqlR6("exp(sum(ln(CASE WHEN n_deaths > 0 THEN CAST(n_risk - n_deaths AS DOUBLE)/CAST(n_risk AS DOUBLE) ELSE 1.0e0 END)) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))")} AS survival
+       |FROM km ORDER BY duration_days""".stripMargin
+
+  /** Pearson chi-square test of independence between event_type and the A/B
+    * arm (deterministic user-parity assignment, same as `events_abtest`) —
+    * the categorical companion to the KS/Mann–Whitney value tests: did the
+    * experiment shift WHICH events users do, not just their values. The
+    * contingency table is completed to the full type × arm cross product
+    * (absent cells enter as observed 0), expected counts come from exact
+    * BIGINT marginals, and each cell contributes its standardized residual
+    * plus an fx9-quantized (obs−exp)²/exp term so the order-insensitive
+    * integer window sum gives a cross-engine-stable X². Cramér's V and the
+    * Wilson–Hilferty normal deviate make the readout scale-free. Plan: one
+    * events scan → (type, arm) hash agg; everything after runs on the
+    * ≤ types×2 cell relation.
+    */
+  def chiSq(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        when(col("user_id") % 2 === 0L, lit("A")).otherwise(lit("B")).as("arm"))
+      .groupBy("event_type", "arm").agg(count(lit(1)).as("obs"))
+    val full = cells.select("event_type").distinct()
+      .crossJoin(broadcast(cells.select("arm").distinct()))
+      .join(cells, Seq("event_type", "arm"), "left")
+      .select(col("event_type"), col("arm"), coalesce(col("obs"), lit(0L)).as("obs"))
+    val dims = cells.agg(
+      countDistinct(col("event_type")).as("r_lvls"),
+      countDistinct(col("arm")).as("c_lvls"))
+    val wType = Window.partitionBy("event_type")
+    val wArm = Window.partitionBy("arm")
+    val wAll = Window.partitionBy()
+    val e = col("row_n").cast("double") * col("col_n").cast("double") /
+      col("n").cast("double")
+    val t = full
+      .withColumn("row_n", sum(col("obs")).over(wType))
+      .withColumn("col_n", sum(col("obs")).over(wArm))
+      .withColumn("n", sum(col("obs")).over(wAll))
+      .crossJoin(broadcast(dims))
+      .withColumn("expected", e)
+      .withColumn("term",
+        (col("obs").cast("double") - col("expected")) *
+          (col("obs").cast("double") - col("expected")) / col("expected"))
+      .withColumn("chi2",
+        sum(fx(col("term"), 9)).over(wAll).cast("double") / 1e9)
+      .withColumn("dof", (col("r_lvls") - 1) * (col("c_lvls") - 1))
+    t.select(col("event_type"), col("arm"), col("obs"),
+      r6(col("expected")).as("expected"),
+      r6((col("obs").cast("double") - col("expected")) / sqrt(col("expected")))
+        .as("std_resid"),
+      r6(col("chi2")).as("chi2"), col("dof"),
+      r6(sqrt(col("chi2") / (col("n").cast("double") *
+        least(col("r_lvls") - 1, col("c_lvls") - 1).cast("double")))).as("cramers_v"))
+  }
+
+  def chiSqOracle: String = {
+    val e = "CAST(row_n AS DOUBLE)*CAST(col_n AS DOUBLE)/CAST(n AS DOUBLE)"
+    s"""WITH cells AS (
+       |  SELECT event_type, CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |         count(*) AS obs
+       |  FROM events GROUP BY 1, 2
+       |), full_t AS (
+       |  SELECT t.event_type, a.arm, coalesce(c.obs, 0) AS obs
+       |  FROM (SELECT DISTINCT event_type FROM cells) t
+       |  CROSS JOIN (SELECT DISTINCT arm FROM cells) a
+       |  LEFT JOIN cells c ON c.event_type = t.event_type AND c.arm = a.arm
+       |), dims AS (
+       |  SELECT count(DISTINCT event_type) AS r_lvls, count(DISTINCT arm) AS c_lvls
+       |  FROM cells
+       |), m AS (
+       |  SELECT event_type, arm, obs,
+       |         CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+       |         CAST(sum(obs) OVER (PARTITION BY arm) AS BIGINT) AS col_n,
+       |         CAST(sum(obs) OVER () AS BIGINT) AS n
+       |  FROM full_t
+       |), x AS (
+       |  SELECT event_type, arm, obs, n, r_lvls, c_lvls, $e AS expected,
+       |         (CAST(obs AS DOUBLE) - $e)*(CAST(obs AS DOUBLE) - $e)/($e) AS term
+       |  FROM m, dims
+       |), s AS (
+       |  SELECT *, CAST(sum(${sqlFx("term", 9)}) OVER () AS DOUBLE)/1e9 AS chi2
+       |  FROM x
+       |)
+       |SELECT event_type, arm, obs, ${sqlR6("expected")} AS expected,
+       |       ${sqlR6("(CAST(obs AS DOUBLE) - expected)/sqrt(expected)")} AS std_resid,
+       |       ${sqlR6("chi2")} AS chi2,
+       |       CAST((r_lvls - 1)*(c_lvls - 1) AS BIGINT) AS dof,
+       |       ${sqlR6("sqrt(chi2/(CAST(n AS DOUBLE)*CAST(least(r_lvls - 1, c_lvls - 1) AS DOUBLE)))")} AS cramers_v
+       |FROM s ORDER BY event_type, arm""".stripMargin
+  }
+
+  /** Dyadic block sizes for the rescaled-range pass — powers of two so the
+    * log-log regression abscissae are exact multiples of ln 2 (and so the
+    * smallest fixture's ~50-event users still fill every size). */
+  val HurstSizes = Seq(4, 8, 16, 32)
+
+  /** Hurst exponent per user via rescaled-range (R/S) analysis — the
+    * long-range-dependence dial (H > 0.5 trending/persistent, < 0.5
+    * mean-reverting) a forecasting pipeline checks before choosing model
+    * class. For each block size n in [[HurstSizes]], the user's
+    * (ts, event_id)-ordered cents series splits into full blocks of n; per
+    * block R = range of cumulative deviations from the block mean and
+    * S = population std, and H is the OLS slope of ln(mean R/S) on ln n.
+    *
+    * Exactness: everything up to the per-block R/S is BIGINT — the
+    * n-scaled deviation n·Z_k = n·cumsum_k − k·blocksum and the n²-scaled
+    * variance Σ(n·c − blocksum)² are integers (bounded ≤ 2⁶² at 1000× this
+    * fixture since block size is capped at 32), so R/S = Rn·√(n/SSq) is one
+    * IEEE sqrt+multiply of identical integers in both engines. Block means
+    * fx9-quantize before the order-insensitive per-(user,n) average; the
+    * four per-size points pivot into columns so the closed-form dyadic
+    * slope (1.5·(ln rs₃₂ − ln rs₄) + 0.5·(ln rs₁₆ − ln rs₈))/(5 ln 2)
+    * evaluates in a single deterministic projection. Scale: one events
+    * scan exploded ×4, windows partitioned by (user, n, block) — full
+    * parallelism in users; no global ordering anywhere.
+    */
+  def hurst(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"),
+        row_number().over(wRn).cast("long").as("rn"))
+    val ex = base
+      .select(col("user_id"), col("c"), col("rn"),
+        explode(array(HurstSizes.map(n => lit(n.toLong)): _*)).as("n"))
+      .withColumn("blk", floor((col("rn") - 1) / col("n")).cast("long"))
+      .withColumn("k", col("rn") - col("blk") * col("n"))
+    val wBlk = Window.partitionBy("user_id", "n", "blk")
+    val wBlkOrd = wBlk.orderBy("rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blocks = ex
+      .withColumn("cum", sum(col("c")).over(wBlkOrd))
+      .withColumn("bsum", sum(col("c")).over(wBlk))
+      .withColumn("cnt", count(lit(1)).over(wBlk))
+      .filter(col("cnt") === col("n"))
+      .withColumn("z", col("n") * col("cum") - col("k") * col("bsum"))
+      .withColumn("dev", col("n") * col("c") - col("bsum"))
+      .groupBy("user_id", "n", "blk")
+      .agg((max(col("z")) - min(col("z"))).as("rng"),
+        sum(col("dev") * col("dev")).as("ssq"))
+      .filter(col("ssq") > 0)
+      .select(col("user_id"), col("n"),
+        fx(col("rng").cast("double") *
+          sqrt(col("n").cast("double") / col("ssq").cast("double")), 9).as("rsq"))
+    val byN = blocks.groupBy("user_id", "n")
+      .agg((sum(col("rsq")).cast("double") / 1e9 /
+        count(lit(1)).cast("double")).as("rs"))
+    def rsAt(n: Int) = max(when(col("n") === n.toLong, col("rs"))).as(s"rs$n")
+    val piv = byN.groupBy("user_id")
+      .agg(rsAt(4), rsAt(8), rsAt(16), rsAt(32), count(lit(1)).as("m"))
+      .filter(col("m") === HurstSizes.size)
+    piv.select(col("user_id"),
+      r6(col("rs4")).as("rs4"), r6(col("rs8")).as("rs8"),
+      r6(col("rs16")).as("rs16"), r6(col("rs32")).as("rs32"),
+      r6((lit(1.5) * (log(col("rs32")) - log(col("rs4"))) +
+        lit(0.5) * (log(col("rs16")) - log(col("rs8")))) /
+        lit(5.0 * math.log(2.0))).as("hurst"))
+  }
+
+  def hurstOracle: String = {
+    val sizes = HurstSizes.map(n => s"($n)").mkString(", ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT user_id, CAST(floor(value*1e2 + 0.5) AS BIGINT) AS c,
+       |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+       |  FROM events
+       |), ex AS (
+       |  SELECT b.user_id, b.c, b.rn, CAST(nv.n AS BIGINT) AS n,
+       |         CAST(floor(CAST(b.rn - 1 AS DOUBLE)/CAST(nv.n AS DOUBLE)) AS BIGINT) AS blk
+       |  FROM base b CROSS JOIN (VALUES $sizes) nv(n)
+       |), st AS (
+       |  SELECT user_id, n, blk, c, rn - blk*n AS k,
+       |         CAST(sum(c) OVER (PARTITION BY user_id, n, blk ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |         CAST(sum(c) OVER (PARTITION BY user_id, n, blk) AS BIGINT) AS bsum,
+       |         count(*) OVER (PARTITION BY user_id, n, blk) AS cnt
+       |  FROM ex
+       |), blocks AS (
+       |  SELECT user_id, n, blk,
+       |         max(n*cum - k*bsum) - min(n*cum - k*bsum) AS rng,
+       |         CAST(sum((n*c - bsum)*(n*c - bsum)) AS BIGINT) AS ssq
+       |  FROM st WHERE cnt = n GROUP BY 1, 2, 3
+       |), rsb AS (
+       |  SELECT user_id, n,
+       |         ${sqlFx("CAST(rng AS DOUBLE)*sqrt(CAST(n AS DOUBLE)/CAST(ssq AS DOUBLE))", 9)} AS rsq
+       |  FROM blocks WHERE ssq > 0
+       |), byn AS (
+       |  SELECT user_id, n, CAST(sum(rsq) AS DOUBLE)/1e9/CAST(count(*) AS DOUBLE) AS rs
+       |  FROM rsb GROUP BY 1, 2
+       |), piv AS (
+       |  SELECT user_id,
+       |         max(CASE WHEN n = 4 THEN rs END) AS rs4,
+       |         max(CASE WHEN n = 8 THEN rs END) AS rs8,
+       |         max(CASE WHEN n = 16 THEN rs END) AS rs16,
+       |         max(CASE WHEN n = 32 THEN rs END) AS rs32,
+       |         count(*) AS m
+       |  FROM byn GROUP BY 1
+       |)
+       |SELECT user_id, ${sqlR6("rs4")} AS rs4, ${sqlR6("rs8")} AS rs8,
+       |       ${sqlR6("rs16")} AS rs16, ${sqlR6("rs32")} AS rs32,
+       |       ${sqlR6(s"(1.5e0*(ln(rs32) - ln(rs4)) + 0.5e0*(ln(rs16) - ln(rs8)))/(${sqlD(5.0 * math.log(2.0))})")} AS hurst
+       |FROM piv WHERE m = ${HurstSizes.size} ORDER BY user_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_survival_km" -> ((s, d) => survivalKm(s, d).orderBy("duration_days")),
+    "events_chisq" -> ((s, d) => chiSq(s, d).orderBy("event_type", "arm")),
+    "ts_hurst" -> ((s, d) => hurst(s, d).orderBy("user_id")),
     "events_cuped" -> ((s, d) => cuped(s, d).orderBy("arm")),
     "parts_supplier_hhi" -> ((s, d) => supplierHhi(s, d).orderBy("l_partkey")),
     "orders_reorder_interval" -> ((s, d) => reorderInterval(s, d).orderBy("o_custkey")),
@@ -822,6 +1094,9 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_survival_km" -> survivalKmOracle,
+    "events_chisq" -> chiSqOracle,
+    "ts_hurst" -> hurstOracle,
     "events_cuped" -> cupedOracle,
     "parts_supplier_hhi" -> supplierHhiOracle,
     "orders_reorder_interval" -> reorderIntervalOracle,

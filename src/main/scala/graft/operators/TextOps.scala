@@ -599,7 +599,42 @@ object TextOps {
        |FROM joint j JOIN lft l USING (w1) JOIN rgt r USING (w2), tot t
        |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
 
+  /** Flesch-style readability per document — the sentence-length ×
+    * syllable-density readout a corpus-quality gate adds next to
+    * [[quality]]'s punctuation/digit ratios. Syllables are approximated by
+    * vowel-group runs ([aeiouy]+, the standard cheap proxy) and sentences
+    * by terminal-punctuation runs, floored at 1 so the synthetic corpus's
+    * punctuation-free docs degrade to the one-sentence reading instead of
+    * dividing by zero. Pure per-row regexp counting — no shuffle, columns
+    * prune to (doc_id, text) at the scan; the score's absolute value on a
+    * synthetic corpus is meaningless, but its ORDERING is exactly the
+    * filter signal a length/complexity curriculum consumes.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = greatest(size(words).cast("long"), lit(1L))
+    val nSent = greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+    val nSyl = greatest(regexp_count(col("text"), lit("[aeiouy]+")).cast("long"), lit(1L))
+    docs(spark, dir).select(
+      col("doc_id"), nWords.as("n_words"), nSent.as("n_sentences"),
+      nSyl.as("n_syllables"),
+      r6(nSyl.cast("double") / nWords.cast("double")).as("syl_per_word"),
+      r6(lit(206.835) -
+        lit(1.015) * (nWords.cast("double") / nSent.cast("double")) -
+        lit(84.6) * (nSyl.cast("double") / nWords.cast("double"))).as("flesch"))
+  }
+
+  def readabilityOracle: String = {
+    val w = """greatest(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT), 1)"""
+    val s_ = """greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)"""
+    val y = """greatest(CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT), 1)"""
+    s"""SELECT doc_id, $w AS n_words, $s_ AS n_sentences, $y AS n_syllables,
+       |       ${sqlR6(s"CAST($y AS DOUBLE)/CAST($w AS DOUBLE)")} AS syl_per_word,
+       |       ${sqlR6(s"206.835e0 - 1.015e0*(CAST($w AS DOUBLE)/CAST($s_ AS DOUBLE)) - 84.6e0*(CAST($y AS DOUBLE)/CAST($w AS DOUBLE))")} AS flesch
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> ((s, d) => readability(s, d).orderBy("doc_id")),
     "text_pmi_collocations" -> ((s, d) => pmiCollocations(s, d)),
     "docs_rag_chunks" -> ((s, d) => ragChunks(s, d).orderBy("doc_id", "chunk_idx")),
     "text_langid_confusion" -> ((s, d) => langIdConfusion(s, d).orderBy("lang", "pred_lang")),
@@ -618,6 +653,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_readability" -> readabilityOracle,
     "text_pmi_collocations" -> pmiCollocationsOracle,
     "docs_rag_chunks" -> ragChunksOracle,
     "text_langid_confusion" -> langIdConfusionOracle,
