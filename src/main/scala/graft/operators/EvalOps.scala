@@ -736,7 +736,59 @@ object EvalOps {
        |      FROM scored)
        |WHERE rank <= $UserSimTopK ORDER BY user_id, rank""".stripMargin
 
+  /** Time-weighted average value (TWAP) per user-day — the bar the OHLC
+    * `mean` column is known to misstate when sampling is irregular: each
+    * observation holds until the next one, so its weight is the seconds
+    * until the next event, and the day's TWAP is Σ value·Δt / (t_last −
+    * t_first). Reported next to the unweighted mean so the gap between
+    * them is the sampling-bias readout. Exact arithmetic end-to-end: the
+    * weighted sum is BIGINT cents × epoch-seconds (≤ 2·10⁶ · 86400 per
+    * term — no overflow at any row count since the span divisor is also
+    * per-day), the final divisions are single IEEE ops. One window pass
+    * partitioned by (user, day) — full parallelism, no global state.
+    */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"),
+        unix_timestamp(col("ts")).as("s"), col("event_id"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"))
+    val w = Window.partitionBy("user_id", "day").orderBy("s", "event_id")
+    ev.withColumn("s2", lead(col("s"), 1).over(w))
+      .withColumn("cw", col("c") * (col("s2") - col("s")))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("s")) - min(col("s"))).as("span_s"),
+        sum(col("cw")).as("twsum"), sum(col("c")).as("csum"))
+      .filter(col("span_s") > 0)
+      .select(col("user_id"), col("day"), col("n_events"), col("span_s"),
+        r6(col("twsum").cast("double") / 1e2 / col("span_s").cast("double")).as("twap"),
+        r6(col("csum").cast("double") / 1e2 / col("n_events").cast("double")).as("mean"))
+  }
+
+  def twapOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id,
+       |         CAST(floor(value*1e2 + 0.5) AS BIGINT) AS c
+       |  FROM events
+       |), st AS (
+       |  SELECT user_id, day, s, c,
+       |         lead(s) OVER (PARTITION BY user_id, day ORDER BY s, event_id) AS s2
+       |  FROM ev
+       |), g AS (
+       |  SELECT user_id, day, count(*) AS n_events,
+       |         max(s) - min(s) AS span_s,
+       |         CAST(sum(c*(s2 - s)) AS BIGINT) AS twsum,
+       |         CAST(sum(c) AS BIGINT) AS csum
+       |  FROM st GROUP BY 1, 2
+       |)
+       |SELECT user_id, day, n_events, span_s,
+       |       ${sqlR6("CAST(twsum AS DOUBLE)/1e2/CAST(span_s AS DOUBLE)")} AS twap,
+       |       ${sqlR6("CAST(csum AS DOUBLE)/1e2/CAST(n_events AS DOUBLE)")} AS mean
+       |FROM g WHERE span_s > 0 ORDER BY user_id, day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_twap" -> ((s, d) => twap(s, d).orderBy("user_id", "day")),
     "events_user_similarity" -> ((s, d) => userSimilarity(s, d).orderBy("user_id", "rank")),
     "events_ndcg" -> ((s, d) => ndcg(s, d).orderBy("day")),
     "events_bootstrap_ci" -> ((s, d) => bootstrapCi(s, d).orderBy("event_type")),
@@ -752,6 +804,7 @@ object EvalOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "ts_twap" -> twapOracle,
     "events_user_similarity" -> userSimilarityOracle,
     "events_ndcg" -> ndcgOracle,
     "events_bootstrap_ci" -> bootstrapCiOracle,

@@ -1630,7 +1630,11 @@ object EventsOps {
     pi.select(col("state"), r6(col("pi")).as("pi"))
   }
 
-  def markovStationaryOracle: String = {
+  /** Shared CTE chain: transition matrix `t` + the unrolled power iteration
+    * ending at `pi$StationaryIters` — the common prefix of the stationary
+    * and entropy-rate oracles. `t` is MATERIALIZED because every unrolled
+    * step (and the entropy tail) references it. */
+  private def markovCtes: String = {
     val steps = (1 to StationaryIters).map { i =>
       s"""pi$i AS (
          |  SELECT t.next_type AS state,
@@ -1639,14 +1643,14 @@ object EventsOps {
          |  GROUP BY 1
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH l AS (
+    s"""l AS (
        |  SELECT event_type AS next_type,
        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
        |  FROM events
        |), c AS (
        |  SELECT prev_type, next_type, count(*) AS n FROM l
        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2
-       |), t AS (
+       |), t AS MATERIALIZED (
        |  SELECT prev_type, next_type,
        |         ${sqlR6("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)")} AS p
        |  FROM c
@@ -1654,9 +1658,97 @@ object EventsOps {
        |  SELECT prev_type AS state, ${sqlR("1.0e0 / CAST(count(*) OVER () AS DOUBLE)", 9)} AS pi
        |  FROM (SELECT DISTINCT prev_type FROM c)
        |),
-       |$steps
-       |SELECT state, ${sqlR6("pi")} AS pi FROM pi$StationaryIters ORDER BY state""".stripMargin
+       |$steps""".stripMargin
   }
+
+  def markovStationaryOracle: String =
+    s"""WITH $markovCtes
+       |SELECT state, ${sqlR6("pi")} AS pi FROM pi$StationaryIters ORDER BY state""".stripMargin
+
+  /** Entropy rate of the event-type Markov chain — the predictability dial
+    * of user behavior: H = Σ_i π_i · H_i with per-state conditional entropy
+    * H_i = −Σ_j p_ij ln p_ij, composed from the SAME r6-rounded transition
+    * matrix and stationary π as `events_type_transitions` /
+    * `events_markov_stationary` (low H = rigid habitual flows, ln|S| =
+    * uniform chaos — the number a personalization team tracks over
+    * releases). Determinism: each −p ln p and π·H_i term fx12-quantizes
+    * before its order-insensitive integer sum; ln sees bit-identical
+    * r6-rounded inputs in both engines. Plan: the transitions agg is the
+    * only data-sized work; entropy runs on the states² relation.
+    */
+  def markovEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val trans = typeTransitions(spark, dir)
+      .select(col("prev_type"), col("next_type"), col("p"))
+    val pi = markovStationary(spark, dir)
+    val ent = trans
+      .join(broadcast(pi), col("prev_type") === col("state"))
+      .groupBy("prev_type")
+      .agg(max(col("pi")).as("pi"),
+        (sum(fx(-col("p") * log(col("p")), 12)).cast("double") / 1e12).as("h_state"))
+    val wAll = Window.partitionBy()
+    ent
+      .withColumn("h_rate",
+        sum(fx(col("pi") * col("h_state"), 12)).over(wAll).cast("double") / 1e12)
+      .select(col("prev_type"), col("pi"),
+        r6(col("h_state")).as("h_state"), r6(col("h_rate")).as("h_rate"))
+  }
+
+  def markovEntropyOracle: String =
+    s"""WITH $markovCtes,
+       |stat AS (
+       |  SELECT state, ${sqlR6("pi")} AS pi FROM pi$StationaryIters
+       |), ent AS (
+       |  SELECT t.prev_type, max(s.pi) AS pi,
+       |         CAST(sum(${sqlFx("-(t.p)*ln(t.p)", 12)}) AS DOUBLE)/1e12 AS h_state
+       |  FROM t JOIN stat s ON s.state = t.prev_type
+       |  GROUP BY 1
+       |)
+       |SELECT prev_type, pi, ${sqlR6("h_state")} AS h_state,
+       |       ${sqlR6("CAST(sum(" + sqlFx("pi*h_state", 12) + ") OVER () AS DOUBLE)/1e12")} AS h_rate
+       |FROM ent ORDER BY prev_type""".stripMargin
+
+  /** Shortlist size for the sequential-pattern readout. */
+  val SeqPatTopK = 30
+
+  /** Top event-type trigrams in per-user stream order — one-level
+    * sequential-pattern mining (the "view → click → purchase vs
+    * view → click → view" readout a journey analysis starts from, and the
+    * n=3 generalization of `events_type_transitions`). Two leads in one
+    * window pass partitioned by user, a hash agg on the ≤ |types|³ key
+    * space, and a TakeOrdered top-[[SeqPatTopK]] with full-pattern
+    * tiebreak; the share denominator is the exact trigram total via a
+    * window over the tiny aggregated relation.
+    */
+  def seqPatterns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tri = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("t1"), col("ts"), col("event_id"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy()
+    tri
+      .withColumn("share", r6(col("n").cast("double") /
+        sum(col("n")).over(wAll).cast("double")))
+      .orderBy(desc("n"), col("t1"), col("t2"), col("t3"))
+      .limit(SeqPatTopK)
+  }
+
+  def seqPatternsOracle: String =
+    s"""WITH s AS (
+       |  SELECT event_type AS t1,
+       |         lead(event_type, 1) OVER w AS t2,
+       |         lead(event_type, 2) OVER w AS t3
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), tri AS (
+       |  SELECT t1, t2, t3, count(*) AS n FROM s
+       |  WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+       |)
+       |SELECT t1, t2, t3, n,
+       |       ${sqlR6("CAST(n AS DOUBLE)/CAST(sum(n) OVER () AS DOUBLE)")} AS share
+       |FROM tri ORDER BY n DESC, t1, t2, t3 LIMIT $SeqPatTopK""".stripMargin
 
   /** Seasonal lag (in per-user event positions) for the forecast benchmark. */
   val ForecastSeason = 24
@@ -2396,6 +2488,9 @@ object EventsOps {
     "events_key_skew" -> ((s, d) => keySkew(s, d)),
     "events_type_transitions" -> ((s, d) => typeTransitions(s, d).orderBy("prev_type", "next_type")),
     "events_markov_stationary" -> ((s, d) => markovStationary(s, d).orderBy("state")),
+    "events_markov_entropy" -> ((s, d) => markovEntropy(s, d).orderBy("prev_type")),
+    "events_seq_patterns" -> ((s, d) =>
+      seqPatterns(s, d).orderBy(desc("n"), col("t1"), col("t2"), col("t3"))),
     "ts_value_quantiles_sketch" -> ((s, d) => valueQuantilesSketch(s, d).orderBy("event_type")),
     "ts_tumbling_agg" -> ((s, d) => tumbling(s, d)),
     "ts_cross_corr" -> ((s, d) => crossCorr(s, d).orderBy("ta", "tb", "lag")),
@@ -2447,6 +2542,8 @@ object EventsOps {
     "events_key_skew" -> keySkewOracle,
     "events_type_transitions" -> typeTransitionsOracle,
     "events_markov_stationary" -> markovStationaryOracle,
+    "events_markov_entropy" -> markovEntropyOracle,
+    "events_seq_patterns" -> seqPatternsOracle,
     "ts_value_quantiles_sketch" -> valueQuantilesSketchOracle,
     "ts_tumbling_agg" -> tumblingOracle,
     "ts_cross_corr" -> crossCorrOracle,

@@ -2414,7 +2414,54 @@ object Relational {
        |ORDER BY s.common_neighbors DESC, part_a, part_b
        |LIMIT $LinkPredTopN""".stripMargin
 
+  /** Order-total reconciliation — the double-entry audit a finance-grade
+    * pipeline runs on every load: recompute each order's total from its
+    * lines (Σ extendedprice·(1−discount)·(1+tax), the TPC-H generation
+    * invariant) in exact integer micros and diff against the stated
+    * o_totalprice, reported per order status as exact-match / >1-cent
+    * mismatch counts plus the largest and net drift. Per-line products
+    * have ≤ 6 decimals so the micro quantization is exact; sums are
+    * BIGINT. Plan: lineitem collapses to per-order micros map-side, one
+    * natural-key fact-fact join, then a tiny status agg — the same shape
+    * as tpch_q12, nothing new to break at 100 TB.
+    */
+  def priceRecon(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"),
+        fx(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")), 6).as("m"))
+      .groupBy("o_orderkey").agg(sum(col("m")).as("recon"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        fx(col("o_totalprice"), 6).as("stated"))
+      .join(li, "o_orderkey")
+      .select(col("o_orderstatus"), (col("recon") - col("stated")).as("diff"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("diff") === 0L, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(abs(col("diff")) > 10000L, 1L).otherwise(0L)).as("n_mismatch_1c"),
+        r6(max(abs(col("diff"))).cast("double") / 1e6).as("max_abs_diff"),
+        r6(sum(col("diff")).cast("double") / 1e6).as("net_drift"))
+  }
+
+  def priceReconOracle: String =
+    s"""WITH li AS (
+       |  SELECT l_orderkey AS o_orderkey,
+       |         CAST(sum(${sqlFx("l_extendedprice*(1.0e0 - l_discount)*(1.0e0 + l_tax)", 6)}) AS BIGINT) AS recon
+       |  FROM lineitem GROUP BY 1
+       |), d AS (
+       |  SELECT o.o_orderstatus, li.recon - ${sqlFx("o.o_totalprice", 6)} AS diff
+       |  FROM orders o JOIN li USING (o_orderkey)
+       |)
+       |SELECT o_orderstatus, count(*) AS n_orders,
+       |       CAST(sum(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |       CAST(sum(CASE WHEN abs(diff) > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch_1c,
+       |       ${sqlR6("CAST(max(abs(diff)) AS DOUBLE)/1e6")} AS max_abs_diff,
+       |       ${sqlR6("CAST(sum(diff) AS DOUBLE)/1e6")} AS net_drift
+       |FROM d GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_price_recon" -> ((s, d) => priceRecon(s, d).orderBy("o_orderstatus")),
     "graph_link_predict" -> ((s, d) =>
       linkPredict(s, d).orderBy(desc("common_neighbors"), col("part_a"), col("part_b"))),
     "graph_khop" -> ((s, d) => kHop(s, d).orderBy("p_partkey")),
@@ -2509,6 +2556,7 @@ object Relational {
     "tpch_q15" -> q15Oracle,
     "tpch_q20" -> q20Oracle,
     "graph_pagerank" -> pageRankOracle,
+    "orders_price_recon" -> priceReconOracle,
     "graph_link_predict" -> linkPredictOracle,
     "graph_khop" -> kHopOracle,
     "items_cf_topk" -> itemItemCfOracle,

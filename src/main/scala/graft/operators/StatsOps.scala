@@ -1074,7 +1074,107 @@ object StatsOps {
        |FROM piv WHERE m = ${HurstSizes.size} ORDER BY user_id""".stripMargin
   }
 
+  /** Sample-ratio-mismatch check per day — the first experiment-health gate
+    * any A/B platform runs before reading a single metric: with 50/50
+    * user-parity assignment, the daily ACTIVE-USER counts per arm should be
+    * binomial-balanced, and z = (n_A − n_B)/√(n_A + n_B) flags allocation
+    * bugs (|z| > 3 ≈ the p < 0.003 SRM alarm). Counts are distinct users,
+    * not events, so a single chatty user can't fake an imbalance. Exact
+    * integers to the final single sqrt. Plan: (day, user) distinct — one
+    * shuffle on a key that scales with user-days — then a tiny per-day agg.
+    */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+      .distinct()
+      .select(col("day"),
+        when(col("user_id") % 2 === 0L, 1L).otherwise(0L).as("a"))
+      .groupBy("day")
+      .agg(sum(col("a")).as("n_a"), (count(lit(1)) - sum(col("a"))).as("n_b"))
+    d.select(col("day"), col("n_a"), col("n_b"),
+      r6((col("n_a") - col("n_b")).cast("double") /
+        sqrt((col("n_a") + col("n_b")).cast("double"))).as("z"),
+      (abs(col("n_a") - col("n_b")).cast("double") >
+        lit(3.0) * sqrt((col("n_a") + col("n_b")).cast("double"))).as("srm_flag"))
+  }
+
+  def srmCheckOracle: String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+       |), d AS (
+       |  SELECT day,
+       |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |         CAST(count(*) - sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM du GROUP BY 1
+       |)
+       |SELECT day, n_a, n_b,
+       |       ${sqlR6("CAST(n_a - n_b AS DOUBLE)/sqrt(CAST(n_a + n_b AS DOUBLE))")} AS z,
+       |       (CAST(abs(n_a - n_b) AS DOUBLE) > 3.0e0*sqrt(CAST(n_a + n_b AS DOUBLE))) AS srm_flag
+       |FROM d ORDER BY day""".stripMargin
+
+  /** z_{0.025} + z_{0.20}: the 80%-power / two-sided-5% constant in the
+    * standard two-sample sample-size formula. */
+  val PowerZSum = 1.959964 + 0.841621
+
+  /** Relative lift the sample-size column is sized for. */
+  val PowerTargetLift = 0.05
+
+  /** Power analysis per event_type — the "how long must this experiment
+    * run" readout computed from the metric's OWN observed moments: the
+    * minimum detectable effect at the current per-arm sample sizes
+    * (MDE = z·√(σ²(1/n_A + 1/n_B))), and the per-arm n required to detect
+    * a [[PowerTargetLift]] relative lift. Everything derives from five
+    * exact BIGINT sums (n per arm, Σcents, Σcents² pooled), so the readout
+    * is one deterministic projection; n_required uses ceil of an exact
+    * double expression. The companion of `events_cuped` — var_reduction
+    * there times n_required here is the CUPED saving in user-days.
+    */
+  def powerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"),
+        when(col("user_id") % 2 === 0L, 1L).otherwise(0L).as("a"))
+      .groupBy("event_type")
+      .agg(sum(col("a")).as("n_a"), (count(lit(1)) - sum(col("a"))).as("n_b"),
+        sum(col("c")).as("sc"), sum(col("c") * col("c")).as("scc"),
+        count(lit(1)).as("n"))
+    val mean = col("sc").cast("double") / 1e2 / col("n").cast("double")
+    val variance = (col("scc").cast("double") / 1e4 -
+      (col("sc").cast("double") / 1e2) * (col("sc").cast("double") / 1e2) /
+        col("n").cast("double")) / (col("n") - 1L).cast("double")
+    val mde = lit(PowerZSum) * sqrt(variance *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    ev.select(col("event_type"), col("n_a"), col("n_b"),
+      r6(mean).as("mean"), r6(sqrt(variance)).as("sd"),
+      r6(mde).as("mde_abs"), r6(mde / mean).as("mde_rel"),
+      ceil(lit(2.0) * variance * lit(PowerZSum * PowerZSum) /
+        ((lit(PowerTargetLift) * mean) * (lit(PowerTargetLift) * mean)))
+        .cast("long").as("n_per_arm_5pct"))
+  }
+
+  def powerAnalysisOracle: String = {
+    val mean = "(CAST(sc AS DOUBLE)/1e2/CAST(n AS DOUBLE))"
+    val vr = "((CAST(scc AS DOUBLE)/1e4 - (CAST(sc AS DOUBLE)/1e2)*(CAST(sc AS DOUBLE)/1e2)/CAST(n AS DOUBLE))/CAST(n - 1 AS DOUBLE))"
+    val mde = s"(${sqlD(PowerZSum)}*sqrt($vr*(1.0e0/CAST(n_a AS DOUBLE) + 1.0e0/CAST(n_b AS DOUBLE))))"
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |         CAST(count(*) - sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |         CAST(sum(CAST(floor(value*1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sc,
+       |         CAST(sum(CAST(floor(value*1e2 + 0.5) AS BIGINT)*CAST(floor(value*1e2 + 0.5) AS BIGINT)) AS BIGINT) AS scc,
+       |         count(*) AS n
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT event_type, n_a, n_b,
+       |       ${sqlR6(mean)} AS mean, ${sqlR6(s"sqrt($vr)")} AS sd,
+       |       ${sqlR6(mde)} AS mde_abs, ${sqlR6(s"$mde/$mean")} AS mde_rel,
+       |       CAST(ceil(2.0e0*$vr*${sqlD(PowerZSum * PowerZSum)}/((${sqlD(PowerTargetLift)}*$mean)*(${sqlD(PowerTargetLift)}*$mean))) AS BIGINT) AS n_per_arm_5pct
+       |FROM g ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_srm_check" -> ((s, d) => srmCheck(s, d).orderBy("day")),
+    "events_power_analysis" -> ((s, d) => powerAnalysis(s, d).orderBy("event_type")),
     "events_survival_km" -> ((s, d) => survivalKm(s, d).orderBy("duration_days")),
     "events_chisq" -> ((s, d) => chiSq(s, d).orderBy("event_type", "arm")),
     "ts_hurst" -> ((s, d) => hurst(s, d).orderBy("user_id")),
@@ -1094,6 +1194,8 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_srm_check" -> srmCheckOracle,
+    "events_power_analysis" -> powerAnalysisOracle,
     "events_survival_km" -> survivalKmOracle,
     "events_chisq" -> chiSqOracle,
     "ts_hurst" -> hurstOracle,
