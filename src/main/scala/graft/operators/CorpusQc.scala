@@ -772,7 +772,49 @@ object CorpusQc {
        |       ${sqlR6("(CAST(sy AS DOUBLE)/1e6 - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) * (CAST(sx AS DOUBLE)/1e6)) / CAST(n AS DOUBLE)")} AS intercept
        |FROM s ORDER BY source""".stripMargin
 
+  /** Quality-score bin × exact-duplicate confound matrix — the sanity check
+    * a curation review runs BEFORE trusting "dedup removes junk": per
+    * fixed quality band (the r6 score floor-binned into tenths — fixed
+    * bins, deliberately NOT rank deciles, so no global sort exists at any
+    * scale), how many docs are exact duplicates. A dup_rate that falls as
+    * quality rises means the two gates are redundant; flat means they cut
+    * independent slices. Dup flag is the one-shuffle md5-digest window
+    * (`dedup_exact`'s discipline: raw text never shuffles); per-bin mean
+    * quality fx9-quantizes before the order-insensitive sum.
+    */
+  def qualityDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), TextOps.qualityScoreCol.as("q"))
+      .withColumn("is_dup",
+        (count(lit(1)).over(Window.partitionBy(md5(col("text")))) > 1).cast("long"))
+    d.select(least(floor(col("q") * 10).cast("long"), lit(9L)).as("q_bin"),
+        col("is_dup"), fx9(col("q")).as("qfx"))
+      .groupBy("q_bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dup"),
+        sum(col("qfx")).as("qsum"))
+      .select(col("q_bin"), col("n_docs"), col("n_dup"),
+        r6(col("n_dup").cast("double") / col("n_docs").cast("double")).as("dup_rate"),
+        r6(col("qsum").cast("double") / 1e9 / col("n_docs").cast("double")).as("mean_quality"))
+  }
+
+  def qualityDupMatrixOracle: String =
+    s"""WITH ${TextOps.qualityCteSql("q")},
+       |dupf AS (
+       |  SELECT doc_id, (count(*) OVER (PARTITION BY md5(text)) > 1) AS is_dup
+       |  FROM documents
+       |), j AS (
+       |  SELECT least(CAST(floor(q.quality_score*10) AS BIGINT), 9) AS q_bin,
+       |         CASE WHEN d.is_dup THEN 1 ELSE 0 END AS is_dup,
+       |         ${sqlFx9("q.quality_score")} AS qfx
+       |  FROM q JOIN dupf d USING (doc_id)
+       |)
+       |SELECT q_bin, count(*) AS n_docs, CAST(sum(is_dup) AS BIGINT) AS n_dup,
+       |       ${sqlR6("CAST(sum(is_dup) AS DOUBLE)/CAST(count(*) AS DOUBLE)")} AS dup_rate,
+       |       ${sqlR6("CAST(sum(qfx) AS DOUBLE)/1e9/CAST(count(*) AS DOUBLE)")} AS mean_quality
+       |FROM j GROUP BY 1 ORDER BY q_bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_quality_dup_matrix" -> ((s, d) => qualityDupMatrix(s, d).orderBy("q_bin")),
     "docs_source_divergence" -> ((s, d) => sourceDivergence(s, d).orderBy("source")),
     "text_zipf_fit" -> ((s, d) => zipfFit(s, d).orderBy("source")),
     "docs_length_hist" -> ((s, d) => lengthHist(s, d).orderBy("source", "bucket")),
@@ -806,6 +848,7 @@ object CorpusQc {
        |ORDER BY d.doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "docs_quality_dup_matrix" -> qualityDupMatrixOracle,
     "docs_source_divergence" -> sourceDivergenceOracle,
     "text_zipf_fit" -> zipfFitOracle,
     "docs_length_hist" -> lengthHistOracle,

@@ -1750,6 +1750,50 @@ object EventsOps {
        |       ${sqlR6("CAST(n AS DOUBLE)/CAST(sum(n) OVER () AS DOUBLE)")} AS share
        |FROM tri ORDER BY n DESC, t1, t2, t3 LIMIT $SeqPatTopK""".stripMargin
 
+  /** Velocity rule: flag when a user fires ≥ this many events inside one
+    * trailing hour. */
+  val VelocityWindowS = 3600L
+  val VelocityThreshold = 5L
+
+  /** Velocity (burst) detection per user — the fraud/abuse rule engine's
+    * first primitive: the TIME-based trailing count (events in the last
+    * 3600 SECONDS, not the last N rows) via a RANGE window frame over epoch
+    * seconds, which row-based rolling features (`events_lag_features`)
+    * cannot express when sampling is irregular. Reported per user as the
+    * peak burst and how many events sat inside a flagged burst; only users
+    * who ever breach [[VelocityThreshold]] appear. Exact integer counting —
+    * ties at the same second enter the frame together in both engines.
+    * Plan: one window pass partitioned by user, then a per-user agg — no
+    * global state, parallelism = users.
+    */
+  def velocityFlags(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("s"))
+      .rangeBetween(-(VelocityWindowS - 1), 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("s"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max(col("burst")).as("max_burst"),
+        sum(when(col("burst") >= VelocityThreshold, 1L).otherwise(0L))
+          .as("n_burst_events"))
+      .filter(col("max_burst") >= VelocityThreshold)
+  }
+
+  def velocityFlagsOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+       |), b AS (
+       |  SELECT user_id,
+       |         count(*) OVER (PARTITION BY user_id ORDER BY s
+       |                        RANGE BETWEEN ${VelocityWindowS - 1} PRECEDING AND CURRENT ROW) AS burst
+       |  FROM ev
+       |)
+       |SELECT user_id, count(*) AS n_events,
+       |       CAST(max(burst) AS BIGINT) AS max_burst,
+       |       CAST(sum(CASE WHEN burst >= $VelocityThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_burst_events
+       |FROM b GROUP BY 1 HAVING max(burst) >= $VelocityThreshold
+       |ORDER BY user_id""".stripMargin
+
   /** Seasonal lag (in per-user event positions) for the forecast benchmark. */
   val ForecastSeason = 24
 
@@ -2489,6 +2533,7 @@ object EventsOps {
     "events_type_transitions" -> ((s, d) => typeTransitions(s, d).orderBy("prev_type", "next_type")),
     "events_markov_stationary" -> ((s, d) => markovStationary(s, d).orderBy("state")),
     "events_markov_entropy" -> ((s, d) => markovEntropy(s, d).orderBy("prev_type")),
+    "events_velocity_flags" -> ((s, d) => velocityFlags(s, d).orderBy("user_id")),
     "events_seq_patterns" -> ((s, d) =>
       seqPatterns(s, d).orderBy(desc("n"), col("t1"), col("t2"), col("t3"))),
     "ts_value_quantiles_sketch" -> ((s, d) => valueQuantilesSketch(s, d).orderBy("event_type")),
@@ -2543,6 +2588,7 @@ object EventsOps {
     "events_type_transitions" -> typeTransitionsOracle,
     "events_markov_stationary" -> markovStationaryOracle,
     "events_markov_entropy" -> markovEntropyOracle,
+    "events_velocity_flags" -> velocityFlagsOracle,
     "events_seq_patterns" -> seqPatternsOracle,
     "ts_value_quantiles_sketch" -> valueQuantilesSketchOracle,
     "ts_tumbling_agg" -> tumblingOracle,

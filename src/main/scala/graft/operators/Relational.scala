@@ -2460,7 +2460,164 @@ object Relational {
        |       ${sqlR6("CAST(sum(diff) AS DOUBLE)/1e6")} AS net_drift
        |FROM d GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  /** Max days between two orders for them to count as a double-charge
+    * suspect. */
+  val DoubleChargeDays = 7
+
+  /** Duplicate-payment audit — pairs of orders by the SAME customer for the
+    * EXACT same total (integer cents) within [[DoubleChargeDays]] days: the
+    * classic accounts-payable double-charge sweep. The self-join key is
+    * (custkey, amount-cents), so only exact-amount collisions ever meet —
+    * at any scale the join input is the per-(customer, amount) group, and
+    * the date predicate is a residual filter on an already-tiny candidate
+    * set (the same blocked-self-join discipline as the dedup family).
+    */
+  def doubleCharge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        fx(col("o_totalprice"), 2).as("pc"), col("o_orderdate"))
+    o.select(col("o_custkey"), col("pc"),
+        col("o_orderkey").as("ok1"), col("o_orderdate").as("d1"))
+      .join(o.select(col("o_custkey"), col("pc"),
+        col("o_orderkey").as("ok2"), col("o_orderdate").as("d2")),
+        Seq("o_custkey", "pc"))
+      .filter(col("ok1") < col("ok2") &&
+        abs(datediff(col("d2"), col("d1"))) <= DoubleChargeDays)
+      .select(col("o_custkey"), col("ok1"), col("ok2"),
+        r6(col("pc").cast("double") / 1e2).as("amount"),
+        abs(datediff(col("d2"), col("d1"))).cast("long").as("gap_days"))
+  }
+
+  def doubleChargeOracle: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_custkey, ${sqlFx("o_totalprice", 2)} AS pc, o_orderdate
+       |  FROM orders
+       |)
+       |SELECT a.o_custkey, a.o_orderkey AS ok1, b.o_orderkey AS ok2,
+       |       ${sqlR6("CAST(a.pc AS DOUBLE)/1e2")} AS amount,
+       |       CAST(abs(datediff('day', a.o_orderdate, b.o_orderdate)) AS BIGINT) AS gap_days
+       |FROM o a JOIN o b
+       |  ON b.o_custkey = a.o_custkey AND b.pc = a.pc AND b.o_orderkey > a.o_orderkey
+       |WHERE abs(datediff('day', a.o_orderdate, b.o_orderdate)) <= $DoubleChargeDays
+       |ORDER BY a.o_custkey, ok1, ok2""".stripMargin
+
+  /** Price elasticity proxy per part brand — the OLS slope of line-item
+    * quantity on discount (does a deeper discount actually move volume?),
+    * with the Pearson correlation as the fit-quality dial. Discounts and
+    * quantities quantize to integer hundredths, so all six per-brand sums
+    * (n, Σx, Σy, Σxy, Σxx, Σyy) are exact BIGINTs and the slope/intercept/
+    * corr are single deterministic double expressions. The part dimension
+    * broadcasts; one hash agg on brand does all the work. Brands whose
+    * discounts never vary carry no signal and are excluded exactly
+    * (integer variance-numerator = 0).
+    */
+  def discountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        fx(col("l_discount"), 2).as("x"), fx(col("l_quantity"), 2).as("y"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))), "l_partkey")
+    val g = li.groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0L)
+    val sNum = col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val sDen = col("n").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val cDen = sqrt(sDen * (col("n").cast("double") * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")))
+    g.select(col("p_brand"), col("n"),
+      r6(col("sx").cast("double") / 1e2 / col("n").cast("double")).as("mean_discount"),
+      r6(col("sy").cast("double") / 1e2 / col("n").cast("double")).as("mean_qty"),
+      r6(sNum / sDen).as("slope"),
+      r6((col("sy").cast("double") - (sNum / sDen) * col("sx").cast("double")) /
+        1e2 / col("n").cast("double")).as("intercept"),
+      r6(sNum / cDen).as("corr"))
+  }
+
+  def discountElasticityOracle: String = {
+    val sNum = "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
+    val sDen = "(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))"
+    val cDen = s"sqrt($sDen*(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))"
+    s"""WITH li AS (
+       |  SELECT p.p_brand, ${sqlFx("l.l_discount", 2)} AS x, ${sqlFx("l.l_quantity", 2)} AS y
+       |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       |), g AS (
+       |  SELECT p_brand, count(*) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+       |         CAST(sum(y*y) AS BIGINT) AS syy
+       |  FROM li GROUP BY 1
+       |  HAVING count(*)*CAST(sum(x*x) AS BIGINT) - CAST(sum(x) AS BIGINT)*CAST(sum(x) AS BIGINT) > 0
+       |)
+       |SELECT p_brand, n,
+       |       ${sqlR6("CAST(sx AS DOUBLE)/1e2/CAST(n AS DOUBLE)")} AS mean_discount,
+       |       ${sqlR6("CAST(sy AS DOUBLE)/1e2/CAST(n AS DOUBLE)")} AS mean_qty,
+       |       ${sqlR6(s"$sNum/$sDen")} AS slope,
+       |       ${sqlR6(s"(CAST(sy AS DOUBLE) - ($sNum/$sDen)*CAST(sx AS DOUBLE))/1e2/CAST(n AS DOUBLE)")} AS intercept,
+       |       ${sqlR6(s"$sNum/$cDen")} AS corr
+       |FROM g ORDER BY p_brand""".stripMargin
+  }
+
+  /** Order→ship lead-time SLA per return flag — exact p50/p90/p99 of the
+    * processing leg (days between order placement and line shipment, the
+    * one date pair this schema carries) sliced by l_returnflag, so the
+    * returned-goods population's latency profile sits next to the normal
+    * flow. Same exact rank-based order-statistic pattern as
+    * `events_type_slo` (k = ⌈q·n⌉ over a per-group (value, tiebreak)
+    * ordering). The orders⋈lineitem join is the standard natural-key
+    * fact-fact shuffle (AQE broadcasts at small SF).
+    */
+  def leadtimeSla(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        "l_orderkey")
+      .select(col("l_returnflag"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"),
+        col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("days"), col("l_orderkey"), col("l_linenumber"))
+    val wAll = Window.partitionBy("l_returnflag")
+    def kOf(num: Int, den: Int) =
+      floor((col("n") * num + den - 1).cast("double") / den).cast("long")
+    li.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("l_returnflag")
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === kOf(1, 2), col("days"))).as("p50_days"),
+        max(when(col("rn") === kOf(9, 10), col("days"))).as("p90_days"),
+        max(when(col("rn") === kOf(99, 100), col("days"))).as("p99_days"),
+        max(col("days")).as("max_days"))
+  }
+
+  def leadtimeSlaOracle: String =
+    s"""WITH li AS (
+       |  SELECT l.l_returnflag,
+       |         CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS days,
+       |         l.l_orderkey, l.l_linenumber
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |), ranked AS (
+       |  SELECT l_returnflag, days,
+       |         row_number() OVER (PARTITION BY l_returnflag ORDER BY days, l_orderkey, l_linenumber) AS rn,
+       |         count(*) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM li
+       |)
+       |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+       |       max(CASE WHEN rn = (n*1 + 1)//2 THEN days END) AS p50_days,
+       |       max(CASE WHEN rn = (n*9 + 9)//10 THEN days END) AS p90_days,
+       |       max(CASE WHEN rn = (n*99 + 99)//100 THEN days END) AS p99_days,
+       |       max(days) AS max_days
+       |FROM ranked GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_double_charge" -> ((s, d) => doubleCharge(s, d).orderBy("o_custkey", "ok1", "ok2")),
+    "parts_discount_elasticity" -> ((s, d) => discountElasticity(s, d).orderBy("p_brand")),
+    "lineitem_leadtime_sla" -> ((s, d) => leadtimeSla(s, d).orderBy("l_returnflag")),
     "orders_price_recon" -> ((s, d) => priceRecon(s, d).orderBy("o_orderstatus")),
     "graph_link_predict" -> ((s, d) =>
       linkPredict(s, d).orderBy(desc("common_neighbors"), col("part_a"), col("part_b"))),
@@ -2556,6 +2713,9 @@ object Relational {
     "tpch_q15" -> q15Oracle,
     "tpch_q20" -> q20Oracle,
     "graph_pagerank" -> pageRankOracle,
+    "orders_double_charge" -> doubleChargeOracle,
+    "parts_discount_elasticity" -> discountElasticityOracle,
+    "lineitem_leadtime_sla" -> leadtimeSlaOracle,
     "orders_price_recon" -> priceReconOracle,
     "graph_link_predict" -> linkPredictOracle,
     "graph_khop" -> kHopOracle,
