@@ -2614,7 +2614,92 @@ object Relational {
        |       max(days) AS max_days
        |FROM ranked GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  /** Peak concurrent sessions per day — the capacity-planning number an
+    * infra review asks for: the maximum number of 30-min-gap sessions
+    * simultaneously open at any instant of each day, computed with the
+    * classic +1/−1 boundary sweep. Sessions clipped to day boundaries
+    * first (a cross-midnight session counts in both days — explode over
+    * its day span), so the sweep window partitions BY DAY: parallelism =
+    * days, no global ordering anywhere. At equal timestamps the −1 sorts
+    * before the +1 (half-open [start, end+1) semantics), and the per-day
+    * max of the running sum is insensitive to ordering among equal
+    * (t, delta) rows — the sweep is deterministic. All integer epoch
+    * seconds.
+    */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMin = (col("ts").cast("double") - col("prev_ts").cast("double")) / 60.0
+    val sess = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || gapMin > 30.0, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min(unix_timestamp(col("ts"))).as("ss"),
+        max(unix_timestamp(col("ts"))).as("es"))
+    val clipped = sess
+      .withColumn("day", explode(sequence(
+        floor(col("ss").cast("double") / 86400.0).cast("long"),
+        floor(col("es").cast("double") / 86400.0).cast("long"))))
+      .select(col("day"),
+        greatest(col("ss"), col("day") * 86400L).as("a"),
+        least(col("es"), col("day") * 86400L + 86399L).as("b"))
+    val bounds = clipped.select(col("day"), col("a").as("t"), lit(1L).as("delta"))
+      .unionAll(clipped.select(col("day"), (col("b") + 1L).as("t"), lit(-1L).as("delta")))
+    val wSweep = Window.partitionBy("day").orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .withColumn("open", sum(col("delta")).over(wSweep))
+      .groupBy("day")
+      .agg(max(col("open")).as("peak_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_sessions"))
+      .select(date_add(lit("1970-01-01").cast("date"), col("day").cast("int")).as("day"),
+        col("peak_concurrent"), col("n_sessions"))
+  }
+
+  def peakConcurrencyOracle: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, event_id,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR (epoch(ts) - epoch(lag(ts) OVER w))/60.0 > 30.0
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sess AS (
+       |  SELECT user_id,
+       |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq,
+       |         ts
+       |  FROM marked
+       |), iv AS (
+       |  SELECT user_id, session_seq,
+       |         min(CAST(floor(epoch(ts)) AS BIGINT)) AS ss,
+       |         max(CAST(floor(epoch(ts)) AS BIGINT)) AS es
+       |  FROM sess GROUP BY 1, 2
+       |), clipped AS (
+       |  SELECT g.day,
+       |         greatest(ss, g.day*86400) AS a,
+       |         least(es, g.day*86400 + 86399) AS b
+       |  FROM iv, LATERAL (SELECT unnest(generate_series(
+       |         CAST(floor(CAST(ss AS DOUBLE)/86400.0) AS BIGINT),
+       |         CAST(floor(CAST(es AS DOUBLE)/86400.0) AS BIGINT))) AS day) g
+       |), bounds AS (
+       |  SELECT day, a AS t, CAST(1 AS BIGINT) AS delta FROM clipped
+       |  UNION ALL
+       |  SELECT day, b + 1, -1 FROM clipped
+       |), sweep AS (
+       |  SELECT day, CAST(sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open
+       |  FROM bounds
+       |)
+       |SELECT DATE '1970-01-01' + CAST(day AS INTEGER) AS day,
+       |       max(open) AS peak_concurrent,
+       |       CAST(count(*)//2 AS BIGINT) AS n_sessions
+       |FROM sweep GROUP BY 1 ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_peak_concurrency" -> ((s, d) => peakConcurrency(s, d).orderBy("day")),
     "orders_double_charge" -> ((s, d) => doubleCharge(s, d).orderBy("o_custkey", "ok1", "ok2")),
     "parts_discount_elasticity" -> ((s, d) => discountElasticity(s, d).orderBy("p_brand")),
     "lineitem_leadtime_sla" -> ((s, d) => leadtimeSla(s, d).orderBy("l_returnflag")),
@@ -2713,6 +2798,7 @@ object Relational {
     "tpch_q15" -> q15Oracle,
     "tpch_q20" -> q20Oracle,
     "graph_pagerank" -> pageRankOracle,
+    "events_peak_concurrency" -> peakConcurrencyOracle,
     "orders_double_charge" -> doubleChargeOracle,
     "parts_discount_elasticity" -> discountElasticityOracle,
     "lineitem_leadtime_sla" -> leadtimeSlaOracle,

@@ -1302,7 +1302,57 @@ object Similarity {
        |JOIN lab nl ON nl.vec_id = t.neighbor_id
        |GROUP BY 1, 2 ORDER BY qid""".stripMargin
 
+  /** k-NN classifier accuracy over the embedding space — the second
+    * no-judgments embedding eval next to [[labelPrecision]]: predict each
+    * query's class as the MAJORITY label of its [[TopK]] exact cosine
+    * neighbors (count-desc, label-asc tiebreak — deterministic) and score
+    * against the query's own label, reported per class so weak classes
+    * surface. Precision@k asks "do neighbors agree"; this asks "would the
+    * 1-line classifier built on this space be right" — the two disagree
+    * exactly when a class is cohesive but sits inside a bigger class's
+    * hull. Same brute-force ranking; labels join on ids only.
+    */
+  def knnAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val labels = emb(spark, dir).select(col("vec_id"), col("label"))
+    val votes = bruteForceTopK(spark, dir)
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel"))), "neighbor_id")
+      .groupBy("qid", "nlabel").agg(count(lit(1)).as("v"))
+    val wV = Window.partitionBy("qid").orderBy(desc("v"), asc("nlabel"))
+    val pred = votes.withColumn("rk", row_number().over(wV))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("nlabel").as("pred"))
+    pred.join(broadcast(labels.select(col("vec_id").as("qid"),
+        col("label").as("qlabel"))), "qid")
+      .groupBy("qlabel")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred") === col("qlabel"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("qlabel"), col("n_queries"), col("n_correct"),
+        r6(col("n_correct").cast("double") / col("n_queries").cast("double"))
+          .as("accuracy"))
+  }
+
+  def knnAccuracyOracle: String =
+    s"""WITH lab AS (SELECT DISTINCT vec_id, label FROM embeddings),
+       |tk AS (SELECT * FROM (${cosTopKSql(bucketJoin = false)})),
+       |votes AS (
+       |  SELECT t.qid, nl.label AS nlabel, count(*) AS v
+       |  FROM tk t JOIN lab nl ON nl.vec_id = t.neighbor_id
+       |  GROUP BY 1, 2
+       |), pred AS (
+       |  SELECT qid, nlabel AS pred FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY v DESC, nlabel ASC) AS rk
+       |    FROM votes)
+       |  WHERE rk = 1
+       |)
+       |SELECT ql.label AS qlabel, count(*) AS n_queries,
+       |       CAST(sum(CASE WHEN p.pred = ql.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |       ${sqlR6("CAST(sum(CASE WHEN p.pred = ql.label THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE)")} AS accuracy
+       |FROM pred p JOIN lab ql ON ql.vec_id = p.qid
+       |GROUP BY 1 ORDER BY qlabel""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_knn_accuracy" -> ((s, d) => knnAccuracy(s, d).orderBy("qlabel")),
     "ann_filtered_topk" -> ((s, d) => filteredTopK(s, d).orderBy("qid", "rank")),
     "ann_label_precision" -> ((s, d) => labelPrecision(s, d).orderBy("qid")),
     "emb_cell_silhouette" -> ((s, d) => cellSilhouette(s, d).orderBy("cell")),
@@ -1335,6 +1385,7 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "ann_filtered_topk" -> filteredTopKOracle,
     "ann_label_precision" -> labelPrecisionOracle,
+    "emb_knn_accuracy" -> knnAccuracyOracle,
     "emb_cell_silhouette" -> cellSilhouetteOracle,
     "ann_mips_topk" -> mipsTopKOracle,
     "ann_mmr_rerank" -> mmrRerankOracle,

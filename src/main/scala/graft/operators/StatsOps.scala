@@ -1172,7 +1172,153 @@ object StatsOps {
        |FROM g ORDER BY event_type""".stripMargin
   }
 
+  /** Difference-in-differences over the same 2×2 the CUPED query uses —
+    * arm (user parity) × period (pre/post [[CupedSplit]]): the estimator a
+    * platform falls back to when assignment wasn't randomized and a
+    * parallel-trends argument stands in. DiD = (B_post − B_pre) −
+    * (A_post − A_pre) with SE = √(Σ var_cell/n_cell) and a Wald t. Cell
+    * means/variances come from exact BIGINT moment sums; the four signed
+    * means and the four variance ratios fx12-quantize before their
+    * order-insensitive window sums, so the repeated did/se/t columns are
+    * cross-engine-stable. One events scan, one 4-row agg — everything
+    * after is free at any scale.
+    */
+  def did(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(
+        when(col("user_id") % 2 === 0L, lit("A")).otherwise(lit("B")).as("arm"),
+        when(col("ts") < lit(CupedSplit).cast("timestamp"), lit("1_pre"))
+          .otherwise(lit("2_post")).as("period"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"))
+      .groupBy("arm", "period")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+    val mean = col("sc").cast("double") / 1e2 / col("n").cast("double")
+    val variance = (col("scc").cast("double") / 1e4 -
+      (col("sc").cast("double") / 1e2) * (col("sc").cast("double") / 1e2) /
+        col("n").cast("double")) / (col("n") - 1L).cast("double")
+    val sign = when(col("arm") === "B", lit(1.0)).otherwise(lit(-1.0)) *
+      when(col("period") === "2_post", lit(1.0)).otherwise(lit(-1.0))
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("mean", mean).withColumn("variance", variance)
+      .withColumn("did",
+        sum(fx(sign * col("mean"), 12)).over(wAll).cast("double") / 1e12)
+      .withColumn("se", sqrt(
+        sum(fx(col("variance") / col("n").cast("double"), 12)).over(wAll)
+          .cast("double") / 1e12))
+      .select(col("arm"), col("period"), col("n"),
+        r6(col("mean")).as("mean"), r6(col("variance")).as("variance"),
+        r6(col("did")).as("did"), r6(col("se")).as("se"),
+        r6(col("did") / col("se")).as("t"))
+  }
+
+  def didOracle: String = {
+    val mean = "(CAST(sc AS DOUBLE)/1e2/CAST(n AS DOUBLE))"
+    val vr = "((CAST(scc AS DOUBLE)/1e4 - (CAST(sc AS DOUBLE)/1e2)*(CAST(sc AS DOUBLE)/1e2)/CAST(n AS DOUBLE))/CAST(n - 1 AS DOUBLE))"
+    val sign = "(CASE WHEN arm = 'B' THEN 1.0e0 ELSE -1.0e0 END * CASE WHEN period = '2_post' THEN 1.0e0 ELSE -1.0e0 END)"
+    s"""WITH cells AS (
+       |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |         CASE WHEN ts < TIMESTAMP '$CupedSplit' THEN '1_pre' ELSE '2_post' END AS period,
+       |         count(*) AS n,
+       |         CAST(sum(CAST(floor(value*1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sc,
+       |         CAST(sum(CAST(floor(value*1e2 + 0.5) AS BIGINT)*CAST(floor(value*1e2 + 0.5) AS BIGINT)) AS BIGINT) AS scc
+       |  FROM events GROUP BY 1, 2
+       |), m AS (
+       |  SELECT arm, period, n, $mean AS mean, $vr AS variance,
+       |         CAST(sum(${sqlFx(s"$sign*$mean", 12)}) OVER () AS DOUBLE)/1e12 AS did,
+       |         sqrt(CAST(sum(${sqlFx(s"$vr/CAST(n AS DOUBLE)", 12)}) OVER () AS DOUBLE)/1e12) AS se
+       |  FROM cells
+       |)
+       |SELECT arm, period, n, ${sqlR6("mean")} AS mean, ${sqlR6("variance")} AS variance,
+       |       ${sqlR6("did")} AS did, ${sqlR6("se")} AS se, ${sqlR6("did/se")} AS t
+       |FROM m ORDER BY arm, period""".stripMargin
+  }
+
+  /** Off-policy evaluation by inverse propensity scoring — the offline
+    * answer to "what would the metric be if we always showed each hour's
+    * best-performing event type": context = hour of day, logged action =
+    * event_type, reward = value cents, logged propensities are the exact
+    * empirical shares p(a|h), and the target policy π(h) is the per-hour
+    * argmax of observed mean reward (count-weighted, reward-desc
+    * type-asc tiebreak on exact rational means — deterministic in both
+    * engines). With exact empirical propensities the IPS estimator reduces
+    * to Σ_h n_h·mean(h,π(h))/N, reported per hour next to the logged mean,
+    * plus the global v_logged/v_policy/lift (fx6-quantized hour terms so
+    * the 24-row window sums are order-insensitive). Self-evaluation caveat
+    * applies (π is fitted on the logged data itself) — this measures the
+    * IPS plumbing, and the per-hour table is the real product surface.
+    * One events scan → (hour, type) hash agg; everything else is 24×types.
+    */
+  def opeIps(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir)
+      .select(hour(col("ts")).cast("long").as("h"), col("event_type").as("a"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"))
+      .groupBy("h", "a")
+      .agg(count(lit(1)).as("n_ha"), sum(col("c")).as("r_ha"))
+    val wH = Window.partitionBy("h")
+    val meanR = col("r_ha").cast("double") / 1e2 / col("n_ha").cast("double")
+    val t = g
+      .withColumn("n_h", sum(col("n_ha")).over(wH))
+      .withColumn("r_h", sum(col("r_ha")).over(wH))
+      .withColumn("mean_r", meanR)
+    val wRank = Window.partitionBy("h").orderBy(desc("mean_r"), asc("a"))
+    val chosen = t.withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") === 1)
+    val wAll = Window.partitionBy()
+    chosen
+      .withColumn("vp_term", fx(col("n_h").cast("double") * col("mean_r"), 6))
+      .withColumn("n_total", sum(col("n_h")).over(wAll))
+      .withColumn("v_policy", sum(col("vp_term")).over(wAll).cast("double") / 1e6 /
+        col("n_total").cast("double"))
+      .withColumn("v_logged", sum(col("r_h")).over(wAll).cast("double") / 1e2 /
+        col("n_total").cast("double"))
+      .select(col("h"), col("a").as("policy_action"), col("n_h"),
+        r6(col("n_ha").cast("double") / col("n_h").cast("double")).as("propensity"),
+        r6(col("r_h").cast("double") / 1e2 / col("n_h").cast("double")).as("logged_mean"),
+        r6(col("mean_r")).as("policy_mean"),
+        r6(col("v_logged")).as("v_logged"), r6(col("v_policy")).as("v_policy"),
+        r6(col("v_policy") / col("v_logged") - lit(1.0)).as("lift"))
+  }
+
+  def opeIpsOracle: String = {
+    val meanR = "(CAST(r_ha AS DOUBLE)/1e2/CAST(n_ha AS DOUBLE))"
+    s"""WITH g AS (
+       |  SELECT CAST(hour(ts) AS BIGINT) AS h, event_type AS a,
+       |         count(*) AS n_ha,
+       |         CAST(sum(CAST(floor(value*1e2 + 0.5) AS BIGINT)) AS BIGINT) AS r_ha
+       |  FROM events GROUP BY 1, 2
+       |), t AS (
+       |  SELECT h, a, n_ha, r_ha,
+       |         CAST(sum(n_ha) OVER (PARTITION BY h) AS BIGINT) AS n_h,
+       |         CAST(sum(r_ha) OVER (PARTITION BY h) AS BIGINT) AS r_h,
+       |         $meanR AS mean_r
+       |  FROM g
+       |), chosen AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY h ORDER BY mean_r DESC, a ASC) AS rk
+       |    FROM t)
+       |  WHERE rk = 1
+       |), gl AS (
+       |  SELECT *,
+       |         CAST(sum(n_h) OVER () AS BIGINT) AS n_total,
+       |         CAST(sum(${sqlFx("CAST(n_h AS DOUBLE)*mean_r", 6)}) OVER () AS DOUBLE)/1e6 AS vp_sum,
+       |         CAST(sum(r_h) OVER () AS DOUBLE)/1e2 AS vl_sum
+       |  FROM chosen
+       |)
+       |SELECT h, a AS policy_action, n_h,
+       |       ${sqlR6("CAST(n_ha AS DOUBLE)/CAST(n_h AS DOUBLE)")} AS propensity,
+       |       ${sqlR6("CAST(r_h AS DOUBLE)/1e2/CAST(n_h AS DOUBLE)")} AS logged_mean,
+       |       ${sqlR6("mean_r")} AS policy_mean,
+       |       ${sqlR6("vl_sum/CAST(n_total AS DOUBLE)")} AS v_logged,
+       |       ${sqlR6("vp_sum/CAST(n_total AS DOUBLE)")} AS v_policy,
+       |       ${sqlR6("(vp_sum/CAST(n_total AS DOUBLE))/(vl_sum/CAST(n_total AS DOUBLE)) - 1.0e0")} AS lift
+       |FROM gl ORDER BY h""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_did" -> ((s, d) => did(s, d).orderBy("arm", "period")),
+    "events_ope_ips" -> ((s, d) => opeIps(s, d).orderBy("h")),
     "events_srm_check" -> ((s, d) => srmCheck(s, d).orderBy("day")),
     "events_power_analysis" -> ((s, d) => powerAnalysis(s, d).orderBy("event_type")),
     "events_survival_km" -> ((s, d) => survivalKm(s, d).orderBy("duration_days")),
@@ -1194,6 +1340,8 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_did" -> didOracle,
+    "events_ope_ips" -> opeIpsOracle,
     "events_srm_check" -> srmCheckOracle,
     "events_power_analysis" -> powerAnalysisOracle,
     "events_survival_km" -> survivalKmOracle,
