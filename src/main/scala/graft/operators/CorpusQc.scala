@@ -391,6 +391,73 @@ object CorpusQc {
         r6(col("sfx").cast("double") / 1e9 / col("n_bigrams").cast("double")).as("avg_nll2"))
   }
 
+  /** Bigram weight in the interpolated model; 1−λ goes to the unigram. */
+  val InterpLambda = 0.7
+
+  /** Per-doc NLL under a λ-INTERPOLATED bigram/unigram LM — the smoothing
+    * every deployed n-gram scorer actually uses (Jelinek–Mercer):
+    * p(w2|w1) = λ·c12/c1 + (1−λ)·c2/T, so rare continuations fall back to
+    * the unigram instead of being crushed by add-k mass, and the score
+    * stops depending on the vocabulary-size constant. Read next to
+    * `text_bigram_nll`: a doc whose interp score is much better than its
+    * add-k score is one the smoothing choice was mis-ranking. Same
+    * determinism (interp probability is exact-rational-built, one ln per
+    * token fx9-quantized pre-sum) and same scale shape (count tables
+    * broadcast, text never shuffles).
+    */
+  def interpNll(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(spark, dir).select(col("doc_id"), words.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = docs(spark, dir).select(explode(words).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("tot"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val p = lit(InterpLambda) * col("c12").cast("double") / col("c1").cast("double") +
+      lit(1.0 - InterpLambda) * col("c2").cast("double") / col("tot").cast("double")
+    pairs
+      .join(broadcast(bi), Seq("w1", "w2"))
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), fx9(-log(p)).as("nll_fx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_fx")).as("sfx"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r6(col("sfx").cast("double") / 1e9 / col("n_bigrams").cast("double"))
+          .as("avg_nll_interp"))
+  }
+
+  def interpNllOracle: String = {
+    val p = s"(${sqlD(InterpLambda)}*CAST(b.c12 AS DOUBLE)/CAST(u1.c AS DOUBLE) + ${sqlD(1.0 - InterpLambda)}*CAST(u2.c AS DOUBLE)/CAST(t.tot AS DOUBLE))"
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents),
+       |pairs AS (
+       |  SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+       |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+       |  WHERE len(ws) >= 2
+       |), uni AS MATERIALIZED (
+       |  SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+       |  GROUP BY 1
+       |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM uni),
+       |bi AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT p.doc_id, ${sqlFx(s"-ln($p)", 9)} AS nll_fx
+       |  FROM pairs p
+       |  JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+       |  JOIN uni u1 ON u1.w = p.w1
+       |  JOIN uni u2 ON u2.w = p.w2
+       |  CROSS JOIN tot t
+       |)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |       ${sqlR6("CAST(sum(nll_fx) AS DOUBLE) / 1e9 / count(*)")} AS avg_nll_interp
+       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------- hash-stable train/val/test split ----------------
 
   /** Split percentages: doc bucket = md5("split:" + doc_id) mod 100 →
@@ -815,6 +882,7 @@ object CorpusQc {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_quality_dup_matrix" -> ((s, d) => qualityDupMatrix(s, d).orderBy("q_bin")),
+    "text_interp_nll" -> ((s, d) => interpNll(s, d).orderBy("doc_id")),
     "docs_source_divergence" -> ((s, d) => sourceDivergence(s, d).orderBy("source")),
     "text_zipf_fit" -> ((s, d) => zipfFit(s, d).orderBy("source")),
     "docs_length_hist" -> ((s, d) => lengthHist(s, d).orderBy("source", "bucket")),
@@ -849,6 +917,7 @@ object CorpusQc {
 
   def oracles: Map[String, String] = Map(
     "docs_quality_dup_matrix" -> qualityDupMatrixOracle,
+    "text_interp_nll" -> interpNllOracle,
     "docs_source_divergence" -> sourceDivergenceOracle,
     "text_zipf_fit" -> zipfFitOracle,
     "docs_length_hist" -> lengthHistOracle,

@@ -1883,6 +1883,192 @@ object EventsOps {
        |FROM act a JOIN sz USING (cohort_date)
        |ORDER BY cohort_date, day_offset""".stripMargin
 
+  /** Exponential-decay fit over the retention curve — the one-number
+    * summary a growth team carries between releases: per cohort, OLS of
+    * ln(retention) on day offset (offsets ≥ 1, the day-0 anchor is 1.0 by
+    * construction) gives the decay slope, and half-life = −ln2/slope turns
+    * it into "days until half the cohort is gone". Exactness: retention is
+    * the exact rational n_active/cohort_size (identical IEEE division both
+    * engines), its ln fx12-quantizes so all four regression sums are
+    * BIGINTs; the slope is one double expression. Cohorts with < 3 usable
+    * offsets or non-negative slope carry no half-life. Runs on
+    * [[retentionCohorts]]'s |cohorts|×|offsets| output — free at any scale.
+    */
+  def retentionHalflife(spark: SparkSession, dir: String): DataFrame = {
+    val pts = retentionCohorts(spark, dir)
+      .filter(col("day_offset") >= 1 && col("n_active") > 0)
+      .select(col("cohort_date"), col("day_offset").as("x"),
+        fx(log(col("n_active").cast("double") / col("cohort_size").cast("double")), 12)
+          .as("yq"))
+    val g = pts.groupBy("cohort_date")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("x") * col("yq")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= 3 && col("n") * col("sxx") - col("sx") * col("sx") > 0L)
+    val slope = (col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) /
+      ((col("n").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) * 1e12)
+    g.select(col("cohort_date"), col("n").as("n_offsets"),
+      r(slope, 9).as("decay_slope"),
+      when(slope < 0, r6(lit(-math.log(2.0)) / slope)).as("half_life_days"))
+  }
+
+  def retentionHalflifeOracle: String = {
+    val slope = "((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))*1e12))"
+    s"""WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+       |f AS (SELECT user_id, min(d) AS cohort_date FROM ev GROUP BY 1),
+       |sz AS (SELECT cohort_date, count(*) AS cohort_size FROM f GROUP BY 1),
+       |act AS (
+       |  SELECT f.cohort_date, CAST(e.d - f.cohort_date AS BIGINT) AS x,
+       |         count(DISTINCT e.user_id) AS n_active
+       |  FROM ev e JOIN f USING (user_id) GROUP BY 1, 2
+       |), pts AS (
+       |  SELECT a.cohort_date, a.x,
+       |         ${sqlFx("ln(CAST(a.n_active AS DOUBLE)/CAST(sz.cohort_size AS DOUBLE))", 12)} AS yq
+       |  FROM act a JOIN sz USING (cohort_date)
+       |  WHERE a.x >= 1 AND a.n_active > 0
+       |), g AS (
+       |  SELECT cohort_date, count(*) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+       |         CAST(sum(x*yq) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+       |  FROM pts GROUP BY 1
+       |  HAVING count(*) >= 3
+       |     AND count(*)*CAST(sum(x*x) AS BIGINT) - CAST(sum(x) AS BIGINT)*CAST(sum(x) AS BIGINT) > 0
+       |)
+       |SELECT cohort_date, n AS n_offsets,
+       |       ${sqlR(slope, 9)} AS decay_slope,
+       |       CASE WHEN $slope < 0 THEN ${sqlR6(s"${sqlD(-math.log(2.0))}/$slope")} END AS half_life_days
+       |FROM g ORDER BY cohort_date""".stripMargin
+  }
+
+  /** SLO error budget (5% error share) and the Google-SRE two-window page
+    * thresholds: page when the 1h burn exceeds 14.4× budget AND the 6h
+    * burn confirms at 6×. */
+  val SloErrBudget = 0.05
+  val Burn1hPage = 14.4
+  val Burn6hPage = 6.0
+
+  /** Multi-window error-budget burn rate — the SRE alerting arithmetic
+    * run as a batch readout: per minute, error-rate over trailing 1h and
+    * 6h RANGE windows divided by the [[SloErrBudget]] budget, rolled up
+    * per hour (max burn per window + how many minutes met the two-window
+    * page condition). The events scan collapses map-side to a per-MINUTE
+    * relation first; the trailing windows then run over minutes — a
+    * relation bounded by the calendar, not the corpus, which is what makes
+    * the one global ordered window safe at any scale. Exact integer
+    * counting; burns are single divisions of exact rationals.
+    */
+  def burnRate(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(spark, dir)
+      .select(floor(unix_timestamp(col("ts")).cast("double") / 60.0).cast("long").as("m"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("e"))
+      .groupBy("m").agg(count(lit(1)).as("tot"), sum(col("e")).as("errs"))
+    val w1 = Window.orderBy("m").rangeBetween(-59, 0)
+    val w6 = Window.orderBy("m").rangeBetween(-359, 0)
+    val burn1 = col("e1").cast("double") / col("t1").cast("double") / SloErrBudget
+    val burn6 = col("e6").cast("double") / col("t6").cast("double") / SloErrBudget
+    m.withColumn("t1", sum(col("tot")).over(w1))
+      .withColumn("e1", sum(col("errs")).over(w1))
+      .withColumn("t6", sum(col("tot")).over(w6))
+      .withColumn("e6", sum(col("errs")).over(w6))
+      .select(floor(col("m").cast("double") / 60.0).cast("long").as("h"),
+        fx(burn1, 6).as("b1"), fx(burn6, 6).as("b6"),
+        when(burn1 > Burn1hPage && burn6 > Burn6hPage, 1L).otherwise(0L).as("pg"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_minutes"),
+        r6(max(col("b1")).cast("double") / 1e6).as("max_burn_1h"),
+        r6(max(col("b6")).cast("double") / 1e6).as("max_burn_6h"),
+        sum(col("pg")).as("n_page_minutes"))
+      .select(date_add(lit("1970-01-01").cast("date"),
+          floor(col("h").cast("double") / 24.0).cast("int")).as("day"),
+        (col("h") % 24).as("hour"), col("n_minutes"),
+        col("max_burn_1h"), col("max_burn_6h"), col("n_page_minutes"))
+  }
+
+  def burnRateOracle: String = {
+    val burn1 = s"(CAST(e1 AS DOUBLE)/CAST(t1 AS DOUBLE)/${sqlD(SloErrBudget)})"
+    val burn6 = s"(CAST(e6 AS DOUBLE)/CAST(t6 AS DOUBLE)/${sqlD(SloErrBudget)})"
+    s"""WITH m AS (
+       |  SELECT CAST(floor(floor(epoch(ts))/60.0) AS BIGINT) AS m,
+       |         count(*) AS tot,
+       |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
+       |  FROM events GROUP BY 1
+       |), tw AS (
+       |  SELECT m,
+       |         CAST(sum(tot) OVER w1 AS BIGINT) AS t1, CAST(sum(errs) OVER w1 AS BIGINT) AS e1,
+       |         CAST(sum(tot) OVER w6 AS BIGINT) AS t6, CAST(sum(errs) OVER w6 AS BIGINT) AS e6
+       |  FROM m
+       |  WINDOW w1 AS (ORDER BY m RANGE BETWEEN 59 PRECEDING AND CURRENT ROW),
+       |         w6 AS (ORDER BY m RANGE BETWEEN 359 PRECEDING AND CURRENT ROW)
+       |), hr AS (
+       |  SELECT CAST(floor(CAST(m AS DOUBLE)/60.0) AS BIGINT) AS h,
+       |         ${sqlFx(burn1, 6)} AS b1, ${sqlFx(burn6, 6)} AS b6,
+       |         CASE WHEN $burn1 > ${sqlD(Burn1hPage)} AND $burn6 > ${sqlD(Burn6hPage)} THEN 1 ELSE 0 END AS pg
+       |  FROM tw
+       |)
+       |SELECT DATE '1970-01-01' + CAST(floor(CAST(h AS DOUBLE)/24.0) AS INTEGER) AS day,
+       |       h % 24 AS hour, count(*) AS n_minutes,
+       |       ${sqlR6("CAST(max(b1) AS DOUBLE)/1e6")} AS max_burn_1h,
+       |       ${sqlR6("CAST(max(b6) AS DOUBLE)/1e6")} AS max_burn_6h,
+       |       CAST(sum(pg) AS BIGINT) AS n_page_minutes
+       |FROM hr GROUP BY 1, 2 ORDER BY day, hour""".stripMargin
+  }
+
+  /** Out-of-order ingestion audit — how badly event timestamps regress
+    * against ARRIVAL order (event_id, the ingestion sequence): per user
+    * stream, an event is late if its ts is behind the running max of
+    * everything that arrived before it, and its lateness is that
+    * regression in seconds — exactly the quantity a streaming watermark
+    * must cover, measured from the batch log. Daily rollup: late share,
+    * max and mean lateness. One window pass partitioned by user (running
+    * max over arrival order), then a per-day agg; all integer seconds.
+    */
+  def outOfOrderAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("s"), to_date(col("ts")).as("day"))
+      .withColumn("prior_max", max(col("s")).over(w))
+      .select(col("day"),
+        when(col("prior_max") > col("s"), col("prior_max") - col("s"))
+          .otherwise(0L).as("late_s"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_s") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_s")).as("max_lateness_s"),
+        sum(col("late_s")).as("late_sum"))
+      .select(col("day"), col("n_events"), col("n_late"),
+        r6(col("n_late").cast("double") / col("n_events").cast("double")).as("late_frac"),
+        col("max_lateness_s"),
+        when(col("n_late") > 0,
+          r6(col("late_sum").cast("double") / col("n_late").cast("double")))
+          .as("mean_lateness_s"))
+  }
+
+  def outOfOrderAuditOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+       |         CAST(ts AS DATE) AS day
+       |  FROM events
+       |), l AS (
+       |  SELECT day,
+       |         CASE WHEN max(s) OVER (PARTITION BY user_id ORDER BY event_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > s
+       |              THEN max(s) OVER (PARTITION BY user_id ORDER BY event_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - s
+       |              ELSE 0 END AS late_s
+       |  FROM ev
+       |)
+       |SELECT day, count(*) AS n_events,
+       |       CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       |       ${sqlR6("CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE)")} AS late_frac,
+       |       CAST(max(late_s) AS BIGINT) AS max_lateness_s,
+       |       CASE WHEN sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) > 0
+       |            THEN ${sqlR6("CAST(sum(late_s) AS DOUBLE)/CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS DOUBLE)")}
+       |       END AS mean_lateness_s
+       |FROM l GROUP BY 1 ORDER BY day""".stripMargin
+
   /** Salt fan-out for [[saltedJoin]] and the events-per-user threshold above
     * which a user counts as heavy (fixture median is 66, p90 ≈ 78 at every
     * sf, so 75 splits the population meaningfully at all three scales).
@@ -2534,6 +2720,9 @@ object EventsOps {
     "events_markov_stationary" -> ((s, d) => markovStationary(s, d).orderBy("state")),
     "events_markov_entropy" -> ((s, d) => markovEntropy(s, d).orderBy("prev_type")),
     "events_velocity_flags" -> ((s, d) => velocityFlags(s, d).orderBy("user_id")),
+    "events_retention_halflife" -> ((s, d) => retentionHalflife(s, d).orderBy("cohort_date")),
+    "events_burn_rate" -> ((s, d) => burnRate(s, d).orderBy("day", "hour")),
+    "events_ooo_audit" -> ((s, d) => outOfOrderAudit(s, d).orderBy("day")),
     "events_seq_patterns" -> ((s, d) =>
       seqPatterns(s, d).orderBy(desc("n"), col("t1"), col("t2"), col("t3"))),
     "ts_value_quantiles_sketch" -> ((s, d) => valueQuantilesSketch(s, d).orderBy("event_type")),
@@ -2589,6 +2778,9 @@ object EventsOps {
     "events_markov_stationary" -> markovStationaryOracle,
     "events_markov_entropy" -> markovEntropyOracle,
     "events_velocity_flags" -> velocityFlagsOracle,
+    "events_retention_halflife" -> retentionHalflifeOracle,
+    "events_burn_rate" -> burnRateOracle,
+    "events_ooo_audit" -> outOfOrderAuditOracle,
     "events_seq_patterns" -> seqPatternsOracle,
     "ts_value_quantiles_sketch" -> valueQuantilesSketchOracle,
     "ts_tumbling_agg" -> tumblingOracle,

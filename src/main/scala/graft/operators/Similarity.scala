@@ -1351,8 +1351,79 @@ object Similarity {
        |FROM pred p JOIN lab ql ON ql.vec_id = p.qid
        |GROUP BY 1 ORDER BY qlabel""".stripMargin
 
+  /** Cosine margin a well-trained metric space should keep between the
+    * nearest same-label and nearest other-label neighbor. */
+  val TripletMargin = 0.05
+
+  /** Triplet-margin evaluation of the embedding space — the metric-learning
+    * loss surface read as an eval: per anchor (query), the nearest
+    * SAME-label neighbor's cosine minus the nearest OTHER-label neighbor's
+    * cosine, aggregated per class as the violation rate (gap <
+    * [[TripletMargin]]) and the fx9-exact mean gap. Negative mean gap for
+    * a class means imposters sit closer than kin — the class the training
+    * run should mine triplets from. Anchors whose top-[[TopK]] contains no
+    * same-label (or no other-label) neighbor are excluded by the inner
+    * join. Both extremes come from one ranked pass over the shared
+    * brute-force ranking; labels join on ids only.
+    */
+  def tripletMargin(spark: SparkSession, dir: String): DataFrame = {
+    val labels = emb(spark, dir).select(col("vec_id"), col("label"))
+    val ranked = bruteForceTopK(spark, dir)
+      .join(broadcast(labels.select(col("vec_id").as("qid"),
+        col("label").as("qlabel"))), "qid")
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel"))), "neighbor_id")
+    def nearest(sameLabel: Boolean, as: String) = {
+      val f = if (sameLabel) col("nlabel") === col("qlabel")
+              else col("nlabel") =!= col("qlabel")
+      val w = Window.partitionBy("qid").orderBy(asc("rank"))
+      ranked.filter(f).withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("qid"), col("qlabel"), col("cos").as(as))
+    }
+    nearest(sameLabel = true, "cos_pos")
+      .join(nearest(sameLabel = false, "cos_neg").drop("qlabel"), "qid")
+      .select(col("qlabel"), (col("cos_pos") - col("cos_neg")).as("gap"))
+      .groupBy("qlabel")
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(when(col("gap") < TripletMargin, 1L).otherwise(0L)).as("n_violations"),
+        sum(fx9(col("gap"))).as("gfx"))
+      .select(col("qlabel"), col("n_anchors"), col("n_violations"),
+        r6(col("n_violations").cast("double") / col("n_anchors").cast("double"))
+          .as("violation_rate"),
+        r6(col("gfx").cast("double") / 1e9 / col("n_anchors").cast("double"))
+          .as("mean_gap"))
+  }
+
+  def tripletMarginOracle: String =
+    s"""WITH lab AS (SELECT DISTINCT vec_id, label FROM embeddings),
+       |tk AS (SELECT * FROM (${cosTopKSql(bucketJoin = false)})),
+       |ranked AS (
+       |  SELECT t.qid, ql.label AS qlabel, nl.label AS nlabel, t.rank, t.cos
+       |  FROM tk t
+       |  JOIN lab ql ON ql.vec_id = t.qid
+       |  JOIN lab nl ON nl.vec_id = t.neighbor_id
+       |), pos AS (
+       |  SELECT qid, qlabel, cos AS cos_pos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rank ASC) AS rk
+       |    FROM ranked WHERE nlabel = qlabel) WHERE rk = 1
+       |), neg AS (
+       |  SELECT qid, cos AS cos_neg FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rank ASC) AS rk
+       |    FROM ranked WHERE nlabel <> qlabel) WHERE rk = 1
+       |), gaps AS (
+       |  SELECT p.qlabel, p.cos_pos - n.cos_neg AS gap
+       |  FROM pos p JOIN neg n USING (qid)
+       |)
+       |SELECT qlabel, count(*) AS n_anchors,
+       |       CAST(sum(CASE WHEN gap < ${sqlD(TripletMargin)} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       |       ${sqlR6(s"CAST(sum(CASE WHEN gap < ${sqlD(TripletMargin)} THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE)")} AS violation_rate,
+       |       ${sqlR6(s"CAST(sum(${sqlFx9("gap")}) AS DOUBLE)/1e9/CAST(count(*) AS DOUBLE)")} AS mean_gap
+       |FROM gaps GROUP BY 1 ORDER BY qlabel""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_knn_accuracy" -> ((s, d) => knnAccuracy(s, d).orderBy("qlabel")),
+    "emb_triplet_margin" -> ((s, d) => tripletMargin(s, d).orderBy("qlabel")),
     "ann_filtered_topk" -> ((s, d) => filteredTopK(s, d).orderBy("qid", "rank")),
     "ann_label_precision" -> ((s, d) => labelPrecision(s, d).orderBy("qid")),
     "emb_cell_silhouette" -> ((s, d) => cellSilhouette(s, d).orderBy("cell")),
@@ -1386,6 +1457,7 @@ object Similarity {
     "ann_filtered_topk" -> filteredTopKOracle,
     "ann_label_precision" -> labelPrecisionOracle,
     "emb_knn_accuracy" -> knnAccuracyOracle,
+    "emb_triplet_margin" -> tripletMarginOracle,
     "emb_cell_silhouette" -> cellSilhouetteOracle,
     "ann_mips_topk" -> mipsTopKOracle,
     "ann_mmr_rerank" -> mmrRerankOracle,
