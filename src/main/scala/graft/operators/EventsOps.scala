@@ -1766,10 +1766,15 @@ object EventsOps {
     * Plan: one window pass partitioned by user, then a per-user agg — no
     * global state, parallelism = users.
     */
-  def velocityFlags(spark: SparkSession, dir: String): DataFrame = {
+  def velocityFlags(spark: SparkSession, dir: String): DataFrame =
+    velocityFlagsOf(Tables.events(spark, dir))
+
+  /** Frame-parameterized core of [[velocityFlags]] — input needs
+    * (user_id, ts). */
+  private[graft] def velocityFlagsOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("s"))
       .rangeBetween(-(VelocityWindowS - 1), 0)
-    Tables.events(spark, dir)
+    ev
       .select(col("user_id"), unix_timestamp(col("ts")).as("s"))
       .withColumn("burst", count(lit(1)).over(w))
       .groupBy("user_id")

@@ -2626,10 +2626,15 @@ object Relational {
     * (t, delta) rows — the sweep is deterministic. All integer epoch
     * seconds.
     */
-  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame =
+    peakConcurrencyOf(Tables.events(spark, dir))
+
+  /** Frame-parameterized core of [[peakConcurrency]] — input needs
+    * (user_id, ts, event_id). */
+  private[graft] def peakConcurrencyOf(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val gapMin = (col("ts").cast("double") - col("prev_ts").cast("double")) / 60.0
-    val sess = Tables.events(spark, dir)
+    val sess = ev
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull || gapMin > 30.0, 1).otherwise(0))

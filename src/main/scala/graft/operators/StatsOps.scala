@@ -826,9 +826,13 @@ object StatsOps {
     * distinct-duration relation (≤ days in the window — tiny at any corpus
     * size), so the single-partition window is safe by construction.
     */
-  def survivalKm(spark: SparkSession, dir: String): DataFrame = {
+  def survivalKm(spark: SparkSession, dir: String): DataFrame =
+    survivalKmOf(Tables.events(spark, dir))
+
+  /** Frame-parameterized core of [[survivalKm]] — input needs (user_id, ts). */
+  private[graft] def survivalKmOf(ev: DataFrame): DataFrame = {
     val day = floor(unix_timestamp(col("ts")).cast("double") / 86400.0).cast("long")
-    val perUser = Tables.events(spark, dir)
+    val perUser = ev
       .select(col("user_id"), day.as("d"))
       .groupBy("user_id").agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
     val glob = perUser.agg(max(col("d1")).as("dmax"), count(lit(1)).as("n_total"))
