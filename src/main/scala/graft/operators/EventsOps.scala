@@ -2019,6 +2019,52 @@ object EventsOps {
        |FROM hr GROUP BY 1, 2 ORDER BY day, hour""".stripMargin
   }
 
+  /** Per-user behavioral entropy — how PREDICTABLE each user's event-type
+    * mix is: Shannon entropy of the user's type distribution plus its
+    * normalized form H/ln(n_types) ∈ [0,1] (1 = uniform explorer, 0 =
+    * single-type habit). The per-user twin of the chain-level
+    * `events_markov_entropy`, and the usual feature a churn model ingests.
+    * Shares are exact rationals; each −p·ln p term fx12-quantizes before
+    * the order-insensitive per-user sum. One (user, type) hash agg, one
+    * user-partitioned window — parallelism = users.
+    */
+  def userEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val wU = Window.partitionBy("user_id")
+    val p = col("c").cast("double") / col("n").cast("double")
+    g.withColumn("n", sum(col("c")).over(wU))
+      .select(col("user_id"), col("n"), fx(-p * log(p), 12).as("t"))
+      .groupBy("user_id")
+      .agg(max(col("n")).as("n_events"), count(lit(1)).as("n_types"),
+        sum(col("t")).as("tfx"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        r6(col("tfx").cast("double") / 1e12).as("entropy"),
+        when(col("n_types") > 1,
+          r6(col("tfx").cast("double") / 1e12 /
+            log(col("n_types").cast("double")))).as("norm_entropy"))
+  }
+
+  def userEntropyOracle: String = {
+    val p = "(CAST(c AS DOUBLE)/CAST(n AS DOUBLE))"
+    s"""WITH g AS (
+       |  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+       |), t AS (
+       |  SELECT user_id, CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n, c
+       |  FROM g
+       |), s AS (
+       |  SELECT user_id, max(n) AS n_events, count(*) AS n_types,
+       |         CAST(sum(${sqlFx(s"-$p*ln($p)", 12)}) AS BIGINT) AS tfx
+       |  FROM t GROUP BY 1
+       |)
+       |SELECT user_id, n_events, n_types,
+       |       ${sqlR6("CAST(tfx AS DOUBLE)/1e12")} AS entropy,
+       |       CASE WHEN n_types > 1
+       |            THEN ${sqlR6("CAST(tfx AS DOUBLE)/1e12/ln(CAST(n_types AS DOUBLE))")}
+       |       END AS norm_entropy
+       |FROM s ORDER BY user_id""".stripMargin
+  }
+
   /** Out-of-order ingestion audit — how badly event timestamps regress
     * against ARRIVAL order (event_id, the ingestion sequence): per user
     * stream, an event is late if its ts is behind the running max of
@@ -2728,6 +2774,7 @@ object EventsOps {
     "events_retention_halflife" -> ((s, d) => retentionHalflife(s, d).orderBy("cohort_date")),
     "events_burn_rate" -> ((s, d) => burnRate(s, d).orderBy("day", "hour")),
     "events_ooo_audit" -> ((s, d) => outOfOrderAudit(s, d).orderBy("day")),
+    "events_user_entropy" -> ((s, d) => userEntropy(s, d).orderBy("user_id")),
     "events_seq_patterns" -> ((s, d) =>
       seqPatterns(s, d).orderBy(desc("n"), col("t1"), col("t2"), col("t3"))),
     "ts_value_quantiles_sketch" -> ((s, d) => valueQuantilesSketch(s, d).orderBy("event_type")),
@@ -2786,6 +2833,7 @@ object EventsOps {
     "events_retention_halflife" -> retentionHalflifeOracle,
     "events_burn_rate" -> burnRateOracle,
     "events_ooo_audit" -> outOfOrderAuditOracle,
+    "events_user_entropy" -> userEntropyOracle,
     "events_seq_patterns" -> seqPatternsOracle,
     "ts_value_quantiles_sketch" -> valueQuantilesSketchOracle,
     "ts_tumbling_agg" -> tumblingOracle,

@@ -2703,7 +2703,122 @@ object Relational {
        |       CAST(count(*)//2 AS BIGINT) AS n_sessions
        |FROM sweep GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** Classical ratio-to-moving-average seasonal index per calendar month —
+    * the decomposition a demand-planning team runs on years of order
+    * history: monthly revenue over its centered 2×12 moving average,
+    * averaged per calendar month. Exact to the last step: monthly revenue
+    * is BIGINT cents, the 2×12 MA is the integer 2·Σ₁₃ − x₋₆ − x₊₆ (×24),
+    * the ratio is one exact-rational division fx9-quantized before the
+    * per-month mean. Edge months without a full 13-month window drop out
+    * exactly. All window work happens on the |months| relation — bounded
+    * by the calendar, not the corpus.
+    */
+  def seasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        fx(col("o_totalprice"), 2).as("pc"))
+      .groupBy("y", "mo").agg(sum(col("pc")).as("rev"))
+      .withColumn("mi", col("y") * 12 + col("mo"))
+    val wRange = Window.orderBy("mi").rangeBetween(-6, 6)
+    val wRows = Window.orderBy("mi")
+    val maX24 = lit(2) * col("sum13") - col("lag6") - col("lead6")
+    m.withColumn("sum13", sum(col("rev")).over(wRange))
+      .withColumn("cnt13", count(lit(1)).over(wRange))
+      .withColumn("lag6", lag(col("rev"), 6).over(wRows))
+      .withColumn("lead6", lead(col("rev"), 6).over(wRows))
+      .filter(col("cnt13") === 13 && col("lag6").isNotNull && col("lead6").isNotNull)
+      .select(col("mo"),
+        fx(col("rev").cast("double") * 24.0 / maX24.cast("double"), 9).as("rq"))
+      .groupBy("mo")
+      .agg(count(lit(1)).as("n_windows"),
+        r6(sum(col("rq")).cast("double") / 1e9 / count(lit(1)).cast("double"))
+          .as("seasonal_index"))
+  }
+
+  def seasonalIndexOracle: String =
+    s"""WITH m AS (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT)*12 + CAST(month(o_orderdate) AS BIGINT) AS mi,
+       |         CAST(month(o_orderdate) AS BIGINT) AS mo,
+       |         CAST(sum(${sqlFx("o_totalprice", 2)}) AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1, 2
+       |), w AS (
+       |  SELECT mo, rev,
+       |         CAST(sum(rev) OVER (ORDER BY mi RANGE BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS BIGINT) AS sum13,
+       |         count(*) OVER (ORDER BY mi RANGE BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS cnt13,
+       |         lag(rev, 6) OVER (ORDER BY mi) AS lag6,
+       |         lead(rev, 6) OVER (ORDER BY mi) AS lead6
+       |  FROM m
+       |), r AS (
+       |  SELECT mo,
+       |         ${sqlFx("CAST(rev AS DOUBLE)*24.0e0/CAST(2*sum13 - lag6 - lead6 AS DOUBLE)", 9)} AS rq
+       |  FROM w
+       |  WHERE cnt13 = 13 AND lag6 IS NOT NULL AND lead6 IS NOT NULL
+       |)
+       |SELECT mo, count(*) AS n_windows,
+       |       ${sqlR6("CAST(sum(rq) AS DOUBLE)/1e9/CAST(count(*) AS DOUBLE)")} AS seasonal_index
+       |FROM r GROUP BY 1 ORDER BY mo""".stripMargin
+
+  /** First-half / second-half boundary for the segment-migration matrix. */
+  val SegmentSplitDate = "1998-07-01"
+
+  /** Customer segment migration — where did each customer's spend tier GO:
+    * monetary quintiles (per nation, same scale discipline as
+    * `customers_rfm`) computed independently on the orders BEFORE and
+    * AFTER [[SegmentSplitDate]], full-outer-joined per customer into the
+    * Q_before × Q_after flow matrix, with 'none' rows/columns carrying
+    * churned and newly-acquired customers. The matrix (36 cells max) is
+    * what a lifecycle-marketing review reads to see if Q1 whales are
+    * sliding. Exact integer spend, total (spend, custkey) ntile tiebreaks.
+    */
+  def segmentFlow(spark: SparkSession, dir: String): DataFrame = {
+    def half(before: Boolean): DataFrame = {
+      val o = Tables.orders(spark, dir)
+      val f = if (before) o.filter(col("o_orderdate") < lit(SegmentSplitDate).cast("timestamp"))
+              else o.filter(col("o_orderdate") >= lit(SegmentSplitDate).cast("timestamp"))
+      f.groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 1e6 + 0.5).cast("long")).as("spend_mi"))
+        .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("q", ntile(5).over(Window.partitionBy("c_nationkey")
+          .orderBy(desc("spend_mi"), asc("c_custkey"))))
+        .select(col("c_custkey").as("ck"), concat(lit("Q"), col("q")).as("seg"))
+    }
+    half(before = true).select(col("ck"), col("seg").as("seg_before"))
+      .join(half(before = false).select(col("ck"), col("seg").as("seg_after")),
+        Seq("ck"), "full_outer")
+      .select(coalesce(col("seg_before"), lit("none")).as("seg_before"),
+        coalesce(col("seg_after"), lit("none")).as("seg_after"))
+      .groupBy("seg_before", "seg_after").agg(count(lit(1)).as("n_customers"))
+      .withColumn("share", r6(col("n_customers").cast("double") /
+        sum(col("n_customers")).over(Window.partitionBy()).cast("double")))
+  }
+
+  def segmentFlowOracle: String = {
+    def halfSql(cond: String, seg: String) =
+      s"""SELECT c_custkey AS ck, 'Q' || CAST(ntile(5) OVER (PARTITION BY c_nationkey ORDER BY spend_mi DESC, c_custkey) AS INT) AS $seg
+         |  FROM (
+         |    SELECT c.c_custkey, c.c_nationkey,
+         |           CAST(sum(CAST(floor(o.o_totalprice*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS spend_mi
+         |    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         |    WHERE $cond GROUP BY 1, 2)""".stripMargin
+    s"""WITH h1 AS (
+       |${halfSql(s"o.o_orderdate < TIMESTAMP '$SegmentSplitDate'", "seg_before")}
+       |), h2 AS (
+       |${halfSql(s"o.o_orderdate >= TIMESTAMP '$SegmentSplitDate'", "seg_after")}
+       |), flow AS (
+       |  SELECT coalesce(h1.seg_before, 'none') AS seg_before,
+       |         coalesce(h2.seg_after, 'none') AS seg_after
+       |  FROM h1 FULL OUTER JOIN h2 USING (ck)
+       |)
+       |SELECT seg_before, seg_after, count(*) AS n_customers,
+       |       ${sqlR6("CAST(count(*) AS DOUBLE)/CAST(sum(count(*)) OVER () AS DOUBLE)")} AS share
+       |FROM flow GROUP BY 1, 2 ORDER BY seg_before, seg_after""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_seasonal_index" -> ((s, d) => seasonalIndex(s, d).orderBy("mo")),
+    "customers_segment_flow" -> ((s, d) => segmentFlow(s, d).orderBy("seg_before", "seg_after")),
     "events_peak_concurrency" -> ((s, d) => peakConcurrency(s, d).orderBy("day")),
     "orders_double_charge" -> ((s, d) => doubleCharge(s, d).orderBy("o_custkey", "ok1", "ok2")),
     "parts_discount_elasticity" -> ((s, d) => discountElasticity(s, d).orderBy("p_brand")),
@@ -2803,6 +2918,8 @@ object Relational {
     "tpch_q15" -> q15Oracle,
     "tpch_q20" -> q20Oracle,
     "graph_pagerank" -> pageRankOracle,
+    "orders_seasonal_index" -> seasonalIndexOracle,
+    "customers_segment_flow" -> segmentFlowOracle,
     "events_peak_concurrency" -> peakConcurrencyOracle,
     "orders_double_charge" -> doubleChargeOracle,
     "parts_discount_elasticity" -> discountElasticityOracle,
