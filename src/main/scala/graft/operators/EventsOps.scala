@@ -2019,6 +2019,87 @@ object EventsOps {
        |FROM hr GROUP BY 1, 2 ORDER BY day, hour""".stripMargin
   }
 
+  /** Haar decomposition depth — levels 1..4 (pair scale up to 16-sample
+    * blocks), chosen so the smallest fixture's ~50-event users still fill
+    * every level. */
+  val HaarLevels = 4
+
+  /** Haar wavelet energy by level — the multiresolution twin of the DFT
+    * spectrum (`ts_spectrum`): per user, the orthonormal-Haar detail energy
+    * at dyadic scales 2¹..2^[[HaarLevels]], as raw energy and as a share of
+    * the total detail energy. A share profile tilted to level 1 is
+    * high-frequency jitter; tilted to level 4 is slow drift — the dial that
+    * picks smoothing windows. The trick that keeps it EXACT and
+    * non-recursive: the unnormalized detail at level l is a ±1-signed block
+    * sum of the raw cents (sign = first vs second half of each 2^l block),
+    * so every d is a BIGINT, energy_l = Σd²/2^l is a dyadic-exact double,
+    * and no level depends on another's output. One events scan exploded
+    * ×[[HaarLevels]], windows partitioned by (user, level, block) — the
+    * same full-parallel shape as `ts_hurst`.
+    */
+  def haarEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"),
+        row_number().over(wRn).cast("long").as("rn"))
+    val ex = base
+      .select(col("user_id"), col("c"), col("rn"),
+        explode(array((1 to HaarLevels).map(l => lit(l.toLong)): _*)).as("lvl"))
+      .withColumn("bs", pow(lit(2.0), col("lvl").cast("double")).cast("long"))
+      .withColumn("blk", floor((col("rn") - 1) / col("bs")).cast("long"))
+      .withColumn("sgn",
+        when((col("rn") - 1) % col("bs") < col("bs") / 2, 1L).otherwise(-1L))
+    val wBlk = Window.partitionBy("user_id", "lvl", "blk")
+    val lvls = ex
+      .withColumn("cnt", count(lit(1)).over(wBlk))
+      .filter(col("cnt") === col("bs"))
+      .groupBy("user_id", "lvl", "blk", "bs")
+      .agg(sum(col("c") * col("sgn")).as("d"))
+      .groupBy("user_id", "lvl", "bs")
+      .agg(count(lit(1)).as("n_blocks"), sum(col("d") * col("d")).as("dsq"))
+      .select(col("user_id"), col("lvl"), col("n_blocks"),
+        (col("dsq").cast("double") / col("bs").cast("double") / 1e4).as("energy"))
+    val wU = Window.partitionBy("user_id")
+    lvls
+      .withColumn("tot", sum(fx(col("energy"), 6)).over(wU))
+      .select(col("user_id"), col("lvl"), col("n_blocks"), r6(col("energy")).as("energy"),
+        r6(fx(col("energy"), 6).cast("double") / col("tot").cast("double")).as("share"))
+  }
+
+  def haarEnergyOracle: String = {
+    val sizes = (1 to HaarLevels).map(l => s"($l)").mkString(", ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT user_id, CAST(floor(value*1e2 + 0.5) AS BIGINT) AS c,
+       |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+       |  FROM events
+       |), ex AS (
+       |  SELECT b.user_id, b.c, b.rn, CAST(nv.lvl AS BIGINT) AS lvl,
+       |         CAST(power(2.0, nv.lvl) AS BIGINT) AS bs
+       |  FROM base b CROSS JOIN (VALUES $sizes) nv(lvl)
+       |), st AS (
+       |  SELECT user_id, lvl, bs,
+       |         CAST(floor(CAST(rn - 1 AS DOUBLE)/CAST(bs AS DOUBLE)) AS BIGINT) AS blk,
+       |         CASE WHEN (rn - 1) % bs < bs // 2 THEN c ELSE -c END AS sc,
+       |         count(*) OVER (PARTITION BY user_id, lvl,
+       |           CAST(floor(CAST(rn - 1 AS DOUBLE)/CAST(bs AS DOUBLE)) AS BIGINT)) AS cnt
+       |  FROM ex
+       |), blocks AS (
+       |  SELECT user_id, lvl, bs, blk, CAST(sum(sc) AS BIGINT) AS d
+       |  FROM st WHERE cnt = bs GROUP BY 1, 2, 3, 4
+       |), lvls AS (
+       |  SELECT user_id, lvl, count(*) AS n_blocks,
+       |         CAST(sum(d*d) AS DOUBLE)/CAST(max(bs) AS DOUBLE)/1e4 AS energy
+       |  FROM blocks GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT *, CAST(sum(${sqlFx("energy", 6)}) OVER (PARTITION BY user_id) AS BIGINT) AS t
+       |  FROM lvls
+       |)
+       |SELECT user_id, lvl, n_blocks, ${sqlR6("energy")} AS energy,
+       |       ${sqlR6(s"CAST(${sqlFx("energy", 6)} AS DOUBLE)/CAST(t AS DOUBLE)")} AS share
+       |FROM tot ORDER BY user_id, lvl""".stripMargin
+  }
+
   /** Per-user behavioral entropy — how PREDICTABLE each user's event-type
     * mix is: Shannon entropy of the user's type distribution plus its
     * normalized form H/ln(n_types) ∈ [0,1] (1 = uniform explorer, 0 =
@@ -2775,6 +2856,7 @@ object EventsOps {
     "events_burn_rate" -> ((s, d) => burnRate(s, d).orderBy("day", "hour")),
     "events_ooo_audit" -> ((s, d) => outOfOrderAudit(s, d).orderBy("day")),
     "events_user_entropy" -> ((s, d) => userEntropy(s, d).orderBy("user_id")),
+    "ts_haar_energy" -> ((s, d) => haarEnergy(s, d).orderBy("user_id", "lvl")),
     "events_seq_patterns" -> ((s, d) =>
       seqPatterns(s, d).orderBy(desc("n"), col("t1"), col("t2"), col("t3"))),
     "ts_value_quantiles_sketch" -> ((s, d) => valueQuantilesSketch(s, d).orderBy("event_type")),
@@ -2834,6 +2916,7 @@ object EventsOps {
     "events_burn_rate" -> burnRateOracle,
     "events_ooo_audit" -> outOfOrderAuditOracle,
     "events_user_entropy" -> userEntropyOracle,
+    "ts_haar_energy" -> haarEnergyOracle,
     "events_seq_patterns" -> seqPatternsOracle,
     "ts_value_quantiles_sketch" -> valueQuantilesSketchOracle,
     "ts_tumbling_agg" -> tumblingOracle,

@@ -2816,7 +2816,72 @@ object Relational {
        |FROM flow GROUP BY 1, 2 ORDER BY seg_before, seg_after""".stripMargin
   }
 
+  /** Cannibalization screen across part brands — pairwise Pearson
+    * correlation of DAILY shipped quantity between brands over the full
+    * zero-filled day×brand grid (a brand that doesn't ship on a day sold
+    * zero — dropping the day biases toward +1). Strongly negative pairs
+    * are substitution suspects; the assortment team reads the tail. Scale:
+    * the grid is calendar×brands (bounded), the pair join is day-keyed
+    * with brand¹<brand² — |days|·|brands|² rows of pure integers; all six
+    * correlation sums are exact BIGINTs (qty centi-units ≤ 10⁴/day·brand,
+    * squares ≤ 10⁸, ×10⁴ days ≪ 2⁶³).
+    */
+  def brandCannibalization(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))), "l_partkey")
+      .select(col("l_shipdate").cast("date").as("day"), col("p_brand"),
+        fx(col("l_quantity"), 2).as("q"))
+    val counts = li.groupBy("day", "p_brand").agg(sum(col("q")).as("q"))
+    val grid = li.select("day").distinct()
+      .crossJoin(broadcast(li.select("p_brand").distinct()))
+      .join(counts, Seq("day", "p_brand"), "left")
+      .select(col("day"), col("p_brand"), coalesce(col("q"), lit(0L)).as("q"))
+    val pairs = grid.select(col("day"), col("p_brand").as("b1"), col("q").as("x"))
+      .join(grid.select(col("day"), col("p_brand").as("b2"), col("q").as("y")), "day")
+      .filter(col("b1") < col("b2"))
+      .groupBy("b1", "b2")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val den = sqrt((col("n").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")) *
+      (col("n").cast("double") * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")))
+    pairs.select(col("b1"), col("b2"), col("n").as("n_days"),
+      r6(num / den).as("corr"), (num < 0).as("substitution_suspect"))
+  }
+
+  def brandCannibalizationOracle: String = {
+    val num = "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
+    val den = "sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))*(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))"
+    s"""WITH li AS (
+       |  SELECT CAST(l.l_shipdate AS DATE) AS day, p.p_brand, ${sqlFx("l.l_quantity", 2)} AS q
+       |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       |), counts AS (
+       |  SELECT day, p_brand, CAST(sum(q) AS BIGINT) AS q FROM li GROUP BY 1, 2
+       |), grid AS MATERIALIZED (
+       |  SELECT d.day, b.p_brand, coalesce(c.q, 0) AS q
+       |  FROM (SELECT DISTINCT day FROM li) d
+       |  CROSS JOIN (SELECT DISTINCT p_brand FROM li) b
+       |  LEFT JOIN counts c ON c.day = d.day AND c.p_brand = b.p_brand
+       |), pairs AS (
+       |  SELECT a.p_brand AS b1, b.p_brand AS b2, count(*) AS n,
+       |         CAST(sum(a.q) AS BIGINT) AS sx, CAST(sum(b.q) AS BIGINT) AS sy,
+       |         CAST(sum(a.q*b.q) AS BIGINT) AS sxy,
+       |         CAST(sum(a.q*a.q) AS BIGINT) AS sxx, CAST(sum(b.q*b.q) AS BIGINT) AS syy
+       |  FROM grid a JOIN grid b ON b.day = a.day AND a.p_brand < b.p_brand
+       |  GROUP BY 1, 2
+       |)
+       |SELECT b1, b2, n AS n_days, ${sqlR6(s"$num/$den")} AS corr,
+       |       ($num < 0) AS substitution_suspect
+       |FROM pairs ORDER BY b1, b2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "parts_brand_cannibalization" -> ((s, d) => brandCannibalization(s, d).orderBy("b1", "b2")),
     "orders_seasonal_index" -> ((s, d) => seasonalIndex(s, d).orderBy("mo")),
     "customers_segment_flow" -> ((s, d) => segmentFlow(s, d).orderBy("seg_before", "seg_after")),
     "events_peak_concurrency" -> ((s, d) => peakConcurrency(s, d).orderBy("day")),
@@ -2918,6 +2983,7 @@ object Relational {
     "tpch_q15" -> q15Oracle,
     "tpch_q20" -> q20Oracle,
     "graph_pagerank" -> pageRankOracle,
+    "parts_brand_cannibalization" -> brandCannibalizationOracle,
     "orders_seasonal_index" -> seasonalIndexOracle,
     "customers_segment_flow" -> segmentFlowOracle,
     "events_peak_concurrency" -> peakConcurrencyOracle,

@@ -1320,7 +1320,58 @@ object StatsOps {
        |FROM gl ORDER BY h""".stripMargin
   }
 
+  /** Overdispersion index per event type — IS the daily arrival count
+    * Poisson? The variance/mean ratio of daily counts (1 = Poisson, ≫1 =
+    * bursty/clumped) decides whether a Poisson CI or a negative-binomial
+    * model is honest for count metrics — the diagnostic read before
+    * trusting any count-based alert threshold. The day×type grid completes
+    * with zero-fill first (a type absent on a day IS a zero observation —
+    * dropping it biases the variance down). Exact BIGINT count moments;
+    * one (day, type) hash agg, a calendar-sized spine cross join, then a
+    * types-sized agg.
+    */
+  def overdispersion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("ts").cast("date").as("day"), col("event_type"))
+    val counts = ev.groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+    val full = ev.select("day").distinct()
+      .crossJoin(broadcast(ev.select("event_type").distinct()))
+      .join(counts, Seq("day", "event_type"), "left")
+      .select(col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+    val mean = col("sn").cast("double") / col("d").cast("double")
+    val variance = (col("snn").cast("double") -
+      col("sn").cast("double") * col("sn").cast("double") / col("d").cast("double")) /
+      (col("d") - 1L).cast("double")
+    full.groupBy("event_type")
+      .agg(count(lit(1)).as("d"), sum(col("n")).as("sn"),
+        sum(col("n") * col("n")).as("snn"))
+      .select(col("event_type"), col("d").as("n_days"),
+        r6(mean).as("mean_daily"), r6(variance).as("var_daily"),
+        r6(variance / mean).as("dispersion_index"))
+  }
+
+  def overdispersionOracle: String = {
+    val mean = "(CAST(sn AS DOUBLE)/CAST(d AS DOUBLE))"
+    val vr = "((CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE)*CAST(sn AS DOUBLE)/CAST(d AS DOUBLE))/CAST(d - 1 AS DOUBLE))"
+    s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+       |counts AS (SELECT day, event_type, count(*) AS n FROM ev GROUP BY 1, 2),
+       |full_g AS (
+       |  SELECT t.event_type, coalesce(c.n, 0) AS n
+       |  FROM (SELECT DISTINCT day FROM ev) d
+       |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+       |  LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+       |), g AS (
+       |  SELECT event_type, count(*) AS d,
+       |         CAST(sum(n) AS BIGINT) AS sn, CAST(sum(n*n) AS BIGINT) AS snn
+       |  FROM full_g GROUP BY 1
+       |)
+       |SELECT event_type, d AS n_days, ${sqlR6(mean)} AS mean_daily,
+       |       ${sqlR6(vr)} AS var_daily, ${sqlR6(s"$vr/$mean")} AS dispersion_index
+       |FROM g ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_overdispersion" -> ((s, d) => overdispersion(s, d).orderBy("event_type")),
     "events_did" -> ((s, d) => did(s, d).orderBy("arm", "period")),
     "events_ope_ips" -> ((s, d) => opeIps(s, d).orderBy("h")),
     "events_srm_check" -> ((s, d) => srmCheck(s, d).orderBy("day")),
@@ -1344,6 +1395,7 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_overdispersion" -> overdispersionOracle,
     "events_did" -> didOracle,
     "events_ope_ips" -> opeIpsOracle,
     "events_srm_check" -> srmCheckOracle,
