@@ -458,6 +458,84 @@ object CorpusQc {
        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** Perplexity-filter threshold grid for the what-if sweep (the observed
+    * interp-NLL range is ≈3.3–3.7 on this corpus at every scale). */
+  val NllSweepGrid = Seq(3.35, 3.40, 3.45, 3.50, 3.60)
+
+  /** Perplexity-filter what-if sweep — for each NLL cutoff in
+    * [[NllSweepGrid]]: how many docs and tokens survive "drop everything
+    * the LM finds too surprising", and the mean quality score of the
+    * survivors. The same knob-costing pattern as `dedup_policy_sweep`,
+    * applied to the CCNet-style LM gate: the curation owner reads this
+    * table to pick the cutoff BEFORE burning a full pipeline run. One
+    * interp-NLL pass (corpus-bounded broadcast joins), one grid explode,
+    * one hash agg — the grid is literal so no data-derived threshold ever
+    * sits on a rounding boundary.
+    */
+  def nllFilterSweep(spark: SparkSession, dir: String): DataFrame = {
+    val scored = interpNll(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.qualityScoreCol.as("q"),
+          TextOps.nWordsCol.as("n_tokens")), "doc_id")
+    val grid = NllSweepGrid.map(t => lit(t))
+    scored
+      .select(col("avg_nll_interp"), col("q"), col("n_tokens"),
+        explode(array(grid: _*)).as("threshold"))
+      .withColumn("keep", (col("avg_nll_interp") <= col("threshold")).cast("long"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
+        sum(col("keep") * col("n_tokens")).as("tokens_kept"),
+        sum(when(col("keep") === 1L, fx9(col("q")))).as("qfx"))
+      .select(col("threshold"), col("n_kept"),
+        r6(col("n_kept").cast("double") / col("n_docs").cast("double")).as("share_kept"),
+        col("tokens_kept"),
+        when(col("n_kept") > 0,
+          r6(col("qfx").cast("double") / 1e9 / col("n_kept").cast("double")))
+          .as("mean_quality_kept"))
+  }
+
+  def nllFilterSweepOracle: String = {
+    val grid = NllSweepGrid.map(t => s"(${sqlD(t)})").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents),
+       |pairs AS (
+       |  SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+       |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+       |  WHERE len(ws) >= 2
+       |), uni AS MATERIALIZED (
+       |  SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+       |  GROUP BY 1
+       |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM uni),
+       |bi AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |         ${sqlFx(s"-ln(${sqlD(InterpLambda)}*CAST(b.c12 AS DOUBLE)/CAST(u1.c AS DOUBLE) + ${sqlD(1.0 - InterpLambda)}*CAST(u2.c AS DOUBLE)/CAST(t.tot AS DOUBLE))", 9)} AS nll_fx
+       |  FROM pairs p
+       |  JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+       |  JOIN uni u1 ON u1.w = p.w1
+       |  JOIN uni u2 ON u2.w = p.w2
+       |  CROSS JOIN tot t
+       |), nll AS MATERIALIZED (
+       |  SELECT doc_id, ${sqlR6("CAST(sum(nll_fx) AS DOUBLE) / 1e9 / count(*)")} AS avg_nll_interp
+       |  FROM scored GROUP BY 1
+       |), ${TextOps.qualityCteSql("qual")},
+       |docsc AS (
+       |  SELECT n.doc_id, n.avg_nll_interp, q.quality_score AS q, q.n_words AS n_tokens
+       |  FROM nll n JOIN qual q USING (doc_id)
+       |), sweep AS (
+       |  SELECT g.threshold, d.avg_nll_interp, d.q, d.n_tokens,
+       |         CASE WHEN d.avg_nll_interp <= g.threshold THEN 1 ELSE 0 END AS keep
+       |  FROM docsc d CROSS JOIN (VALUES $grid) g(threshold)
+       |)
+       |SELECT threshold, CAST(sum(keep) AS BIGINT) AS n_kept,
+       |       ${sqlR6("CAST(sum(keep) AS DOUBLE)/CAST(count(*) AS DOUBLE)")} AS share_kept,
+       |       CAST(sum(keep*n_tokens) AS BIGINT) AS tokens_kept,
+       |       CASE WHEN sum(keep) > 0
+       |            THEN ${sqlR6(s"CAST(sum(CASE WHEN keep = 1 THEN ${sqlFx9("q")} END) AS DOUBLE)/1e9/CAST(sum(keep) AS DOUBLE)")}
+       |       END AS mean_quality_kept
+       |FROM sweep GROUP BY 1 ORDER BY threshold""".stripMargin
+  }
+
   // ---------------- hash-stable train/val/test split ----------------
 
   /** Split percentages: doc bucket = md5("split:" + doc_id) mod 100 →
@@ -883,6 +961,7 @@ object CorpusQc {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_quality_dup_matrix" -> ((s, d) => qualityDupMatrix(s, d).orderBy("q_bin")),
     "text_interp_nll" -> ((s, d) => interpNll(s, d).orderBy("doc_id")),
+    "docs_nll_filter_sweep" -> ((s, d) => nllFilterSweep(s, d).orderBy("threshold")),
     "docs_source_divergence" -> ((s, d) => sourceDivergence(s, d).orderBy("source")),
     "text_zipf_fit" -> ((s, d) => zipfFit(s, d).orderBy("source")),
     "docs_length_hist" -> ((s, d) => lengthHist(s, d).orderBy("source", "bucket")),
@@ -918,6 +997,7 @@ object CorpusQc {
   def oracles: Map[String, String] = Map(
     "docs_quality_dup_matrix" -> qualityDupMatrixOracle,
     "text_interp_nll" -> interpNllOracle,
+    "docs_nll_filter_sweep" -> nllFilterSweepOracle,
     "docs_source_divergence" -> sourceDivergenceOracle,
     "text_zipf_fit" -> zipfFitOracle,
     "docs_length_hist" -> lengthHistOracle,

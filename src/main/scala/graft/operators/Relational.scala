@@ -2880,7 +2880,80 @@ object Relational {
        |FROM pairs ORDER BY b1, b2""".stripMargin
   }
 
+  /** On-time threshold (days order→ship) for the supplier scorecard. */
+  val SupplierOnTimeDays = 60L
+
+  /** Supplier scorecard — the procurement-review rollup: per supplier,
+    * line volume, exact mean/sd/p90 of order→ship lead time, and the
+    * on-time share (≤ [[SupplierOnTimeDays]] days). Lead times are exact
+    * integer days; sd from BIGINT moments; p90 is the exact ⌈0.9n⌉ order
+    * statistic per supplier (rank window partitioned by supplier — full
+    * parallelism). The orders join is the natural-key fact-fact shuffle;
+    * the supplier dimension broadcasts for the nation tag.
+    */
+  def supplierScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        "l_orderkey")
+      .select(col("l_suppkey"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"),
+        col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("days"), col("l_orderkey"), col("l_linenumber"))
+    val wAll = Window.partitionBy("l_suppkey")
+    val kOf = floor((col("n") * 9 + 9).cast("double") / 10.0).cast("long")
+    val mean = col("sd_").cast("double") / col("n").cast("double")
+    val variance = (col("sdd").cast("double") -
+      col("sd_").cast("double") * col("sd_").cast("double") / col("n").cast("double")) /
+      (col("n") - 1L).cast("double")
+    li.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("l_suppkey")
+      .agg(max(col("n")).as("n"), sum(col("days")).as("sd_"),
+        sum(col("days") * col("days")).as("sdd"),
+        max(when(col("rn") === kOf, col("days"))).as("p90_days"),
+        sum(when(col("days") <= SupplierOnTimeDays, 1L).otherwise(0L)).as("n_ontime"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))), "l_suppkey")
+      .select(col("l_suppkey").as("s_suppkey"), col("s_nationkey"),
+        col("n").as("n_lines"), r6(mean).as("mean_lead_days"),
+        r6(sqrt(variance)).as("sd_lead_days"), col("p90_days"),
+        r6(col("n_ontime").cast("double") / col("n").cast("double")).as("ontime_share"))
+  }
+
+  def supplierScorecardOracle: String = {
+    val mean = "(CAST(sd_ AS DOUBLE)/CAST(n AS DOUBLE))"
+    val vr = "((CAST(sdd AS DOUBLE) - CAST(sd_ AS DOUBLE)*CAST(sd_ AS DOUBLE)/CAST(n AS DOUBLE))/CAST(n - 1 AS DOUBLE))"
+    s"""WITH li AS (
+       |  SELECT l.l_suppkey,
+       |         CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS days,
+       |         l.l_orderkey, l.l_linenumber
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |), ranked AS (
+       |  SELECT l_suppkey, days,
+       |         row_number() OVER (PARTITION BY l_suppkey ORDER BY days, l_orderkey, l_linenumber) AS rn,
+       |         count(*) OVER (PARTITION BY l_suppkey) AS n
+       |  FROM li
+       |), g AS (
+       |  SELECT l_suppkey, CAST(max(n) AS BIGINT) AS n,
+       |         CAST(sum(days) AS BIGINT) AS sd_, CAST(sum(days*days) AS BIGINT) AS sdd,
+       |         max(CASE WHEN rn = (n*9 + 9)//10 THEN days END) AS p90_days,
+       |         CAST(sum(CASE WHEN days <= $SupplierOnTimeDays THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime
+       |  FROM ranked GROUP BY 1
+       |)
+       |SELECT g.l_suppkey AS s_suppkey, s.s_nationkey, g.n AS n_lines,
+       |       ${sqlR6(mean)} AS mean_lead_days,
+       |       ${sqlR6(s"sqrt($vr)")} AS sd_lead_days, g.p90_days,
+       |       ${sqlR6("CAST(n_ontime AS DOUBLE)/CAST(n AS DOUBLE)")} AS ontime_share
+       |FROM g JOIN supplier s ON s.s_suppkey = g.l_suppkey
+       |ORDER BY s_suppkey""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "suppliers_scorecard" -> ((s, d) => supplierScorecard(s, d).orderBy("s_suppkey")),
     "parts_brand_cannibalization" -> ((s, d) => brandCannibalization(s, d).orderBy("b1", "b2")),
     "orders_seasonal_index" -> ((s, d) => seasonalIndex(s, d).orderBy("mo")),
     "customers_segment_flow" -> ((s, d) => segmentFlow(s, d).orderBy("seg_before", "seg_after")),
@@ -2983,6 +3056,7 @@ object Relational {
     "tpch_q15" -> q15Oracle,
     "tpch_q20" -> q20Oracle,
     "graph_pagerank" -> pageRankOracle,
+    "suppliers_scorecard" -> supplierScorecardOracle,
     "parts_brand_cannibalization" -> brandCannibalizationOracle,
     "orders_seasonal_index" -> seasonalIndexOracle,
     "customers_segment_flow" -> segmentFlowOracle,

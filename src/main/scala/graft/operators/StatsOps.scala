@@ -1370,7 +1370,79 @@ object StatsOps {
        |FROM g ORDER BY event_type""".stripMargin
   }
 
+  /** Dickey–Fuller critical value at 5% (large-n, constant-only case). */
+  val AdfCrit05 = -2.86
+
+  /** Augmented-Dickey–Fuller-style stationarity screen (lag-0 DF with
+    * constant) per user — the test run before fitting anything
+    * AR-shaped: regress Δx_t on x_{t−1}; a coefficient pulled toward 0
+    * (DF stat above [[AdfCrit05]]) means shocks persist (unit root) and
+    * the series should be differenced first. The statistic is b/se(b)
+    * with SSE via the sums identity — every input is one of six exact
+    * BIGINT cent-sums per user (n, Σx, ΣΔ, ΣxΔ, Σx², ΣΔ²), so the stat
+    * is a single deterministic double expression. One lag window pass
+    * partitioned by user, one hash agg.
+    */
+  def adfStat(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"))
+      .withColumn("xl", lag(col("c"), 1).over(w))
+      .filter(col("xl").isNotNull)
+      .select(col("user_id"), col("xl").as("x"), (col("c") - col("xl")).as("dx"))
+    val g = base.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("dx")).as("sd"),
+        sum(col("x") * col("dx")).as("sxd"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("dx") * col("dx")).as("sdd"))
+      .filter(col("n") >= 10 &&
+        col("n") * col("sxx") - col("sx") * col("sx") > 0L)
+    val nD = col("n").cast("double")
+    val sxxC = col("sxx").cast("double") - col("sx").cast("double") *
+      col("sx").cast("double") / nD
+    val sxdC = col("sxd").cast("double") - col("sx").cast("double") *
+      col("sd").cast("double") / nD
+    val sddC = col("sdd").cast("double") - col("sd").cast("double") *
+      col("sd").cast("double") / nD
+    val b = sxdC / sxxC
+    val s2 = (sddC - b * sxdC) / (nD - 2.0)
+    val df = b / sqrt(s2 / sxxC)
+    g.select(col("user_id"), col("n").as("n_obs"),
+      r(b, 9).as("beta"), r6(df).as("df_stat"),
+      (df < AdfCrit05).as("stationary"))
+  }
+
+  def adfStatOracle: String = {
+    val nD = "CAST(n AS DOUBLE)"
+    val sxxC = s"(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/$nD)"
+    val sxdC = s"(CAST(sxd AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sd AS DOUBLE)/$nD)"
+    val sddC = s"(CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE)/$nD)"
+    val b = s"($sxdC/$sxxC)"
+    val s2 = s"(($sddC - $b*$sxdC)/($nD - 2.0e0))"
+    val df = s"($b/sqrt($s2/$sxxC))"
+    s"""WITH base AS (
+       |  SELECT user_id,
+       |         lag(CAST(floor(value*1e2 + 0.5) AS BIGINT)) OVER w AS x,
+       |         CAST(floor(value*1e2 + 0.5) AS BIGINT)
+       |           - lag(CAST(floor(value*1e2 + 0.5) AS BIGINT)) OVER w AS dx
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), g AS (
+       |  SELECT user_id, count(*) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(dx) AS BIGINT) AS sd,
+       |         CAST(sum(x*dx) AS BIGINT) AS sxd, CAST(sum(x*x) AS BIGINT) AS sxx,
+       |         CAST(sum(dx*dx) AS BIGINT) AS sdd
+       |  FROM base WHERE x IS NOT NULL GROUP BY 1
+       |  HAVING count(*) >= 10
+       |     AND count(*)*CAST(sum(x*x) AS BIGINT) - CAST(sum(x) AS BIGINT)*CAST(sum(x) AS BIGINT) > 0
+       |)
+       |SELECT user_id, n AS n_obs, ${sqlR(b, 9)} AS beta, ${sqlR6(df)} AS df_stat,
+       |       ($df < ${sqlD(AdfCrit05)}) AS stationary
+       |FROM g ORDER BY user_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_adf_stat" -> ((s, d) => adfStat(s, d).orderBy("user_id")),
     "events_overdispersion" -> ((s, d) => overdispersion(s, d).orderBy("event_type")),
     "events_did" -> ((s, d) => did(s, d).orderBy("arm", "period")),
     "events_ope_ips" -> ((s, d) => opeIps(s, d).orderBy("h")),
@@ -1395,6 +1467,7 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "ts_adf_stat" -> adfStatOracle,
     "events_overdispersion" -> overdispersionOracle,
     "events_did" -> didOracle,
     "events_ope_ips" -> opeIpsOracle,
