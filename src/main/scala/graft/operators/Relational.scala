@@ -2952,7 +2952,58 @@ object Relational {
        |ORDER BY s_suppkey""".stripMargin
   }
 
+  /** z_{0.025} for the Wilson interval. */
+  val WilsonZ = 1.959964
+
+  /** Return rate per part brand with a Wilson 95% interval — the QA
+    * readout that, unlike a raw ratio, stays honest at small n: brands
+    * with 30 lines and brands with 30,000 get intervals that say so. The
+    * Wilson bounds are a closed form of the two exact BIGINT counts, so
+    * no simulation and no normal-at-zero pathology. Dimension broadcast +
+    * one brand agg.
+    */
+  def returnRates(spark: SparkSession, dir: String): DataFrame = {
+    val z = WilsonZ
+    val g = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))), "l_partkey")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val denom = lit(1.0) + lit(z * z) / nD
+    val center = (p + lit(z * z) / (lit(2.0) * nD)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      lit(z * z) / (lit(4.0) * nD * nD)) / denom
+    g.select(col("p_brand"), col("n").as("n_lines"), col("k").as("n_returned"),
+      r6(p).as("return_rate"),
+      r6(center - half).as("wilson_lo"), r6(center + half).as("wilson_hi"))
+  }
+
+  def returnRatesOracle: String = {
+    val z = WilsonZ
+    val nD = "CAST(n AS DOUBLE)"
+    val p = s"(CAST(k AS DOUBLE)/$nD)"
+    val denom = s"(1.0e0 + ${sqlD(z * z)}/$nD)"
+    val center = s"(($p + ${sqlD(z * z)}/(2.0e0*$nD))/$denom)"
+    val half = s"(${sqlD(z)}*sqrt($p*(1.0e0 - $p)/$nD + ${sqlD(z * z)}/(4.0e0*$nD*$nD))/$denom)"
+    s"""WITH g AS (
+       |  SELECT p.p_brand, count(*) AS n,
+       |         CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       |  GROUP BY 1
+       |)
+       |SELECT p_brand, n AS n_lines, k AS n_returned,
+       |       ${sqlR6(p)} AS return_rate,
+       |       ${sqlR6(s"$center - $half")} AS wilson_lo,
+       |       ${sqlR6(s"$center + $half")} AS wilson_hi
+       |FROM g ORDER BY p_brand""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "parts_return_rates" -> ((s, d) => returnRates(s, d).orderBy("p_brand")),
     "suppliers_scorecard" -> ((s, d) => supplierScorecard(s, d).orderBy("s_suppkey")),
     "parts_brand_cannibalization" -> ((s, d) => brandCannibalization(s, d).orderBy("b1", "b2")),
     "orders_seasonal_index" -> ((s, d) => seasonalIndex(s, d).orderBy("mo")),
@@ -3056,6 +3107,7 @@ object Relational {
     "tpch_q15" -> q15Oracle,
     "tpch_q20" -> q20Oracle,
     "graph_pagerank" -> pageRankOracle,
+    "parts_return_rates" -> returnRatesOracle,
     "suppliers_scorecard" -> supplierScorecardOracle,
     "parts_brand_cannibalization" -> brandCannibalizationOracle,
     "orders_seasonal_index" -> seasonalIndexOracle,

@@ -1441,7 +1441,118 @@ object StatsOps {
        |FROM g ORDER BY user_id""".stripMargin
   }
 
+  /** Turning-point randomness test per user — the cheapest "is this series
+    * iid noise" screen: count strict local maxima/minima; an iid sequence
+    * has E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90, so z = (T−E)/√Var far
+    * below 0 means the series is smoother than chance (trend/persistence)
+    * and far above means alternation (negative autocorrelation). Pure
+    * exact integer counting (strict inequalities; tie neighbors simply
+    * don't count) plus one closed-form z. One lag/lead window pass per
+    * user, one hash agg.
+    */
+  def turningPoints(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val t = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"))
+      .withColumn("p", lag(col("c"), 1).over(w))
+      .withColumn("f", lead(col("c"), 1).over(w))
+      .filter(col("p").isNotNull && col("f").isNotNull)
+      .select(col("user_id"),
+        when((col("c") > col("p") && col("c") > col("f")) ||
+          (col("c") < col("p") && col("c") < col("f")), 1L).otherwise(0L).as("tp"))
+    val nD = (col("n_interior") + 2L).cast("double")
+    val e = lit(2.0) * (nD - 2.0) / 3.0
+    val v = (lit(16.0) * nD - 29.0) / 90.0
+    t.groupBy("user_id")
+      .agg(count(lit(1)).as("n_interior"), sum(col("tp")).as("n_turning"))
+      .filter(col("n_interior") >= 10)
+      .select(col("user_id"), (col("n_interior") + 2L).as("n_obs"), col("n_turning"),
+        r6(e).as("expected"),
+        r6((col("n_turning").cast("double") - e) / sqrt(v)).as("z"),
+        (abs(col("n_turning").cast("double") - e) <= lit(1.959964) * sqrt(v))
+          .as("iid_compatible"))
+  }
+
+  def turningPointsOracle: String = {
+    val nD = "CAST(n_interior + 2 AS DOUBLE)"
+    val e = s"(2.0e0*($nD - 2.0e0)/3.0e0)"
+    val v = s"((16.0e0*$nD - 29.0e0)/90.0e0)"
+    s"""WITH base AS (
+       |  SELECT user_id, CAST(floor(value*1e2 + 0.5) AS BIGINT) AS c,
+       |         lag(CAST(floor(value*1e2 + 0.5) AS BIGINT)) OVER w AS p,
+       |         lead(CAST(floor(value*1e2 + 0.5) AS BIGINT)) OVER w AS f
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), g AS (
+       |  SELECT user_id, count(*) AS n_interior,
+       |         CAST(sum(CASE WHEN (c > p AND c > f) OR (c < p AND c < f) THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+       |  FROM base WHERE p IS NOT NULL AND f IS NOT NULL
+       |  GROUP BY 1 HAVING count(*) >= 10
+       |)
+       |SELECT user_id, CAST(n_interior + 2 AS BIGINT) AS n_obs, n_turning,
+       |       ${sqlR6(e)} AS expected,
+       |       ${sqlR6(s"(CAST(n_turning AS DOUBLE) - $e)/sqrt($v)")} AS z,
+       |       (abs(CAST(n_turning AS DOUBLE) - $e) <= 1.959964e0*sqrt($v)) AS iid_compatible
+       |FROM g ORDER BY user_id""".stripMargin
+  }
+
+  /** Weekend-vs-weekday lift per event type — the simplest calendar-effect
+    * test a metrics review runs before attributing any weekly wiggle to a
+    * launch: per type, the weekend/weekday mean ratio with a Welch t on
+    * exact cent moments (same discipline as `events_abtest`, different
+    * slicer). Weekend = ISO day ≥ 6.
+    */
+  def weekendLift(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (weekday(col("ts")) + 1 >= 6).cast("long").as("we"),
+        floor(col("value") * 1e2 + 0.5).cast("long").as("c"))
+      .groupBy("event_type")
+      .agg(sum(col("we")).as("n_we"), (count(lit(1)) - sum(col("we"))).as("n_wd"),
+        sum(col("we") * col("c")).as("s_we"),
+        sum((lit(1L) - col("we")) * col("c")).as("s_wd"),
+        sum(col("we") * col("c") * col("c")).as("ss_we"),
+        sum((lit(1L) - col("we")) * col("c") * col("c")).as("ss_wd"))
+    def mean(s: Column, n: Column) = s.cast("double") / 1e2 / n.cast("double")
+    def vr(ss: Column, s: Column, n: Column) =
+      (ss.cast("double") / 1e4 - (s.cast("double") / 1e2) * (s.cast("double") / 1e2) /
+        n.cast("double")) / (n - 1L).cast("double")
+    val mWe = mean(col("s_we"), col("n_we"))
+    val mWd = mean(col("s_wd"), col("n_wd"))
+    val t = (mWe - mWd) / sqrt(
+      vr(col("ss_we"), col("s_we"), col("n_we")) / col("n_we").cast("double") +
+        vr(col("ss_wd"), col("s_wd"), col("n_wd")) / col("n_wd").cast("double"))
+    g.select(col("event_type"), col("n_we"), col("n_wd"),
+      r6(mWe).as("mean_weekend"), r6(mWd).as("mean_weekday"),
+      r6(mWe / mWd - 1.0).as("lift"), r6(t).as("t_welch"))
+  }
+
+  def weekendLiftOracle: String = {
+    def mean(s: String, n: String) = s"(CAST($s AS DOUBLE)/1e2/CAST($n AS DOUBLE))"
+    def vr(ss: String, s: String, n: String) =
+      s"((CAST($ss AS DOUBLE)/1e4 - (CAST($s AS DOUBLE)/1e2)*(CAST($s AS DOUBLE)/1e2)/CAST($n AS DOUBLE))/CAST($n - 1 AS DOUBLE))"
+    val mWe = mean("s_we", "n_we"); val mWd = mean("s_wd", "n_wd")
+    val t = s"(($mWe - $mWd)/sqrt(${vr("ss_we", "s_we", "n_we")}/CAST(n_we AS DOUBLE) + ${vr("ss_wd", "s_wd", "n_wd")}/CAST(n_wd AS DOUBLE)))"
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |         CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_we,
+       |         CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 0 ELSE 1 END) AS BIGINT) AS n_wd,
+       |         CAST(sum(CASE WHEN isodow(ts) >= 6 THEN CAST(floor(value*1e2 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_we,
+       |         CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 0 ELSE CAST(floor(value*1e2 + 0.5) AS BIGINT) END) AS BIGINT) AS s_wd,
+       |         CAST(sum(CASE WHEN isodow(ts) >= 6 THEN CAST(floor(value*1e2 + 0.5) AS BIGINT)*CAST(floor(value*1e2 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS ss_we,
+       |         CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 0 ELSE CAST(floor(value*1e2 + 0.5) AS BIGINT)*CAST(floor(value*1e2 + 0.5) AS BIGINT) END) AS BIGINT) AS ss_wd
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT event_type, n_we, n_wd,
+       |       ${sqlR6(mWe)} AS mean_weekend, ${sqlR6(mWd)} AS mean_weekday,
+       |       ${sqlR6(s"$mWe/$mWd - 1.0e0")} AS lift, ${sqlR6(t)} AS t_welch
+       |FROM g ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_turning_points" -> ((s, d) => turningPoints(s, d).orderBy("user_id")),
+    "events_weekend_lift" -> ((s, d) => weekendLift(s, d).orderBy("event_type")),
     "ts_adf_stat" -> ((s, d) => adfStat(s, d).orderBy("user_id")),
     "events_overdispersion" -> ((s, d) => overdispersion(s, d).orderBy("event_type")),
     "events_did" -> ((s, d) => did(s, d).orderBy("arm", "period")),
@@ -1467,6 +1578,8 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "ts_turning_points" -> turningPointsOracle,
+    "events_weekend_lift" -> weekendLiftOracle,
     "ts_adf_stat" -> adfStatOracle,
     "events_overdispersion" -> overdispersionOracle,
     "events_did" -> didOracle,

@@ -633,7 +633,57 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Character-distribution entropy per document — the gibberish detector
+    * that needs no model: natural text sits in a narrow entropy band,
+    * random keyboard noise above it, repeated-character spam below. Each
+    * char's share is an exact rational of counts, the −p·ln p terms
+    * fx12-quantize before the per-doc integer sum, and the normalized
+    * form divides by ln(distinct chars). One explode + (doc, char) hash
+    * agg — doc-keyed, no global state.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val g = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val wD = Window.partitionBy("doc_id")
+    val p = col("c").cast("double") / col("n").cast("double")
+    g.withColumn("n", sum(col("c")).over(wD))
+      .select(col("doc_id"), col("n"), fx(-p * log(p), 12).as("t"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_chars_counted"), count(lit(1)).as("n_distinct_chars"),
+        sum(col("t")).as("tfx"))
+      .select(col("doc_id"), col("n_chars_counted"), col("n_distinct_chars"),
+        r6(col("tfx").cast("double") / 1e12).as("char_entropy"),
+        when(col("n_distinct_chars") > 1,
+          r6(col("tfx").cast("double") / 1e12 /
+            log(col("n_distinct_chars").cast("double")))).as("norm_entropy"))
+  }
+
+  def charEntropyOracle: String = {
+    val p = "(CAST(c AS DOUBLE)/CAST(n AS DOUBLE))"
+    s"""WITH ch AS (
+       |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+       |), g AS (
+       |  SELECT doc_id, ch, count(*) AS c FROM ch WHERE length(ch) > 0 GROUP BY 1, 2
+       |), t AS (
+       |  SELECT doc_id, CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n, c
+       |  FROM g
+       |), s AS (
+       |  SELECT doc_id, max(n) AS n_chars_counted, count(*) AS n_distinct_chars,
+       |         CAST(sum(${sqlFx(s"-$p*ln($p)", 12)}) AS BIGINT) AS tfx
+       |  FROM t GROUP BY 1
+       |)
+       |SELECT doc_id, n_chars_counted, n_distinct_chars,
+       |       ${sqlR6("CAST(tfx AS DOUBLE)/1e12")} AS char_entropy,
+       |       CASE WHEN n_distinct_chars > 1
+       |            THEN ${sqlR6("CAST(tfx AS DOUBLE)/1e12/ln(CAST(n_distinct_chars AS DOUBLE))")}
+       |       END AS norm_entropy
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_char_entropy" -> ((s, d) => charEntropy(s, d).orderBy("doc_id")),
     "text_readability" -> ((s, d) => readability(s, d).orderBy("doc_id")),
     "text_pmi_collocations" -> ((s, d) => pmiCollocations(s, d)),
     "docs_rag_chunks" -> ((s, d) => ragChunks(s, d).orderBy("doc_id", "chunk_idx")),
@@ -654,6 +704,7 @@ object TextOps {
 
   def oracles: Map[String, String] = Map(
     "text_readability" -> readabilityOracle,
+    "text_char_entropy" -> charEntropyOracle,
     "text_pmi_collocations" -> pmiCollocationsOracle,
     "docs_rag_chunks" -> ragChunksOracle,
     "text_langid_confusion" -> langIdConfusionOracle,
