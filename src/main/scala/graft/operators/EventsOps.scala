@@ -2100,6 +2100,42 @@ object EventsOps {
        |FROM tot ORDER BY user_id, lvl""".stripMargin
   }
 
+  /** Chi-square 95% critical value at df = [[AcfK]] (6). */
+  val LjungBoxCrit05 = 12.592
+
+  /** Ljung–Box portmanteau test per user — turns the ACF diagnostic
+    * (`ts_autocorr`) into a DECISION: Q = n(n+2)·Σ_k r_k²/(n−k) over lags
+    * 1..[[AcfK]], compared against the χ²₆ 95% critical value; a user
+    * whose Q clears it has real serial structure (model it), below it the
+    * series is white-ish (don't). Derived entirely from the r6-rounded
+    * ACF values — bit-identical inputs in both engines — with the six
+    * terms summed in one fixed-order projection. Adds one tiny projection
+    * on top of the shared one-shuffle ACF pass.
+    */
+  def ljungBox(spark: SparkSession, dir: String): DataFrame = {
+    val a = autocorr(spark, dir)
+    val nD = col("n").cast("double")
+    val q = (1 to AcfK).map(k =>
+      col(s"acf_$k") * col(s"acf_$k") / (nD - k.toDouble)).reduce(_ + _) *
+      nD * (nD + 2.0)
+    a.filter(col("n") > (AcfK + 1).toLong)
+      .select(col("user_id"), col("n").as("n_obs"), r6(q).as("q_stat"),
+        (q > LjungBoxCrit05).as("serial_correlated"))
+  }
+
+  def ljungBoxOracle: String = {
+    val nD = "CAST(n AS DOUBLE)"
+    val q = "(" + (1 to AcfK).map(k =>
+      s"acf_$k*acf_$k/($nD - ${k.toDouble}e0)").mkString(" + ") +
+      s")*$nD*($nD + 2.0e0)"
+    s"""WITH acf AS (
+       |${autocorrOracle}
+       |)
+       |SELECT user_id, n AS n_obs, ${sqlR6(q)} AS q_stat,
+       |       ($q > ${sqlD(LjungBoxCrit05)}) AS serial_correlated
+       |FROM acf WHERE n > ${AcfK + 1} ORDER BY user_id""".stripMargin
+  }
+
   /** Per-user behavioral entropy — how PREDICTABLE each user's event-type
     * mix is: Shannon entropy of the user's type distribution plus its
     * normalized form H/ln(n_types) ∈ [0,1] (1 = uniform explorer, 0 =
@@ -2857,6 +2893,7 @@ object EventsOps {
     "events_ooo_audit" -> ((s, d) => outOfOrderAudit(s, d).orderBy("day")),
     "events_user_entropy" -> ((s, d) => userEntropy(s, d).orderBy("user_id")),
     "ts_haar_energy" -> ((s, d) => haarEnergy(s, d).orderBy("user_id", "lvl")),
+    "ts_ljung_box" -> ((s, d) => ljungBox(s, d).orderBy("user_id")),
     "events_seq_patterns" -> ((s, d) =>
       seqPatterns(s, d).orderBy(desc("n"), col("t1"), col("t2"), col("t3"))),
     "ts_value_quantiles_sketch" -> ((s, d) => valueQuantilesSketch(s, d).orderBy("event_type")),
@@ -2917,6 +2954,7 @@ object EventsOps {
     "events_ooo_audit" -> outOfOrderAuditOracle,
     "events_user_entropy" -> userEntropyOracle,
     "ts_haar_energy" -> haarEnergyOracle,
+    "ts_ljung_box" -> ljungBoxOracle,
     "events_seq_patterns" -> seqPatternsOracle,
     "ts_value_quantiles_sketch" -> valueQuantilesSketchOracle,
     "ts_tumbling_agg" -> tumblingOracle,

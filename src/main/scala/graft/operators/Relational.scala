@@ -3002,7 +3002,63 @@ object Relational {
        |FROM g ORDER BY p_brand""".stripMargin
   }
 
+  /** ABC inventory classification — the canonical Pareto cut: parts ranked
+    * by revenue, class A = the head up to 80% of cumulative revenue, B to
+    * 95%, C the tail; reported as the per-class count/revenue rollup every
+    * stock-policy review starts from. Class boundaries are EXACT integer
+    * comparisons (cum·100 ≤ 80·total in micros — no float share ever
+    * compared), ranking tiebreaks on partkey. The ranking window is
+    * catalog-bounded (per-part revenue, not line items) — the same
+    * accepted global-window class as the Gini/Pareto readouts; at extreme
+    * catalog sizes the PSI-style broadcast-boundary form replaces it.
+    */
+  def abcClasses(spark: SparkSession, dir: String): DataFrame = {
+    // cents, not micros: the class-boundary compare multiplies the GLOBAL
+    // total by 100, and micros x100 would clear 2^63 near 1000x this SF
+    val perPart = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        fx(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("m"))
+      .groupBy("l_partkey").agg(sum(col("m")).as("rev"))
+    val wCum = Window.orderBy(desc("rev"), asc("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    perPart
+      .withColumn("cum", sum(col("rev")).over(wCum))
+      .withColumn("tot", sum(col("rev")).over(wAll))
+      .withColumn("cls",
+        when(col("cum") * 100L <= col("tot") * 80L, "A")
+          .when(col("cum") * 100L <= col("tot") * 95L, "B")
+          .otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"),
+        r6(sum(col("rev")).cast("double") / 1e2).as("revenue"),
+        r6(sum(col("rev")).cast("double") / max(col("tot")).cast("double"))
+          .as("revenue_share"))
+  }
+
+  def abcClassesOracle: String =
+    s"""WITH per_part AS (
+       |  SELECT l_partkey,
+       |         CAST(sum(${sqlFx("l_extendedprice*(1.0e0 - l_discount)", 2)}) AS BIGINT) AS rev
+       |  FROM lineitem GROUP BY 1
+       |), c AS (
+       |  SELECT l_partkey, rev,
+       |         CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |         CAST(sum(rev) OVER () AS BIGINT) AS tot
+       |  FROM per_part
+       |), cl AS (
+       |  SELECT rev, tot,
+       |         CASE WHEN cum*100 <= tot*80 THEN 'A'
+       |              WHEN cum*100 <= tot*95 THEN 'B' ELSE 'C' END AS cls
+       |  FROM c
+       |)
+       |SELECT cls, count(*) AS n_parts,
+       |       ${sqlR6("CAST(sum(rev) AS DOUBLE)/1e2")} AS revenue,
+       |       ${sqlR6("CAST(sum(rev) AS DOUBLE)/CAST(max(tot) AS DOUBLE)")} AS revenue_share
+       |FROM cl GROUP BY 1 ORDER BY cls""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "parts_abc_classes" -> ((s, d) => abcClasses(s, d).orderBy("cls")),
     "parts_return_rates" -> ((s, d) => returnRates(s, d).orderBy("p_brand")),
     "suppliers_scorecard" -> ((s, d) => supplierScorecard(s, d).orderBy("s_suppkey")),
     "parts_brand_cannibalization" -> ((s, d) => brandCannibalization(s, d).orderBy("b1", "b2")),
@@ -3107,6 +3163,7 @@ object Relational {
     "tpch_q15" -> q15Oracle,
     "tpch_q20" -> q20Oracle,
     "graph_pagerank" -> pageRankOracle,
+    "parts_abc_classes" -> abcClassesOracle,
     "parts_return_rates" -> returnRatesOracle,
     "suppliers_scorecard" -> supplierScorecardOracle,
     "parts_brand_cannibalization" -> brandCannibalizationOracle,

@@ -1421,7 +1421,86 @@ object Similarity {
        |       ${sqlR6(s"CAST(sum(${sqlFx9("gap")}) AS DOUBLE)/1e9/CAST(count(*) AS DOUBLE)")} AS mean_gap
        |FROM gaps GROUP BY 1 ORDER BY qlabel""".stripMargin
 
+  /** Same-label vs other-label cosine separation — the score-distribution
+    * view under every retrieval threshold decision: over ALL query-corpus
+    * pairs (not just top-k), a 0.1-wide histogram of cosine split by
+    * whether the pair shares a label, plus the exact pairwise AUC
+    * (P(same-pair cosine > diff-pair cosine), midrank ties) as the
+    * one-number separation. The AUC is pure integer arithmetic on the
+    * distinct-cosine grid: per r6-cosine value v with n_s same and n_d
+    * diff pairs, same-pairs beat the D_below diff pairs and half-tie the
+    * co-located ones — Σ n_s·(2·D_below + n_d) is the doubled count,
+    * exact BIGINT. The scan is the same broadcast query-probe shape as
+    * [[bruteForceTopK]]; the grid the windows run on is
+    * distinct-cosine-sized.
+    */
+  def scoreSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("label").as("qlabel"))
+    val grid = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(r6(cosine_sim(col("qv"), col("v"))).as("cos"),
+        (col("label") === col("qlabel")).cast("long").as("same"))
+      .groupBy("cos")
+      .agg(sum(col("same")).as("ns"), (count(lit(1)) - sum(col("same"))).as("nd"))
+    val wPrev = Window.orderBy("cos").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val scored = grid
+      .withColumn("d_below", coalesce(sum(col("nd")).over(wPrev), lit(0L)))
+      .withColumn("auc2", sum(col("ns") * (lit(2L) * col("d_below") + col("nd")))
+        .over(wAll))
+      .withColumn("s_tot", sum(col("ns")).over(wAll))
+      .withColumn("d_tot", sum(col("nd")).over(wAll))
+    scored
+      .select(greatest(least(floor(col("cos") * 10).cast("long"), lit(9L)), lit(-10L))
+          .as("bin"),
+        col("ns"), col("nd"), col("auc2"), col("s_tot"), col("d_tot"))
+      .groupBy("bin")
+      .agg(sum(col("ns")).as("n_same"), sum(col("nd")).as("n_diff"),
+        r6(max(col("auc2")).cast("double") /
+          (lit(2.0) * max(col("s_tot")).cast("double") *
+            max(col("d_tot")).cast("double"))).as("auc"))
+  }
+
+  def scoreSeparationOracle: String =
+    s"""WITH lab AS (SELECT DISTINCT vec_id, label FROM embeddings),
+       |${flatSql},
+       |dots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.x*b.x) AS dot
+       |  FROM flat a JOIN flat b ON b.d = a.d
+       |  WHERE a.vec_id < $NumQueries AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT ${sqlR6("d.dot/(nq.nrm*nv.nrm)")} AS cos,
+       |         CASE WHEN lq.label = lv.label THEN 1 ELSE 0 END AS same
+       |  FROM dots d
+       |  JOIN norms nq ON nq.vec_id = d.qid
+       |  JOIN norms nv ON nv.vec_id = d.vid
+       |  JOIN lab lq ON lq.vec_id = d.qid
+       |  JOIN lab lv ON lv.vec_id = d.vid
+       |), grid AS (
+       |  SELECT cos, CAST(sum(same) AS BIGINT) AS ns,
+       |         CAST(count(*) - sum(same) AS BIGINT) AS nd
+       |  FROM pairs GROUP BY 1
+       |), sw AS (
+       |  SELECT *,
+       |         CAST(coalesce(sum(nd) OVER (ORDER BY cos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS d_below
+       |  FROM grid
+       |), gl AS (
+       |  SELECT *,
+       |         CAST(sum(ns*(2*d_below + nd)) OVER () AS BIGINT) AS auc2,
+       |         CAST(sum(ns) OVER () AS BIGINT) AS s_tot,
+       |         CAST(sum(nd) OVER () AS BIGINT) AS d_tot
+       |  FROM sw
+       |)
+       |SELECT greatest(least(CAST(floor(cos*10) AS BIGINT), 9), -10) AS bin,
+       |       CAST(sum(ns) AS BIGINT) AS n_same, CAST(sum(nd) AS BIGINT) AS n_diff,
+       |       ${sqlR6("CAST(max(auc2) AS DOUBLE)/(2.0e0*CAST(max(s_tot) AS DOUBLE)*CAST(max(d_tot) AS DOUBLE))")} AS auc
+       |FROM gl GROUP BY 1 ORDER BY bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_score_separation" -> ((s, d) => scoreSeparation(s, d).orderBy("bin")),
     "emb_knn_accuracy" -> ((s, d) => knnAccuracy(s, d).orderBy("qlabel")),
     "emb_triplet_margin" -> ((s, d) => tripletMargin(s, d).orderBy("qlabel")),
     "ann_filtered_topk" -> ((s, d) => filteredTopK(s, d).orderBy("qid", "rank")),
@@ -1457,6 +1536,7 @@ object Similarity {
     "ann_filtered_topk" -> filteredTopKOracle,
     "ann_label_precision" -> labelPrecisionOracle,
     "emb_knn_accuracy" -> knnAccuracyOracle,
+    "emb_score_separation" -> scoreSeparationOracle,
     "emb_triplet_margin" -> tripletMarginOracle,
     "emb_cell_silhouette" -> cellSilhouetteOracle,
     "ann_mips_topk" -> mipsTopKOracle,

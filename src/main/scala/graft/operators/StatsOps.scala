@@ -1550,7 +1550,118 @@ object StatsOps {
        |FROM g ORDER BY event_type""".stripMargin
   }
 
+  /** Stratified (blocked) treatment-effect estimate — the observational
+    * companion to `events_abtest`/`events_did`: users are stratified by
+    * PRE-period activity (fixed log₂ buckets of pre-[[CupedSplit]] event
+    * count — deterministic bins, deliberately NOT rank quantiles, so no
+    * global sort exists), and the ATT is the treated-weighted sum of
+    * within-stratum post-period mean differences — the exact-matching
+    * estimator a platform runs when assignment may correlate with
+    * activity. Per-stratum moments are exact BIGINTs; the weighted ATT
+    * and its SE fx12-quantize per stratum before the order-insensitive
+    * window sums. One events scan → user agg → stratum agg.
+    */
+  def stratifiedAtt(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 1e2 + 0.5).cast("long")
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"),
+        when(col("ts") < lit(CupedSplit).cast("timestamp"), 1L).otherwise(0L).as("pre"),
+        when(col("ts") >= lit(CupedSplit).cast("timestamp"), cents).otherwise(0L).as("yc"))
+      .groupBy("user_id")
+      .agg(sum(col("pre")).as("n_pre"), sum(col("yc")).as("y"))
+      .select(
+        when(col("user_id") % 2 === 0L, 0L).otherwise(1L).as("treated"),
+        // integer range ladder, NOT floor(log2(...)): native log2 is exact
+        // at powers of two while ln(x)/ln 2 can round just below the
+        // integer there, so the float form would split strata differently
+        // across engines at exactly the common bucket edges
+        (0 to 11).foldRight(lit(12L): Column) { (k, els) =>
+          when(col("n_pre") + 1L < (1L << (k + 1)), k.toLong).otherwise(els)
+        }.as("stratum"),
+        col("y"))
+    val cells = perUser.groupBy("stratum", "treated")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+    val piv = cells.groupBy("stratum")
+      .agg(max(when(col("treated") === 0L, col("n"))).as("n_a"),
+        max(when(col("treated") === 1L, col("n"))).as("n_b"),
+        max(when(col("treated") === 0L, col("sy"))).as("sy_a"),
+        max(when(col("treated") === 1L, col("sy"))).as("sy_b"),
+        max(when(col("treated") === 0L, col("syy"))).as("syy_a"),
+        max(when(col("treated") === 1L, col("syy"))).as("syy_b"))
+      .filter(col("n_a").isNotNull && col("n_b").isNotNull &&
+        col("n_a") > 1L && col("n_b") > 1L)
+    def mean(s: Column, n: Column) = s.cast("double") / 1e2 / n.cast("double")
+    def vr(ss: Column, s: Column, n: Column) =
+      (ss.cast("double") / 1e4 - (s.cast("double") / 1e2) * (s.cast("double") / 1e2) /
+        n.cast("double")) / (n - 1L).cast("double")
+    val diff = mean(col("sy_b"), col("n_b")) - mean(col("sy_a"), col("n_a"))
+    val wAll = Window.partitionBy()
+    val t = piv
+      .withColumn("nb_tot", sum(col("n_b")).over(wAll))
+      .withColumn("w", col("n_b").cast("double") / col("nb_tot").cast("double"))
+      .withColumn("att",
+        sum(fx(col("w") * diff, 12)).over(wAll).cast("double") / 1e12)
+      .withColumn("se_att", sqrt(sum(fx(col("w") * col("w") *
+        (vr(col("syy_a"), col("sy_a"), col("n_a")) / col("n_a").cast("double") +
+          vr(col("syy_b"), col("sy_b"), col("n_b")) / col("n_b").cast("double")), 12))
+        .over(wAll).cast("double") / 1e12))
+    t.select(col("stratum"), col("n_a"), col("n_b"),
+      r6(mean(col("sy_a"), col("n_a"))).as("mean_control"),
+      r6(mean(col("sy_b"), col("n_b"))).as("mean_treated"),
+      r6(diff).as("diff"), r6(col("w")).as("weight"),
+      r6(col("att")).as("att"), r6(col("se_att")).as("se_att"))
+  }
+
+  def stratifiedAttOracle: String = {
+    def mean(s: String, n: String) = s"(CAST($s AS DOUBLE)/1e2/CAST($n AS DOUBLE))"
+    def vr(ss: String, s: String, n: String) =
+      s"((CAST($ss AS DOUBLE)/1e4 - (CAST($s AS DOUBLE)/1e2)*(CAST($s AS DOUBLE)/1e2)/CAST($n AS DOUBLE))/CAST($n - 1 AS DOUBLE))"
+    val diff = s"(${mean("sy_b", "n_b")} - ${mean("sy_a", "n_a")})"
+    val w = "(CAST(n_b AS DOUBLE)/CAST(nb_tot AS DOUBLE))"
+    val seTerm = s"($w*$w*(${vr("syy_a", "sy_a", "n_a")}/CAST(n_a AS DOUBLE) + ${vr("syy_b", "sy_b", "n_b")}/CAST(n_b AS DOUBLE)))"
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |         CAST(sum(CASE WHEN ts < TIMESTAMP '$CupedSplit' THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+       |         CAST(sum(CASE WHEN ts >= TIMESTAMP '$CupedSplit' THEN CAST(floor(value*1e2 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+       |  FROM events GROUP BY 1
+       |), su AS (
+       |  SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS treated,
+       |         CAST(CASE ${(0 to 11).map(k => s"WHEN n_pre + 1 < ${1L << (k + 1)} THEN $k").mkString(" ")} ELSE 12 END AS BIGINT) AS stratum, y
+       |  FROM pu
+       |), cells AS (
+       |  SELECT stratum, treated, count(*) AS n,
+       |         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y*y) AS BIGINT) AS syy
+       |  FROM su GROUP BY 1, 2
+       |), piv AS (
+       |  SELECT stratum,
+       |         max(CASE WHEN treated = 0 THEN n END) AS n_a,
+       |         max(CASE WHEN treated = 1 THEN n END) AS n_b,
+       |         max(CASE WHEN treated = 0 THEN sy END) AS sy_a,
+       |         max(CASE WHEN treated = 1 THEN sy END) AS sy_b,
+       |         max(CASE WHEN treated = 0 THEN syy END) AS syy_a,
+       |         max(CASE WHEN treated = 1 THEN syy END) AS syy_b
+       |  FROM cells GROUP BY 1
+       |  HAVING max(CASE WHEN treated = 0 THEN n END) > 1
+       |     AND max(CASE WHEN treated = 1 THEN n END) > 1
+       |), t AS (
+       |  SELECT *, CAST(sum(n_b) OVER () AS BIGINT) AS nb_tot FROM piv
+       |), t2 AS (
+       |  SELECT *,
+       |         CAST(sum(${sqlFx(s"$w*$diff", 12)}) OVER () AS DOUBLE)/1e12 AS att,
+       |         sqrt(CAST(sum(${sqlFx(seTerm, 12)}) OVER () AS DOUBLE)/1e12) AS se_att
+       |  FROM t
+       |)
+       |SELECT stratum, n_a, n_b,
+       |       ${sqlR6(mean("sy_a", "n_a"))} AS mean_control,
+       |       ${sqlR6(mean("sy_b", "n_b"))} AS mean_treated,
+       |       ${sqlR6(diff)} AS diff, ${sqlR6(w)} AS weight,
+       |       ${sqlR6("att")} AS att, ${sqlR6("se_att")} AS se_att
+       |FROM t2 ORDER BY stratum""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_stratified_att" -> ((s, d) => stratifiedAtt(s, d).orderBy("stratum")),
     "ts_turning_points" -> ((s, d) => turningPoints(s, d).orderBy("user_id")),
     "events_weekend_lift" -> ((s, d) => weekendLift(s, d).orderBy("event_type")),
     "ts_adf_stat" -> ((s, d) => adfStat(s, d).orderBy("user_id")),
@@ -1578,6 +1689,7 @@ object StatsOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_stratified_att" -> stratifiedAttOracle,
     "ts_turning_points" -> turningPointsOracle,
     "events_weekend_lift" -> weekendLiftOracle,
     "ts_adf_stat" -> adfStatOracle,
