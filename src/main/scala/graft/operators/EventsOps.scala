@@ -2182,6 +2182,61 @@ object EventsOps {
        |FROM s ORDER BY user_id""".stripMargin
   }
 
+  /** CV below which a user's inter-event cadence is suspiciously regular
+    * (cron-like) and the minimum gaps for the stat to mean anything. */
+  val CadenceBotCv = 0.1
+  val CadenceMinGaps = 10L
+
+  /** Inter-event cadence regularity per user — the bot screen that
+    * complements the burst detector ([[velocityFlags]]): a human's
+    * inter-event gaps are ragged (coefficient of variation near or above
+    * 1), a scheduler's are metronomic (CV → 0). Gaps are exact integer
+    * seconds from one lag pass; mean/sd from BIGINT moments (gap ≤ ~10⁶ s,
+    * squares ≤ 10¹², ×10⁴ gaps ≪ 2⁶³); users with fewer than
+    * [[CadenceMinGaps]] gaps are excluded rather than reported on noise.
+    */
+  def cadenceCv(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val g = Tables.events(spark, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("s"), col("ts"), col("event_id"))
+      .withColumn("gap", col("s") - lag(col("s"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sg"),
+        sum(col("gap") * col("gap")).as("sgg"))
+      .filter(col("n_gaps") >= CadenceMinGaps && col("sg") > 0L)
+    val mean = col("sg").cast("double") / col("n_gaps").cast("double")
+    val variance = (col("sgg").cast("double") -
+      col("sg").cast("double") * col("sg").cast("double") / col("n_gaps").cast("double")) /
+      (col("n_gaps") - 1L).cast("double")
+    g.select(col("user_id"), col("n_gaps"),
+      r6(mean).as("mean_gap_s"), r6(sqrt(variance)).as("sd_gap_s"),
+      r6(sqrt(variance) / mean).as("cv"),
+      (sqrt(variance) / mean < CadenceBotCv).as("bot_like"))
+  }
+
+  def cadenceCvOracle: String = {
+    val mean = "(CAST(sg AS DOUBLE)/CAST(n_gaps AS DOUBLE))"
+    val vr = "((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE)*CAST(sg AS DOUBLE)/CAST(n_gaps AS DOUBLE))/CAST(n_gaps - 1 AS DOUBLE))"
+    s"""WITH base AS (
+       |  SELECT user_id,
+       |         CAST(floor(epoch(ts)) AS BIGINT)
+       |           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), g AS (
+       |  SELECT user_id, count(*) AS n_gaps,
+       |         CAST(sum(gap) AS BIGINT) AS sg, CAST(sum(gap*gap) AS BIGINT) AS sgg
+       |  FROM base WHERE gap IS NOT NULL GROUP BY 1
+       |  HAVING count(*) >= $CadenceMinGaps AND sum(gap) > 0
+       |)
+       |SELECT user_id, n_gaps, ${sqlR6(mean)} AS mean_gap_s,
+       |       ${sqlR6(s"sqrt($vr)")} AS sd_gap_s,
+       |       ${sqlR6(s"sqrt($vr)/$mean")} AS cv,
+       |       (sqrt($vr)/$mean < ${sqlD(CadenceBotCv)}) AS bot_like
+       |FROM g ORDER BY user_id""".stripMargin
+  }
+
   /** Out-of-order ingestion audit — how badly event timestamps regress
     * against ARRIVAL order (event_id, the ingestion sequence): per user
     * stream, an event is late if its ts is behind the running max of
@@ -2894,6 +2949,7 @@ object EventsOps {
     "events_user_entropy" -> ((s, d) => userEntropy(s, d).orderBy("user_id")),
     "ts_haar_energy" -> ((s, d) => haarEnergy(s, d).orderBy("user_id", "lvl")),
     "ts_ljung_box" -> ((s, d) => ljungBox(s, d).orderBy("user_id")),
+    "events_cadence_cv" -> ((s, d) => cadenceCv(s, d).orderBy("user_id")),
     "events_seq_patterns" -> ((s, d) =>
       seqPatterns(s, d).orderBy(desc("n"), col("t1"), col("t2"), col("t3"))),
     "ts_value_quantiles_sketch" -> ((s, d) => valueQuantilesSketch(s, d).orderBy("event_type")),
@@ -2955,6 +3011,7 @@ object EventsOps {
     "events_user_entropy" -> userEntropyOracle,
     "ts_haar_energy" -> haarEnergyOracle,
     "ts_ljung_box" -> ljungBoxOracle,
+    "events_cadence_cv" -> cadenceCvOracle,
     "events_seq_patterns" -> seqPatternsOracle,
     "ts_value_quantiles_sketch" -> valueQuantilesSketchOracle,
     "ts_tumbling_agg" -> tumblingOracle,

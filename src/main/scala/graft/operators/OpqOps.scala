@@ -335,7 +335,62 @@ object OpqOps {
        |  WHERE rn <= ${PqOps.TopK}
        |)""".stripMargin
 
+  /** Two-NN intrinsic-dimension estimate (Facco et al., Sci. Rep. 2017)
+    * per label — the geometry dial behind every compression decision in
+    * this module: how many degrees of freedom the embeddings REALLY use.
+    * The MLE is d = n / Σ ln(r₂/r₁) over each point's two nearest
+    * neighbors; with the shared brute-force SQUARED distances the ratio
+    * log halves, so d = 2n / Σ ln(d₂²/d₁²). An ID far below the ambient
+    * 64 says the PCA/PQ rungs have room; per-label rows expose manifolds
+    * of different complexity. Exact-rational ratio inputs (r6 distances),
+    * fx12-quantized logs, one tiny agg over the top-2 rows of the
+    * existing ranking.
+    */
+  def intrinsicDim(spark: SparkSession, dir: String): DataFrame = {
+    val labels = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+    val top2 = PqOps.bfL2TopK(spark, dir).filter(col("rank") <= 2)
+    val piv = top2.groupBy("qid")
+      .agg(max(when(col("rank") === 1, col("dist"))).as("d1"),
+        max(when(col("rank") === 2, col("dist"))).as("d2"))
+      .filter(col("d1") > 0.0)
+      .join(broadcast(labels), "qid")
+      .select(col("qlabel"), fx(log(col("d2") / col("d1")), 12).as("lr"))
+    piv.groupBy("qlabel")
+      .agg(count(lit(1)).as("n_points"), sum(col("lr")).as("slr"))
+      .select(col("qlabel"), col("n_points"),
+        r6(lit(2.0) * col("n_points").cast("double") /
+          (col("slr").cast("double") / 1e12)).as("id_twonn"))
+  }
+
+  def intrinsicDimOracle: String =
+    s"""WITH ${Similarity.flatSql},
+       |pd AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS vid, ${sqlR6("sum(pow(a.x - b.x, 2))")} AS dist
+       |  FROM flat a JOIN flat b ON b.d = a.d
+       |  WHERE a.vec_id < ${Similarity.NumQueries} AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2
+       |), top2 AS (
+       |  SELECT qid, dist, rn FROM (
+       |    SELECT qid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rn
+       |    FROM pd)
+       |  WHERE rn <= 2
+       |), piv AS (
+       |  SELECT qid, max(CASE WHEN rn = 1 THEN dist END) AS d1,
+       |         max(CASE WHEN rn = 2 THEN dist END) AS d2
+       |  FROM top2 GROUP BY 1
+       |), lr AS (
+       |  SELECT l.label AS qlabel, ${sqlFx("ln(p.d2/p.d1)", 12)} AS lr
+       |  FROM piv p JOIN (SELECT DISTINCT vec_id, label FROM embeddings) l
+       |    ON l.vec_id = p.qid
+       |  WHERE p.d1 > 0
+       |)
+       |SELECT qlabel, count(*) AS n_points,
+       |       ${sqlR6("2.0e0*CAST(count(*) AS DOUBLE)/(CAST(sum(lr) AS DOUBLE)/1e12)")} AS id_twonn
+       |FROM lr GROUP BY 1 ORDER BY qlabel""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_intrinsic_dim" -> ((s, d) => intrinsicDim(s, d).orderBy("qlabel")),
     "ann_pca_topk" -> ((s, d) => pcaTopK(s, d).orderBy("qid", "rank")),
     "ann_pca_recall" -> ((s, d) => pcaRecall(s, d).orderBy("qid")),
     "ann_pca_rerank_recall" -> ((s, d) => pcaRerankRecall(s, d).orderBy("qid")),
@@ -346,6 +401,7 @@ object OpqOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "emb_intrinsic_dim" -> intrinsicDimOracle,
     "ann_pca_topk" ->
       s"""WITH RECURSIVE ${Similarity.flatSql},
          |${Similarity.covSql},
