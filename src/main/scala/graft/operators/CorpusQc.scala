@@ -536,6 +536,63 @@ object CorpusQc {
        |FROM sweep GROUP BY 1 ORDER BY threshold""".stripMargin
   }
 
+  /** Heaps'-law fit across sources — V = K·Nᵝ relating vocabulary size to
+    * token count: the growth law that predicts how much NEW vocabulary the
+    * next crawl batch brings (β near 0.5 is natural text; β → 1 means
+    * unbounded novelty, usually IDs/noise leaking through tokenization).
+    * Each source contributes one exact (tokens, distinct-words) point;
+    * the log-log OLS over the handful of points uses fx6-quantized logs
+    * (fx12 here would overflow the BIGINT x·y cross product)
+    * so the slope/intercept are order-insensitive. Two corpus-bounded
+    * aggs; the regression runs on a |sources|-row relation.
+    */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val pts = docs(spark, dir)
+      .select(col("source"), explode(words).as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_vocab"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"),
+        fx(log(col("n_tokens").cast("double")), 6).as("x"),
+        fx(log(col("n_vocab").cast("double")), 6).as("y"))
+    val wAll = Window.partitionBy()
+    val nD = col("m").cast("double")
+    val beta = (nD * col("sxy").cast("double") - col("sx").cast("double") *
+      col("sy").cast("double")) /
+      (nD * col("sxx").cast("double") - col("sx").cast("double") *
+        col("sx").cast("double"))
+    val t = pts
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("sx", sum(col("x")).over(wAll))
+      .withColumn("sy", sum(col("y")).over(wAll))
+      .withColumn("sxy", sum(col("x") * col("y")).over(wAll))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wAll))
+    t.select(col("source"), col("n_tokens"), col("n_vocab"),
+      r6(beta).as("beta"),
+      r6(exp((col("sy").cast("double") / 1e6 -
+        beta * (col("sx").cast("double") / 1e6)) / nD)).as("k"))
+  }
+
+  def heapsLawOracle: String = {
+    val nD = "CAST(m AS DOUBLE)"
+    val beta = s"(($nD*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))/($nD*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))"
+    s"""WITH tok AS (
+       |  SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents
+       |), pts AS (
+       |  SELECT source, count(*) AS n_tokens, count(DISTINCT w) AS n_vocab,
+       |         ${sqlFx("ln(CAST(count(*) AS DOUBLE))", 6)} AS x,
+       |         ${sqlFx("ln(CAST(count(DISTINCT w) AS DOUBLE))", 6)} AS y
+       |  FROM tok GROUP BY 1
+       |), t AS (
+       |  SELECT *, count(*) OVER () AS m,
+       |         CAST(sum(x) OVER () AS BIGINT) AS sx, CAST(sum(y) OVER () AS BIGINT) AS sy,
+       |         CAST(sum(x*y) OVER () AS BIGINT) AS sxy, CAST(sum(x*x) OVER () AS BIGINT) AS sxx
+       |  FROM pts
+       |)
+       |SELECT source, n_tokens, n_vocab, ${sqlR6(beta)} AS beta,
+       |       ${sqlR6(s"exp((CAST(sy AS DOUBLE)/1e6 - $beta*(CAST(sx AS DOUBLE)/1e6))/$nD)")} AS k
+       |FROM t ORDER BY source""".stripMargin
+  }
+
   // ---------------- hash-stable train/val/test split ----------------
 
   /** Split percentages: doc bucket = md5("split:" + doc_id) mod 100 →
@@ -962,6 +1019,7 @@ object CorpusQc {
     "docs_quality_dup_matrix" -> ((s, d) => qualityDupMatrix(s, d).orderBy("q_bin")),
     "text_interp_nll" -> ((s, d) => interpNll(s, d).orderBy("doc_id")),
     "docs_nll_filter_sweep" -> ((s, d) => nllFilterSweep(s, d).orderBy("threshold")),
+    "text_heaps_law" -> ((s, d) => heapsLaw(s, d).orderBy("source")),
     "docs_source_divergence" -> ((s, d) => sourceDivergence(s, d).orderBy("source")),
     "text_zipf_fit" -> ((s, d) => zipfFit(s, d).orderBy("source")),
     "docs_length_hist" -> ((s, d) => lengthHist(s, d).orderBy("source", "bucket")),
@@ -998,6 +1056,7 @@ object CorpusQc {
     "docs_quality_dup_matrix" -> qualityDupMatrixOracle,
     "text_interp_nll" -> interpNllOracle,
     "docs_nll_filter_sweep" -> nllFilterSweepOracle,
+    "text_heaps_law" -> heapsLawOracle,
     "docs_source_divergence" -> sourceDivergenceOracle,
     "text_zipf_fit" -> zipfFitOracle,
     "docs_length_hist" -> lengthHistOracle,
