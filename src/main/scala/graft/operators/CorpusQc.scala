@@ -1106,7 +1106,7 @@ object CorpusQc {
          |  SELECT g, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY 1
          |), agg AS (
          |  SELECT ch.doc_id, count(*) AS n_chunks,
-         |         sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared_chunks
+         |         CAST(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks
          |  FROM ch JOIN shared s USING (g) GROUP BY 1
          |)
          |SELECT doc_id, n_chunks, n_shared_chunks,
@@ -1166,7 +1166,7 @@ object CorpusQc {
          |               ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 7))::BIGINT % 100 AS h
          |        FROM documents)
          |)
-         |SELECT source, split, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+         |SELECT source, split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
     "docs_mixture_sample" ->
       s"""WITH base AS (

@@ -181,6 +181,36 @@ object Diffusion {
         when(col("observed"), col("value")).otherwise(r6(col("raw"))).as("value"))
   }
 
+  /** Forecast horizon (trailing positions) for [[forecastRollout]]. */
+  val ForecastH = 16
+
+  /** Multi-step-ahead forecast rollout — the README.md:247-279 use case
+    * composed end-to-end: the mask is the CONTIGUOUS TAIL (history observed,
+    * last [[ForecastH]] positions masked — forecasting is inpainting with a
+    * one-sided mask), the reverse process fills the horizon, and the rollout
+    * is scored against the generator's true continuation per LEAD TIME — the
+    * h-step-ahead MAE/RMSE curve a forecasting evaluation reports (the
+    * ts_forecast_eval readout applied to the diffusion sampler). Per-term fx6
+    * errors integer-sum in any order; output is `horizon` rows regardless of
+    * corpus size.
+    */
+  def forecastRollout(spark: SparkSession, n: Long = 20, seqLen: Int = L,
+                      timesteps: Int = T, horizon: Int = ForecastH): DataFrame = {
+    val y = Generators.dataset(spark, "sine", n, seqLen)
+    val cf = closedFormRaw(spark, n, seqLen, timesteps, "linear")
+    y.join(cf, Seq("series_id", "t"))
+      .filter(col("t") >= seqLen - horizon) // the masked future
+      .withColumn("yhat", r6(col("raw")))
+      .withColumn("lead", (col("t") - (seqLen - horizon) + 1).cast("int"))
+      .groupBy("lead")
+      .agg(count(lit(1)).as("n_series"),
+        sum(fx(abs(col("yhat") - col("value")), 6)).as("sae_fx"),
+        sum(fx((col("yhat") - col("value")) * (col("yhat") - col("value")), 6)).as("sse_fx"))
+      .select(col("lead"), col("n_series"),
+        r6(col("sae_fx").cast("double") / 1e6 / col("n_series").cast("double")).as("mae"),
+        r6(sqrt(col("sse_fx").cast("double") / 1e6 / col("n_series").cast("double"))).as("rmse"))
+  }
+
   /** Classifier-free-guided conditional sampling
     * (diffusion_ts_model.py:872-915, null-class init :185-187): the per-class
     * drift c (mean of the J2 class embedding) shifts the predicted x̂₀ each
@@ -447,6 +477,21 @@ object Diffusion {
        |FROM m JOIN cf USING (series_id, t)
        |ORDER BY series_id, t""".stripMargin
 
+  private def forecastRolloutSql(n: Long, seqLen: Int, timesteps: Int,
+                                 horizon: Int): String =
+    s"""WITH ${closedFormCtes(n, seqLen, timesteps, "linear")},
+       |ds AS (${Generators.datasetSqlCore("sine", n, seqLen)}),
+       |fut AS (
+       |  SELECT ds.series_id, ds.t, ds.value, ${sqlR6("cf.raw")} AS yhat,
+       |         CAST(ds.t - ${seqLen - horizon} + 1 AS INT) AS lead
+       |  FROM ds JOIN cf USING (series_id, t)
+       |  WHERE ds.t >= ${seqLen - horizon}
+       |)
+       |SELECT lead, count(*) AS n_series,
+       |       ${sqlR6(s"CAST(sum(${sqlFx("abs(yhat - value)", 6)}) AS DOUBLE) / 1e6 / count(*)")} AS mae,
+       |       ${sqlR6(s"sqrt(CAST(sum(${sqlFx("(yhat - value)*(yhat - value)", 6)}) AS DOUBLE) / 1e6 / count(*))")} AS rmse
+       |FROM fut GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def sampleCondSql(n: Long, seqLen: Int, timesteps: Int, w: Double): String =
     s"""WITH ${closedFormCtes(n, seqLen, timesteps, "linear")},
        |htotal AS (
@@ -573,6 +618,7 @@ object Diffusion {
     "diff_sample_closedform_cosine" -> ((s, _) =>
       sampleClosedForm(s, kind = "cosine").orderBy("series_id", "t")),
     "diff_sample_inpaint" -> ((s, _) => sampleInpaint(s).orderBy("series_id", "t")),
+    "diff_forecast_rollout" -> ((s, _) => forecastRollout(s).orderBy("lead")),
     "diff_sample_cond" -> ((s, _) => sampleCond(s).orderBy("series_id", "t")),
     "diff_sample_trajectory" -> ((s, _) => sampleTrajectory(s).orderBy("series_id", "t", "step")),
     "diff_sample_iterative" -> ((s, _) => sampleIterative(s).orderBy("series_id", "t")),
@@ -592,6 +638,7 @@ object Diffusion {
     "diff_sample_closedform" -> sampleClosedFormSql(20, L, T),
     "diff_sample_closedform_cosine" -> sampleClosedFormSql(20, L, T, "cosine"),
     "diff_sample_inpaint" -> sampleInpaintSql(20, L, T),
+    "diff_forecast_rollout" -> forecastRolloutSql(20, L, T, ForecastH),
     "diff_sample_cond" -> sampleCondSql(20, L, T, 2.0),
     "diff_sample_trajectory" -> sampleTrajectorySql(20, L, T, Seq(1, 100, 200, 300, 400)),
     "diff_sample_iterative" -> sampleClosedFormSql(20, L, 50),

@@ -177,6 +177,14 @@ object EvalOps {
       .collect()(0) // 1 row: corpus size + key cardinality, sets k
     val n = stats.getLong(0)
     val k = math.max(1L, stats.getLong(1) * HhNum / HhDen)
+    // misraGries sizes a per-partition array of k counters; past Int.MaxValue
+    // the .toInt below would silently go negative and make every summary
+    // empty (zero rows instead of heavy hitters — ADVICE r7). Fail loudly:
+    // at that cardinality the n/k threshold is ~1 event and the operator is
+    // the wrong tool anyway (use the CMS/TopK sketch path).
+    require(k <= Int.MaxValue.toLong,
+      s"heavyHitters: k=$k exceeds the exact Misra-Gries summary bound " +
+        s"(${Int.MaxValue}); use the sketch-based heavy-hitter path instead")
     val thr = n.toDouble / k.toDouble
     val cands = keys.as[Long].mapPartitions(it => misraGries(it, k.toInt))
       .toDF("user_id").distinct()
@@ -371,10 +379,13 @@ object EvalOps {
     * score p̂ = r/n (r = row_number by (cents, event_id), an EXACT rational)
     * binned into deciles; per bin the mean score, the empirical purchase
     * rate, their gap, and the bin's Brier contribution. Everything is exact
-    * BIGINT arithmetic until the final r6 ratios: Brier's numerator is
-    * Σ(r − y·n)² (≤ n²·bin_size, far under 2⁶³ at fixture scales; the
-    * production form at extreme n quantizes p̂ first), over denominator
-    * n²·bin_size. The |gap|-weighted sum over bins is the ECE readout a
+    * integer arithmetic until the final r6 ratios: Brier quantizes p̂ to a
+    * ppm grid first — p6 = ⌊r·10⁶/n + ½⌋ via the integer identity
+    * (2·r·10⁶ + n) div (2n), exact in both engines — then sums (p6 − y·10⁶)²
+    * (each term ≤ 10¹²) as DECIMAL(38,0), so the numerator never wraps:
+    * BIGINT Σ(r − y·n)² grows O(n³) and overflows past ~4·10⁶ events where
+    * DuckDB would silently promote to HUGEINT and the engines diverge
+    * (ADVICE r7). The |gap|-weighted sum over bins is the ECE readout a
     * monitoring page derives from this table.
     */
   def calibration(spark: SparkSession, dir: String): DataFrame = {
@@ -387,17 +398,21 @@ object EvalOps {
     val n = ranked.agg(count(lit(1)).as("n"))
     ranked.crossJoin(broadcast(n))
       .withColumn("bin", floor((col("r") - 1).cast("double") * 10 / col("n").cast("double")).cast("long"))
+      // p6 = round(r/n * 1e6) by integer arithmetic: (2·r·1e6 + n) div (2n)
+      .withColumn("p6", expr("(2 * r * 1000000 + n) div (2 * n)"))
+      .withColumn("bt",
+        ((col("p6") - col("y") * 1000000L) * (col("p6") - col("y") * 1000000L))
+          .cast("decimal(38,0)"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_bin"), max(col("n")).as("n"),
         sum(col("r")).as("sr"), sum(col("y")).as("sy"),
-        sum((col("r") - col("y") * col("n")) * (col("r") - col("y") * col("n"))).as("sq"))
+        sum(col("bt")).as("sq"))
       .select(col("bin"), col("n_bin"),
         r6(col("sr").cast("double") / col("n").cast("double") / col("n_bin").cast("double")).as("mean_score"),
         r6(col("sy").cast("double") / col("n_bin").cast("double")).as("pos_rate"),
         r6(col("sr").cast("double") / col("n").cast("double") / col("n_bin").cast("double") -
           col("sy").cast("double") / col("n_bin").cast("double")).as("gap"),
-        r6(col("sq").cast("double") /
-          (col("n").cast("double") * col("n").cast("double") * col("n_bin").cast("double"))).as("brier"))
+        r6(col("sq").cast("double") / (lit(1e12) * col("n_bin").cast("double"))).as("brier"))
   }
 
   def calibrationOracle: String =
@@ -410,17 +425,19 @@ object EvalOps {
        |), binned AS (
        |  SELECT *, CAST(floor(CAST(r - 1 AS DOUBLE) * 10 / CAST(n AS DOUBLE)) AS BIGINT) AS bin
        |  FROM ranked
+       |), quant AS (
+       |  SELECT *, (2*r*1000000 + n) // (2*n) AS p6 FROM binned
        |), g AS (
        |  SELECT bin, count(*) AS n_bin, CAST(max(n) AS BIGINT) AS n,
        |         CAST(sum(r) AS BIGINT) AS sr, CAST(sum(y) AS BIGINT) AS sy,
-       |         CAST(sum((r - y*n)*(r - y*n)) AS BIGINT) AS sq
-       |  FROM binned GROUP BY 1
+       |         sum(CAST((p6 - y*1000000)*(p6 - y*1000000) AS DECIMAL(38,0))) AS sq
+       |  FROM quant GROUP BY 1
        |)
        |SELECT bin, n_bin,
        |       ${sqlR6("CAST(sr AS DOUBLE)/CAST(n AS DOUBLE)/CAST(n_bin AS DOUBLE)")} AS mean_score,
        |       ${sqlR6("CAST(sy AS DOUBLE)/CAST(n_bin AS DOUBLE)")} AS pos_rate,
        |       ${sqlR6("CAST(sr AS DOUBLE)/CAST(n AS DOUBLE)/CAST(n_bin AS DOUBLE) - CAST(sy AS DOUBLE)/CAST(n_bin AS DOUBLE)")} AS gap,
-       |       ${sqlR6("CAST(sq AS DOUBLE)/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n_bin AS DOUBLE))")} AS brier
+       |       ${sqlR6("CAST(sq AS DOUBLE)/(1.0e12*CAST(n_bin AS DOUBLE))")} AS brier
        |FROM g ORDER BY bin""".stripMargin
 
   // ---------------- winsorization ----------------
@@ -710,6 +727,13 @@ object EvalOps {
     val n2b = types.map(t => col(s"b_$t") * col(s"b_$t")).reduce(_ + _)
     val scored = a.crossJoin(broadcast(b))
       .filter(col("ua") =!= col("ub"))
+      // drop zero-overlap pairs (dot = 0): the oracle's inner join on
+      // event_type never produces them, and on sparse data a flood of
+      // cos = 0 rows would otherwise fill the top-k with ties the oracle
+      // doesn't have (ADVICE r7). Counts are positive, so dot > 0 iff the
+      // two users share at least one event type — exactly the oracle's
+      // pair space.
+      .filter(dot > 0L)
       .withColumn("cos", r6(dot.cast("double") /
         sqrt(n2a.cast("double") * n2b.cast("double"))))
     val w = Window.partitionBy("ua").orderBy(desc("cos"), asc("ub"))
@@ -735,6 +759,197 @@ object EvalOps {
        |FROM (SELECT *, row_number() OVER (PARTITION BY ua ORDER BY cos DESC, ub ASC) AS rank
        |      FROM scored)
        |WHERE rank <= $UserSimTopK ORDER BY user_id, rank""".stripMargin
+
+  // ---------------- blocked behavioral similarity (SRP bands) ----------------
+
+  /** SRP band count / bits per band for [[userSimilarityBlocked]]: 3 bands of
+    * 2 sign bits — a pair is a candidate when ANY band matches, the same
+    * OR-of-ANDs S-curve as the MinHash banding in Dedup.
+    */
+  val UserSimBands = 3
+  val UserSimBits = 2
+
+  /** Blocked twin of [[userSimilarity]] — the shape that survives 100 TB
+    * (VERDICT r7 flagged the brute force as the one registered plan that
+    * doesn't): candidate pairs come from sign-random-projection (SimHash)
+    * band keys over the type-count vectors, not a crossJoin. Each user's
+    * vector is projected onto [[UserSimBands]]×[[UserSimBits]] deterministic
+    * hyperplanes (coefficients ±1 drawn from the DetRand stream keyed by the
+    * md5 type digest, so both engines derive identical planes without
+    * enumerating the type vocabulary). Vectors are CENTERED before the sign
+    * is taken — raw count vectors are near-uniform here, so sign(Σ nₜ·cₜ) is
+    * dominated by the user-independent Σ cₜ and every user lands in one
+    * bucket (measured: 142/150 per band, pruning nothing). The centered
+    * projection Σ (nₜ − S/k)·cₜ is evaluated exactly as the integer
+    * k·Σ nₜcₜ − S·Σ cₜ (S = Σ nₜ, k = #present types — no rationals, both
+    * engines agree bit-for-bit). The sign bits group into band keys,
+    * users sharing ANY band key become candidates via a band-key equi-join,
+    * and only candidates get exact dot/cosine scoring + per-user top-k.
+    * Users² never materializes: the shuffle carries (band, key) groups, the
+    * scoring join carries |candidates|×shared-types rows, and the exact
+    * [[userSimilarity]] is demoted to the declared ground-truth rung that
+    * [[userSimilarityRecallQ]] measures this against — the
+    * ann_bruteforce/ann_lsh stance.
+    */
+  def userSimilarityBlocked(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DetRand
+    val nPlanes = UserSimBands * UserSimBits
+    // one tiny (user, type, n) table feeds projection, blocking AND scoring;
+    // checkpointed so the self-joins below share one lineage-free copy
+    val cnt = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true)
+    val th = conv(substring(md5(col("event_type")), 1, 7), 16, 10)
+      .cast("long").cast("double")
+    def coef(p: Int): Column =
+      when(DetRand.u01(th, p) >= 0.5, 1L).otherwise(-1L)
+    val proj = cnt.groupBy("user_id").agg(
+      sum(col("n") * col("n")).as("nrm2"),
+      sum(col("n")).as("sn") +: count(lit(1)).as("kt") +:
+        (0 until nPlanes).flatMap(p => Seq(
+          sum(col("n") * coef(p)).as(s"a$p"), sum(coef(p)).as(s"c$p"))): _*)
+    def centered(p: Int): Column =
+      col("kt") * col(s"a$p") - col("sn") * col(s"c$p")
+    def bit(p: Int): Column = when(centered(p) >= 0L, 1L).otherwise(0L)
+    def bandKey(b: Int): Column = (0 until UserSimBits)
+      .map(i => bit(b * UserSimBits + i) * (1L << (UserSimBits - 1 - i)))
+      .reduce(_ + _)
+    val sigs = proj.select(
+      col("user_id") +: col("nrm2") +:
+        (0 until UserSimBands).map(b => bandKey(b).as(s"k$b")): _*)
+      .localCheckpoint(eager = true)
+    val bands = sigs.select(col("user_id"),
+      explode(array((0 until UserSimBands).map(b =>
+        struct(lit(b).as("band"), col(s"k$b").as("bkey"))): _*)).as("bk"))
+      .select(col("user_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.select(col("user_id").as("ua"), col("band"), col("bkey"))
+      .join(bands.select(col("user_id").as("ub"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("ua") =!= col("ub"))
+      .select("ua", "ub").distinct()
+    // exact integer dots for candidates only: inner join on event_type keeps
+    // shared types (dot > 0 by construction — same pair space as the exact op)
+    val dots = cand
+      .join(cnt.select(col("user_id").as("ua"), col("event_type"), col("n").as("na")),
+        Seq("ua"))
+      .join(cnt.select(col("user_id").as("ub"), col("event_type"), col("n").as("nb")),
+        Seq("ub", "event_type"))
+      .groupBy("ua", "ub").agg(sum(col("na") * col("nb")).as("dot"))
+    val norms = sigs.select(col("user_id"), col("nrm2"))
+    val scored = dots
+      .join(broadcast(norms.select(col("user_id").as("ua"), col("nrm2").as("n2a"))), "ua")
+      .join(broadcast(norms.select(col("user_id").as("ub"), col("nrm2").as("n2b"))), "ub")
+      .withColumn("cos", r6(col("dot").cast("double") /
+        sqrt(col("n2a").cast("double") * col("n2b").cast("double"))))
+    val w = Window.partitionBy("ua").orderBy(desc("cos"), asc("ub"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= UserSimTopK)
+      .select(col("ua").as("user_id"), col("rank"), col("ub").as("similar_user"), col("cos"))
+  }
+
+  def userSimilarityBlockedOracle: String = {
+    import graft.functions.DetRand
+    val nPlanes = UserSimBands * UserSimBits
+    def coefSql(p: Int): String =
+      s"(CASE WHEN ${DetRand.sqlU01("CAST(h AS DOUBLE)", p)} >= 0.5 THEN 1 ELSE -1 END)"
+    val projCols = (0 until nPlanes)
+      .map(p => s"CAST(sum(n * ${coefSql(p)}) AS BIGINT) AS a$p,\n" +
+        s"         CAST(sum(${coefSql(p)}) AS BIGINT) AS c$p")
+      .mkString(",\n         ")
+    val keyCols = (0 until UserSimBands).map { b =>
+      val bits = (0 until UserSimBits).map { i =>
+        val p = b * UserSimBits + i
+        s"(CASE WHEN kt*a$p - sn*c$p >= 0 THEN 1 ELSE 0 END)*${1L << (UserSimBits - 1 - i)}"
+      }.mkString(" + ")
+      s"($bits) AS k$b"
+    }.mkString(",\n         ")
+    val bandUnion = (0 until UserSimBands)
+      .map(b => s"SELECT user_id, $b AS band, k$b AS bkey FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH cnt AS (
+       |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+       |), hcnt AS (
+       |  SELECT user_id, event_type, n,
+       |         ('0x' || substr(md5(event_type), 1, 7))::BIGINT AS h
+       |  FROM cnt
+       |), proj AS (
+       |  SELECT user_id, CAST(sum(n*n) AS BIGINT) AS nrm2,
+       |         CAST(sum(n) AS BIGINT) AS sn, count(*) AS kt,
+       |         $projCols
+       |  FROM hcnt GROUP BY 1
+       |), sig AS (
+       |  SELECT user_id, nrm2,
+       |         $keyCols
+       |  FROM proj
+       |), bands AS (
+       |  $bandUnion
+       |), cand AS (
+       |  SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.user_id <> b.user_id
+       |), dots AS (
+       |  SELECT c.ua, c.ub, CAST(sum(a.n * b.n) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN cnt a ON a.user_id = c.ua
+       |  JOIN cnt b ON b.user_id = c.ub AND b.event_type = a.event_type
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT d.ua, d.ub,
+       |         ${sqlR6("CAST(d.dot AS DOUBLE)/sqrt(CAST(pa.nrm2 AS DOUBLE)*CAST(pb.nrm2 AS DOUBLE))")} AS cos
+       |  FROM dots d JOIN proj pa ON pa.user_id = d.ua JOIN proj pb ON pb.user_id = d.ub
+       |)
+       |SELECT ua AS user_id, CAST(rank AS INT) AS rank, ub AS similar_user, cos
+       |FROM (SELECT *, row_number() OVER (PARTITION BY ua ORDER BY cos DESC, ub ASC) AS rank
+       |      FROM scored)
+       |WHERE rank <= $UserSimTopK ORDER BY user_id, rank""".stripMargin
+  }
+
+  /** Recall of the blocked top-k against the exact brute force — the
+    * measurement that makes the [[UserSimBands]]×[[UserSimBits]] choice a
+    * number instead of an assertion, mirroring `ann_*_recall`. One row per
+    * user plus a grand-total row (user_id = −1); recall = hit fraction of
+    * the exact top-[[UserSimTopK]] list.
+    */
+  def userSimilarityRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    val bf = userSimilarity(spark, dir)
+      .select(col("user_id"), col("similar_user"), lit(1).as("src"))
+      .localCheckpoint(eager = true)
+    val ap = userSimilarityBlocked(spark, dir)
+      .select(col("user_id"), col("similar_user"), lit(2).as("src"))
+      .localCheckpoint(eager = true)
+    val hits = bf.unionByName(ap)
+      .groupBy("user_id", "similar_user")
+      .agg(max(when(col("src") === 1, 1).otherwise(0)).as("in_bf"),
+        max(when(col("src") === 2, 1).otherwise(0)).as("hit"))
+      .filter(col("in_bf") === 1)
+    hits.rollup("user_id")
+      .agg(r6(avg(col("hit"))).as("recall"),
+        sum(col("hit")).cast("long").as("n_matched"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("user_id"), lit(-1L)).as("user_id"),
+        col("recall"), col("n_matched"), col("n"))
+  }
+
+  def userSimilarityRecallOracle: String =
+    s"""WITH bf AS (
+       |$userSimilarityOracle
+       |), ap AS (
+       |$userSimilarityBlockedOracle
+       |), tagged AS (
+       |  SELECT user_id, similar_user, 1 AS src FROM bf
+       |  UNION ALL SELECT user_id, similar_user, 2 AS src FROM ap
+       |), hits AS (
+       |  SELECT user_id, similar_user,
+       |         max(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS in_bf,
+       |         max(CASE WHEN src = 2 THEN 1 ELSE 0 END) AS hit
+       |  FROM tagged GROUP BY 1, 2
+       |)
+       |SELECT coalesce(user_id, -1) AS user_id,
+       |       ${sqlR6("avg(hit)")} AS recall,
+       |       CAST(sum(hit) AS BIGINT) AS n_matched,
+       |       count(*) AS n
+       |FROM hits WHERE in_bf = 1
+       |GROUP BY ROLLUP (user_id)
+       |ORDER BY user_id""".stripMargin
 
   /** Time-weighted average value (TWAP) per user-day — the bar the OHLC
     * `mean` column is known to misstate when sampling is irregular: each
@@ -790,6 +1005,10 @@ object EvalOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_twap" -> ((s, d) => twap(s, d).orderBy("user_id", "day")),
     "events_user_similarity" -> ((s, d) => userSimilarity(s, d).orderBy("user_id", "rank")),
+    "events_user_similarity_blocked" ->
+      ((s, d) => userSimilarityBlocked(s, d).orderBy("user_id", "rank")),
+    "events_user_similarity_recall" ->
+      ((s, d) => userSimilarityRecallQ(s, d).orderBy("user_id")),
     "events_ndcg" -> ((s, d) => ndcg(s, d).orderBy("day")),
     "events_bootstrap_ci" -> ((s, d) => bootstrapCi(s, d).orderBy("event_type")),
     "events_winsorize" -> ((s, d) => winsorize(s, d).orderBy("event_type")),
@@ -806,6 +1025,8 @@ object EvalOps {
   def oracles: Map[String, String] = Map(
     "ts_twap" -> twapOracle,
     "events_user_similarity" -> userSimilarityOracle,
+    "events_user_similarity_blocked" -> userSimilarityBlockedOracle,
+    "events_user_similarity_recall" -> userSimilarityRecallOracle,
     "events_ndcg" -> ndcgOracle,
     "events_bootstrap_ci" -> bootstrapCiOracle,
     "events_winsorize" -> winsorizeOracle,

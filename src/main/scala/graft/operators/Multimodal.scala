@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * with typed metadata; decode / feature-extract / frame-sample as distributed
   * per-partition transforms.
   *
-  * The actual codec is STUBBED — image/audio libraries are not in this
-  * environment — with a deterministic fake decoder ([[fakeDecode]]), clearly
-  * marked. Everything Spark-side is real and tested: the schema, the binary
-  * payload generation, partitioning, the mapPartitions batch shape, and the
-  * feature aggregation that follows a decode.
+  * Decoding is pluggable ([[MediaDecoder]]): the same per-partition pipeline
+  * runs [[ByteStatsDecoder]] (statistics over the raw byte stream — the
+  * deterministic implementation whose output the DuckDB oracle replays from
+  * the LCG closed form) and [[ImageIoDecoder]], a REAL codec: `javax.imageio`
+  * PNG decode, pixel-domain statistics. Because the PNG fixture encodes
+  * LCG-generated gray pixels LOSSLESSLY, the real-codec path is oracle-checked
+  * too — the SQL twin recomputes the pixel stream the codec must recover
+  * byte-for-byte, so a decode bug (wrong raster order, color management,
+  * truncation) is a hash mismatch, not a silent drift.
   *
   * Scale: payloads never shuffle — decode/feature-extract are narrow
   * per-partition passes; only the small (media_id, feature) projections move.
@@ -25,6 +29,64 @@ object Multimodal {
   case class MediaRow(media_id: Long, kind: String, width: Int, height: Int, payload: Array[Byte])
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
                            mean_byte: Double, max_byte: Int, checksum: Long)
+
+  /** Pluggable per-row decode + feature extraction. Implementations must be
+    * serializable singletons (they ship inside task closures) and must be
+    * deterministic: same payload, same features, on every executor.
+    * `n_bytes`/`mean_byte`/`max_byte`/`checksum` are statistics over the
+    * decoder's SAMPLE DOMAIN — raw bytes for [[ByteStatsDecoder]], decoded
+    * pixels for [[ImageIoDecoder]] — so downstream aggregation is
+    * decoder-agnostic.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(row: MediaRow): MediaFeatures
+  }
+
+  /** Shared statistics kernel: mean, max, and the position-weighted checksum
+    * Σ (i+1)·vᵢ over any 0..255 sample stream — order-sensitive like a
+    * polynomial hash but exactly expressible in the DuckDB oracle (no 2^64
+    * wrap).
+    */
+  private def sampleStats(row: MediaRow, n: Int, sample: Int => Int): MediaFeatures = {
+    var sum = 0L
+    var mx = 0
+    var ck = 0L
+    var i = 0
+    while (i < n) {
+      val v = sample(i)
+      sum += v
+      if (v > mx) mx = v
+      ck += (i + 1).toLong * v
+      i += 1
+    }
+    MediaFeatures(row.media_id, row.kind, n, sum.toDouble / n, mx, ck)
+  }
+
+  /** Byte-domain decoder: statistics straight over the payload bytes. This is
+    * the deterministic implementation the oracle replays via the LCG closed
+    * form — and the honest stand-in for codecs this container lacks (audio/
+    * video libraries): the Spark-side batch shape is identical either way.
+    */
+  object ByteStatsDecoder extends MediaDecoder {
+    def decode(row: MediaRow): MediaFeatures =
+      sampleStats(row, row.payload.length, i => row.payload(i) & 0xff)
+  }
+
+  /** Real-codec decoder: `javax.imageio` PNG/BMP decode (JDK-built-in, runs
+    * headless), statistics over the decoded gray raster in row-major order.
+    * Fails loudly on undecodable payloads — a corrupt file should surface,
+    * not degrade into zeros.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no /tmp cache
+    def decode(row: MediaRow): MediaFeatures = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+      require(img != null, s"media_id=${row.media_id}: payload is not a decodable image")
+      val raster = img.getRaster
+      val w = img.getWidth
+      sampleStats(row, w * img.getHeight, i => raster.getSample(i % w, i / w, 0))
+    }
+  }
 
   /** Synthetic media table: deterministic pseudo-random payload per id.
     * Payload bytes come from the same LCG family as everything else, so the
@@ -48,25 +110,37 @@ object Multimodal {
     }.toDF()
   }
 
-  /** STUB decoder: a real deployment would decode image/audio bytes here
-    * (one codec call per row, batched per partition). The fake is
-    * deterministic: byte-level statistics standing in for pixel statistics.
+  /** PNG fixture geometry: [[PngW]]×[[PngH]] gray pixels per image. */
+  val PngW = 64
+  val PngH = 48
+  val PngN = 48L
+
+  /** PNG corpus: each image's gray pixels are the SAME LCG stream as
+    * [[mediaTable]]'s payload bytes (row-major), encoded through the real
+    * `javax.imageio` PNG writer. Lossless encode + lossless decode means
+    * [[ImageIoDecoder]]'s pixel statistics must equal the closed-form LCG
+    * statistics the oracle computes — the codec round-trip is the thing
+    * under test.
     */
-  private def fakeDecode(row: MediaRow): MediaFeatures = {
-    var sum = 0L
-    var mx = 0
-    var ck = 0L // position-weighted checksum Σ (i+1)·bᵢ: order-sensitive like a
-    // polynomial hash, but exactly expressible in the DuckDB oracle (no 2^64 wrap)
-    var i = 0
-    while (i < row.payload.length) {
-      val b = row.payload(i) & 0xff
-      sum += b
-      if (b > mx) mx = b
-      ck += (i + 1).toLong * b
-      i += 1
-    }
-    MediaFeatures(row.media_id, row.kind, row.payload.length,
-      sum.toDouble / row.payload.length, mx, ck)
+  def pngMediaTable(spark: SparkSession, n: Long = PngN): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          PngW, PngH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var x = (id * 40503 + 12345) % 2147483648L
+        var i = 0
+        while (i < PngW * PngH) {
+          x = (x * 69069 + 12345) % 2147483648L
+          raster.setSample(i % PngW, i / PngW, 0, ((x >>> 8) & 255L).toInt)
+          i += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        MediaRow(id, "image", PngW, PngH, baos.toByteArray)
+      }
+    }.toDF()
   }
 
   /** Re-upload factor for the dedup fixture: ids >= DupSeedMod carry
@@ -116,10 +190,24 @@ object Multimodal {
         (col("media_id") =!= col("canonical_id")).as("is_dup"))
   }
 
-  /** Decode + feature-extract: narrow mapPartitions, no payload shuffle. */
-  def extractFeatures(spark: SparkSession, n: Long = 64): DataFrame = {
+  /** Decode + feature-extract: narrow mapPartitions, no payload shuffle.
+    * The decoder is a parameter — same plan shape for the byte-domain and
+    * real-codec implementations.
+    */
+  def extractFeatures(spark: SparkSession, n: Long = 64,
+                      decoder: MediaDecoder = ByteStatsDecoder): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, n).as[MediaRow].mapPartitions(_.map(fakeDecode)).toDF()
+    mediaTable(spark, n).as[MediaRow].mapPartitions(_.map(decoder.decode)).toDF()
+  }
+
+  /** Real-codec feature extraction: `javax.imageio` decodes the PNG corpus
+    * per partition; statistics are over DECODED PIXELS, oracle-checked
+    * against the closed-form LCG pixel stream (lossless round-trip).
+    */
+  def pngFeatures(spark: SparkSession, n: Long = PngN): DataFrame = {
+    import spark.implicits._
+    pngMediaTable(spark, n).as[MediaRow]
+      .mapPartitions(_.map(ImageIoDecoder.decode)).toDF()
   }
 
   /** Frame sampling for video rows: every strideth 1 KiB block becomes a
@@ -150,6 +238,7 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> ((s, _) => extractFeatures(s).orderBy("media_id")),
+    "media_png_features" -> ((s, _) => pngFeatures(s).orderBy("media_id")),
     "media_frame_sample" -> ((s, _) => frameSample(s).orderBy("media_id", "frame_id")),
     "media_kind_stats" -> ((s, _) => kindStats(s).orderBy("kind")),
     "media_payload_dedup" -> ((s, _) => payloadDedup(s).orderBy("media_id"))
@@ -229,6 +318,18 @@ object Multimodal {
          |ORDER BY media_id""".stripMargin,
     "media_features" -> (featuresSql(64, 4096) +
       " SELECT * FROM features ORDER BY media_id"),
+    // the real-codec query: the PNG writer/reader round-trip is lossless, so
+    // the decoded pixel stream must equal the LCG closed form byte-for-byte
+    "media_png_features" ->
+      s"""WITH ${bytesSql(PngN, PngW * PngH)},
+         |features AS (
+         |  SELECT media_id, 'image' AS kind, CAST(${PngW * PngH} AS INT) AS n_bytes,
+         |         CAST(sum(b) AS DOUBLE) / ${PngW * PngH}.0e0 AS mean_byte,
+         |         CAST(max(b) AS INT) AS max_byte,
+         |         CAST(sum((i + 1) * b) AS BIGINT) AS checksum
+         |  FROM bytes GROUP BY 1, 2
+         |)
+         |SELECT * FROM features ORDER BY media_id""".stripMargin,
     "media_kind_stats" -> (featuresSql(64, 4096) +
       s""" SELECT kind, count(*) AS n_media, ${sqlR6("avg(mean_byte)")} AS avg_mean_byte,
          |        CAST(max(max_byte) AS INT) AS max_byte

@@ -490,6 +490,42 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getLong(0) % 3 == 2)) // only video ids
     assert(frames.forall(_.getInt(1) % 4 == 0))  // stride 4
   }
+
+  test("ImageIoDecoder runs a real PNG codec and recovers the exact LCG pixels") {
+    // the codec round-trip is lossless, so the pixel-domain stats from the
+    // REAL javax.imageio decode must equal the byte-domain stats computed
+    // straight off the generator stream for the same (id, length)
+    val real = Multimodal.pngFeatures(spark).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(real.size == Multimodal.PngN)
+    val n = Multimodal.PngW * Multimodal.PngH
+    (0L until Multimodal.PngN).foreach { id =>
+      var x = (id * 40503 + 12345) % 2147483648L
+      var sum = 0L; var mx = 0; var ck = 0L
+      var i = 0
+      while (i < n) {
+        x = (x * 69069 + 12345) % 2147483648L
+        val b = ((x >>> 8) & 255L).toInt
+        sum += b; if (b > mx) mx = b; ck += (i + 1).toLong * b
+        i += 1
+      }
+      val r = real(id)
+      assert(r.getInt(2) == n)
+      assert(math.abs(r.getDouble(3) - sum.toDouble / n) < 1e-12)
+      assert(r.getInt(4) == mx)
+      assert(r.getLong(5) == ck)
+    }
+  }
+
+  test("both MediaDecoder implementations run through the same pipeline shape") {
+    val byByte = Multimodal.extractFeatures(spark, 16, Multimodal.ByteStatsDecoder)
+    assert(byByte.count() == 16)
+    // ImageIoDecoder fails LOUDLY on non-image payloads instead of degrading
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(spark, 4, Multimodal.ImageIoDecoder).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
 
 class BucketedSpec extends SparkSpec {

@@ -31,19 +31,56 @@ def main(sf_dir, out_dir):
     ok, bad = [], []
     for name, sql in sorted(oracle.items()):
         try:
-            exp = con.sql(sql).df()
+            rel = con.sql(sql)
+            exp_types = {c: str(t).upper()
+                         for c, t in zip(rel.columns, rel.types)}
+            exp = rel.df()
         except Exception as e:
             bad.append((name, f"oracle SQL error: {e}"))
             continue
         try:
-            got = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            got_rel = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_types = {c: str(t).upper()
+                         for c, t in zip(got_rel.columns, got_rel.types)}
+            got = got_rel.df()
         except Exception as e:
             bad.append((name, f"spark result missing: {e}"))
             continue
         if sorted(got.columns) != sorted(exp.columns):
             bad.append((name, f"columns differ: spark={sorted(got.columns)} "
                               f"oracle={sorted(exp.columns)}"))
+            continue
+        # The driver's hasher is TYPE-sensitive: an oracle column typed
+        # HUGEINT (DuckDB's sum(<int>) default) or unsigned will hash-mismatch
+        # a Spark BIGINT even when every value is identical. Fail loudly here
+        # so an un-CAST aggregate can never pass locally and fail the driver.
+        banned = [(c, t) for c, t in exp_types.items()
+                  if "HUGEINT" in t or t.startswith("U")]
+        if banned:
+            bad.append((name, "oracle type not Spark-representable (CAST it): "
+                              + ", ".join(f"{c}:{t}" for c, t in banned)))
+            continue
+        # Widths inside a family collapse to one pandas dtype (INTEGER and
+        # BIGINT both become int64), so only FAMILY mismatches (int vs float
+        # vs decimal vs str ...) can change the driver's hash input.
+        def family(t):
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+                return "int"
+            if t in ("FLOAT", "DOUBLE"):
+                return "float"
+            if t.startswith("DECIMAL"):
+                return "decimal"
+            if t.startswith("TIMESTAMP"):
+                return "timestamp"
+            return t
+        tmism = [(c, got_types[c], exp_types[c]) for c in exp_types
+                 if family(got_types.get(c, "")) != family(exp_types[c])]
+        if tmism:
+            bad.append((name, "result type family differs (changes the "
+                              "driver's hash input): "
+                              + ", ".join(f"{c}: spark={g} oracle={o}"
+                                          for c, g, o in tmism)))
             continue
         g, e = normalize(got), normalize(exp)
         if len(g) != len(e):
