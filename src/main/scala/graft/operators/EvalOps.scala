@@ -762,18 +762,32 @@ object EvalOps {
 
   // ---------------- blocked behavioral similarity (SRP bands) ----------------
 
-  /** SRP band count / bits per band for [[userSimilarityBlocked]]: 3 bands of
-    * 2 sign bits — a pair is a candidate when ANY band matches, the same
-    * OR-of-ANDs S-curve as the MinHash banding in Dedup.
+  /** SRP band count / max bits per band for [[userSimilarityBlocked]]: a pair
+    * is a candidate when ANY band matches (the OR-of-ANDs S-curve of the
+    * MinHash banding in Dedup). Bits per band ADAPT to corpus size — the sf1
+    * scale rehearsal measured the fixed-2-bit form at 130× cost for 10× data:
+    * 12 static band keys mean bucket populations (and so candidate PAIRS)
+    * grow quadratically with user count. With nbits = ⌈log2(users/32)⌉ the
+    * expected bucket stays ~[[UserSimTargetBucket]] users and candidates per
+    * band stay ~32·users — linear. The threshold chain below is pure integer
+    * comparison (no cross-engine log2 ulp risk at power-of-two boundaries).
     */
   val UserSimBands = 3
-  val UserSimBits = 2
+  val UserSimMaxBits = 8
+  val UserSimTargetBucket = 32
+
+  /** nbits = clamp(⌈log2(n/32)⌉, 2, 8) as (threshold, bits) pairs:
+    * bits = k for n ≤ 32·2^k, else [[UserSimMaxBits]].
+    */
+  private val userSimBitThresholds: Seq[(Long, Int)] =
+    (2 until UserSimMaxBits).map(k => (UserSimTargetBucket.toLong << k, k))
 
   /** Blocked twin of [[userSimilarity]] — the shape that survives 100 TB
     * (VERDICT r7 flagged the brute force as the one registered plan that
     * doesn't): candidate pairs come from sign-random-projection (SimHash)
     * band keys over the type-count vectors, not a crossJoin. Each user's
-    * vector is projected onto [[UserSimBands]]×[[UserSimBits]] deterministic
+    * vector is projected onto [[UserSimBands]] bands of corpus-adaptive
+    * nbits = ⌈log2(users/[[UserSimTargetBucket]])⌉ deterministic
     * hyperplanes (coefficients ±1 drawn from the DetRand stream keyed by the
     * md5 type digest, so both engines derive identical planes without
     * enumerating the type vocabulary). Vectors are CENTERED before the sign
@@ -793,7 +807,7 @@ object EvalOps {
     */
   def userSimilarityBlocked(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.DetRand
-    val nPlanes = UserSimBands * UserSimBits
+    val nPlanes = UserSimBands * UserSimMaxBits
     // one tiny (user, type, n) table feeds projection, blocking AND scoring;
     // checkpointed so the self-joins below share one lineage-free copy
     val cnt = Tables.events(spark, dir)
@@ -808,15 +822,28 @@ object EvalOps {
       sum(col("n")).as("sn") +: count(lit(1)).as("kt") +:
         (0 until nPlanes).flatMap(p => Seq(
           sum(col("n") * coef(p)).as(s"a$p"), sum(coef(p)).as(s"c$p"))): _*)
+    // corpus-adaptive bits per band: a 1-row broadcast, so the SAME plan
+    // serves every scale (no driver-side collect, no re-registration)
+    val nu = cnt.agg(countDistinct(col("user_id")).as("nu"))
+    val nbits = userSimBitThresholds
+      .foldRight(lit(UserSimMaxBits): Column) { case ((thr, k), acc) =>
+        when(col("nu") <= thr, k).otherwise(acc)
+      }
     def centered(p: Int): Column =
       col("kt") * col(s"a$p") - col("sn") * col(s"c$p")
     def bit(p: Int): Column = when(centered(p) >= 0L, 1L).otherwise(0L)
-    def bandKey(b: Int): Column = (0 until UserSimBits)
-      .map(i => bit(b * UserSimBits + i) * (1L << (UserSimBits - 1 - i)))
+    // key = Σ_{i < nbits} bit_i · 2^(nbits−1−i): pow's exponent stays in
+    // [0, 7], where the double result is exact
+    def bandKey(b: Int): Column = (0 until UserSimMaxBits)
+      .map(i => when(lit(i) < col("nbits"),
+        bit(b * UserSimMaxBits + i) *
+          pow(lit(2.0), (col("nbits") - 1 - i).cast("double")).cast("long"))
+        .otherwise(0L))
       .reduce(_ + _)
-    val sigs = proj.select(
-      col("user_id") +: col("nrm2") +:
-        (0 until UserSimBands).map(b => bandKey(b).as(s"k$b")): _*)
+    val sigs = proj.crossJoin(broadcast(nu)).withColumn("nbits", nbits)
+      .select(
+        col("user_id") +: col("nrm2") +:
+          (0 until UserSimBands).map(b => bandKey(b).as(s"k$b")): _*)
       .localCheckpoint(eager = true)
     val bands = sigs.select(col("user_id"),
       explode(array((0 until UserSimBands).map(b =>
@@ -848,17 +875,21 @@ object EvalOps {
 
   def userSimilarityBlockedOracle: String = {
     import graft.functions.DetRand
-    val nPlanes = UserSimBands * UserSimBits
+    val nPlanes = UserSimBands * UserSimMaxBits
     def coefSql(p: Int): String =
       s"(CASE WHEN ${DetRand.sqlU01("CAST(h AS DOUBLE)", p)} >= 0.5 THEN 1 ELSE -1 END)"
     val projCols = (0 until nPlanes)
       .map(p => s"CAST(sum(n * ${coefSql(p)}) AS BIGINT) AS a$p,\n" +
         s"         CAST(sum(${coefSql(p)}) AS BIGINT) AS c$p")
       .mkString(",\n         ")
+    val nbitsSql = userSimBitThresholds.foldRight(s"$UserSimMaxBits") {
+      case ((thr, k), acc) => s"CASE WHEN nu <= $thr THEN $k ELSE $acc END"
+    }
     val keyCols = (0 until UserSimBands).map { b =>
-      val bits = (0 until UserSimBits).map { i =>
-        val p = b * UserSimBits + i
-        s"(CASE WHEN kt*a$p - sn*c$p >= 0 THEN 1 ELSE 0 END)*${1L << (UserSimBits - 1 - i)}"
+      val bits = (0 until UserSimMaxBits).map { i =>
+        val p = b * UserSimMaxBits + i
+        s"(CASE WHEN $i < nbits THEN (CASE WHEN kt*a$p - sn*c$p >= 0 THEN 1 ELSE 0 END)" +
+          s"*CAST(pow(2.0, nbits - 1 - $i) AS BIGINT) ELSE 0 END)"
       }.mkString(" + ")
       s"($bits) AS k$b"
     }.mkString(",\n         ")
@@ -876,10 +907,12 @@ object EvalOps {
        |         CAST(sum(n) AS BIGINT) AS sn, count(*) AS kt,
        |         $projCols
        |  FROM hcnt GROUP BY 1
+       |), nb AS (
+       |  SELECT $nbitsSql AS nbits FROM (SELECT count(*) AS nu FROM proj)
        |), sig AS (
        |  SELECT user_id, nrm2,
        |         $keyCols
-       |  FROM proj
+       |  FROM proj CROSS JOIN nb
        |), bands AS (
        |  $bandUnion
        |), cand AS (
@@ -904,7 +937,7 @@ object EvalOps {
   }
 
   /** Recall of the blocked top-k against the exact brute force — the
-    * measurement that makes the [[UserSimBands]]×[[UserSimBits]] choice a
+    * measurement that makes the band/bit parameterization a
     * number instead of an assertion, mirroring `ann_*_recall`. One row per
     * user plus a grand-total row (user_id = −1); recall = hit fraction of
     * the exact top-[[UserSimTopK]] list.

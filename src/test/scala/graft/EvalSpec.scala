@@ -35,6 +35,39 @@ class EvalSpec extends SparkSpec {
     for (k <- Seq(1, 3, 17)) assert(mg(stream, k).size <= k)
   }
 
+  test("blocked user similarity scores candidates with the EXACT cosine") {
+    // banding decides only WHICH pairs are scored; the score itself must be
+    // the same exact-integer cosine the brute force computes — recompute it
+    // independently per blocked pair and demand equality (r6 is exact here)
+    val cnt = Tables.events(spark, sf)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val dots = cnt.select(col("user_id").as("ua"), col("event_type"), col("n").as("na"))
+      .join(cnt.select(col("user_id").as("ub"), col("event_type"), col("n").as("nb")),
+        Seq("event_type"))
+      .filter(col("ua") =!= col("ub"))
+      .groupBy("ua", "ub").agg(sum(col("na") * col("nb")).as("dot"))
+    val norms = cnt.groupBy("user_id").agg(sum(col("n") * col("n")).as("nrm2"))
+    val expect = dots
+      .join(norms.select(col("user_id").as("ua"), col("nrm2").as("n2a")), "ua")
+      .join(norms.select(col("user_id").as("ub"), col("nrm2").as("n2b")), "ub")
+      .select(col("ua"), col("ub"),
+        graft.functions.Num.r6(col("dot").cast("double") /
+          sqrt(col("n2a").cast("double") * col("n2b").cast("double"))).as("cos_exact"))
+    val blocked = EvalOps.userSimilarityBlocked(spark, sf).localCheckpoint(true)
+    val joined = blocked
+      .join(expect, col("user_id") === col("ua") && col("similar_user") === col("ub"))
+    assert(joined.count() == blocked.count(),
+      "every blocked pair must exist in the exact dot>0 pair space")
+    assert(joined.filter(col("cos") =!= col("cos_exact")).count() == 0)
+    // ranks are contiguous from 1 and capped at top-k per user
+    val badRanks = blocked.groupBy("user_id")
+      .agg(count(lit(1)).as("m"), max(col("rank")).as("mx"), min(col("rank")).as("mn"))
+      .filter(col("mx") =!= col("m") || col("mn") =!= 1 ||
+        col("m") > EvalOps.UserSimTopK).count()
+    assert(badRanks == 0)
+  }
+
   test("heavy hitters output equals the brute-force recount") {
     val got = EvalOps.heavyHitters(spark, sf)
       .select("user_id", "n_events").collect()
