@@ -61,8 +61,20 @@ object GenSf1 {
     val OK = 1000000L; val CK = 100000L; val SK = 10000L; val PK = 100000L
     val EV = 1000000L; val UK = 10000L; val DK = 100000L; val VK = 100000L
 
+    // c_name: overlay the replica digit at position 10 (the first digit of
+    // the 9-digit number in "Customer#%09d") for r > 0. Byte-identical names
+    // would grow the fuzzy-match prefix blocks 10× (pairs 100×) purely from
+    // the replication artifact; a leading tag shifts the 16-char block
+    // window and collapses each replica into ONE giant block (measured:
+    // 480 s). The overlaid digit sits INSIDE the block key, so replicas
+    // never co-block (cross-replica pairs are out of scope by the blocking
+    // contract) and each replica reproduces sf0.1's block layout exactly.
     write("customer", replicate(Tables.customer(spark, srcDir), Replicas) { (df, r) =>
-      df.withColumn("c_custkey", col("c_custkey") + lit(r * CK))
+      val named = if (r == 0) df
+      else df.withColumn("c_name", concat(
+        substring(col("c_name"), 1, 9), lit(r.toString),
+        substring(col("c_name"), 11, 1000)))
+      named.withColumn("c_custkey", col("c_custkey") + lit(r * CK))
     })
     write("supplier", replicate(Tables.t(spark, srcDir, "supplier"), Replicas) { (df, r) =>
       df.withColumn("s_suppkey", col("s_suppkey") + lit(r * SK))

@@ -936,17 +936,56 @@ object EvalOps {
        |WHERE rank <= $UserSimTopK ORDER BY user_id, rank""".stripMargin
   }
 
+  /** Query-sample cap for the recall measurement: the exact rung it compares
+    * against is inherently quadratic, so past this many users recall is
+    * measured on a deterministic md5-ordered sample of QUERY users against
+    * the FULL candidate corpus (one-sided sampling — the standard recall
+    * methodology at scale: ground truth per sampled query is still exact).
+    * At and below the cap (which includes the driver's sf0.01 gate) every
+    * user is a query and the result is the full-population recall.
+    */
+  val UserSimRecallMaxQ = 512
+
   /** Recall of the blocked top-k against the exact brute force — the
     * measurement that makes the band/bit parameterization a
     * number instead of an assertion, mirroring `ann_*_recall`. One row per
-    * user plus a grand-total row (user_id = −1); recall = hit fraction of
-    * the exact top-[[UserSimTopK]] list.
+    * sampled query user plus a grand-total row (user_id = −1); recall = hit
+    * fraction of the exact top-[[UserSimTopK]] list. The exact side is
+    * recomputed here restricted to the [[UserSimRecallMaxQ]]-user query
+    * sample (sf1 rehearsal: the unrestricted exact rung alone cost 10+
+    * minutes at 15 k users), in the same cnt-join formulation as the
+    * [[userSimilarity]] oracle.
     */
   def userSimilarityRecallQ(spark: SparkSession, dir: String): DataFrame = {
-    val bf = userSimilarity(spark, dir)
-      .select(col("user_id"), col("similar_user"), lit(1).as("src"))
+    val cnt = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true)
+    val qsel = cnt.select("user_id").distinct()
+      .withColumn("h", conv(substring(
+        md5(concat(lit("usq:"), col("user_id").cast("string"))), 1, 7), 16, 10)
+        .cast("long"))
+      .orderBy("h", "user_id").limit(UserSimRecallMaxQ)
+      .select("user_id").localCheckpoint(eager = true)
+    val dots = cnt.join(broadcast(qsel), Seq("user_id"))
+      .select(col("user_id").as("ua"), col("event_type"), col("n").as("na"))
+      .join(cnt.select(col("user_id").as("ub"), col("event_type"), col("n").as("nb")),
+        Seq("event_type"))
+      .filter(col("ua") =!= col("ub"))
+      .groupBy("ua", "ub").agg(sum(col("na") * col("nb")).as("dot"))
+    val norms = cnt.groupBy("user_id").agg(sum(col("n") * col("n")).as("nrm2"))
+      .localCheckpoint(eager = true)
+    val scored = dots
+      .join(norms.select(col("user_id").as("ua"), col("nrm2").as("n2a")), "ua")
+      .join(norms.select(col("user_id").as("ub"), col("nrm2").as("n2b")), "ub")
+      .withColumn("cos", r6(col("dot").cast("double") /
+        sqrt(col("n2a").cast("double") * col("n2b").cast("double"))))
+    val w = Window.partitionBy("ua").orderBy(desc("cos"), asc("ub"))
+    val bf = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= UserSimTopK)
+      .select(col("ua").as("user_id"), col("ub").as("similar_user"), lit(1).as("src"))
       .localCheckpoint(eager = true)
     val ap = userSimilarityBlocked(spark, dir)
+      .join(broadcast(qsel), Seq("user_id"))
       .select(col("user_id"), col("similar_user"), lit(2).as("src"))
       .localCheckpoint(eager = true)
     val hits = bf.unionByName(ap)
@@ -963,10 +1002,34 @@ object EvalOps {
   }
 
   def userSimilarityRecallOracle: String =
-    s"""WITH bf AS (
-       |$userSimilarityOracle
+    s"""WITH qcnt AS (
+       |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+       |), qsel AS (
+       |  SELECT user_id FROM (
+       |    SELECT user_id,
+       |           ('0x' || substr(md5('usq:' || CAST(user_id AS VARCHAR)), 1, 7))::BIGINT AS h
+       |    FROM (SELECT DISTINCT user_id FROM qcnt)
+       |  ) ORDER BY h, user_id LIMIT $UserSimRecallMaxQ
+       |), qnorms AS (
+       |  SELECT user_id, CAST(sum(n*n) AS BIGINT) AS nrm2 FROM qcnt GROUP BY 1
+       |), qdots AS (
+       |  SELECT a.user_id AS ua, b.user_id AS ub, CAST(sum(a.n*b.n) AS BIGINT) AS dot
+       |  FROM qcnt a JOIN qcnt b ON a.event_type = b.event_type AND a.user_id <> b.user_id
+       |  WHERE a.user_id IN (SELECT user_id FROM qsel)
+       |  GROUP BY 1, 2
+       |), qscored AS (
+       |  SELECT d.ua, d.ub,
+       |         ${sqlR6("CAST(d.dot AS DOUBLE)/sqrt(CAST(na.nrm2 AS DOUBLE)*CAST(nb.nrm2 AS DOUBLE))")} AS cos
+       |  FROM qdots d JOIN qnorms na ON na.user_id = d.ua JOIN qnorms nb ON nb.user_id = d.ub
+       |), bf AS (
+       |  SELECT ua AS user_id, ub AS similar_user
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY ua ORDER BY cos DESC, ub ASC) AS rank
+       |        FROM qscored)
+       |  WHERE rank <= $UserSimTopK
        |), ap AS (
+       |  SELECT user_id, similar_user FROM (
        |$userSimilarityBlockedOracle
+       |  ) WHERE user_id IN (SELECT user_id FROM qsel)
        |), tagged AS (
        |  SELECT user_id, similar_user, 1 AS src FROM bf
        |  UNION ALL SELECT user_id, similar_user, 2 AS src FROM ap

@@ -1321,8 +1321,11 @@ object Relational {
         substring(col("c_name"), 1, FuzzyBlockLen).as("blk"))
     c.select(col("c_custkey").as("a_key"), col("c_name").as("a_name"), col("blk"))
       .join(c.select(col("c_custkey").as("b_key"), col("c_name").as("b_name"), col("blk")), "blk")
+      // thresholded levenshtein short-circuits to -1 past the bound: O(n·k)
+      // per pair instead of O(n²), same result set (DuckDB's oracle computes
+      // the full distance — values agree wherever the threshold form is ≥ 0)
       .filter(col("a_key") =!= col("b_key") &&
-        levenshtein(col("a_name"), col("b_name")) <= 1)
+        levenshtein(col("a_name"), col("b_name"), 1) >= 0)
       .groupBy(col("a_key").as("c_custkey"))
       .agg(count(lit(1)).as("n_near"), min(col("b_key")).as("min_match_key"))
   }
