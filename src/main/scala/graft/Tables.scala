@@ -64,22 +64,30 @@ object Tables {
 
   /** Streaming twin of [[events]]: same unit detection (via the batch footer
     * probe), planned as an incremental file source. The file stream source
-    * requires a directory base path, so it watches the sf dir with a glob
-    * filter selecting only the events file.
+    * requires a directory base path: when `events.parquet` is itself a
+    * directory (the normal shape of any engine-written / lakehouse table —
+    * the sf1 rehearsal fixture exposed that the glob form silently lists
+    * ZERO files there), it is watched directly; when it is a single file
+    * (the driver fixtures), the sf dir is watched with a glob filter
+    * selecting only that file.
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val isDir = new java.io.File(s"$dir/events.parquet").isDirectory
+    val base = if (isDir) s"$dir/events.parquet" else dir
+    def src(schema: StructType): DataFrame = {
+      val r = spark.readStream.schema(schema)
+      (if (isDir) r else r.option("pathGlobFilter", "events.parquet")).parquet(base)
+    }
     nativeTsType(spark, dir) match {
       case Some(t) =>
-        spark.readStream.schema(eventsNativeSchema(t))
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
+        src(eventsNativeSchema(t))
           .withColumn("ts", col("ts").cast(TimestampType))
       case None =>
-        spark.readStream.schema(eventsRawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
+        src(eventsRawSchema)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     }
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")

@@ -88,13 +88,42 @@ object EvalOps {
     * the rank-histogram cut (`ts_value_quantiles_scalable` pattern) — at
     * eval-set sizes (≤ tens of millions) the direct form is the right plan.
     */
+  /** Global rank by (x, event_id) WITHOUT a single-partition window: the
+    * per-value grid (distinct cents — bounded by the VALUE DOMAIN, not the
+    * row count) carries the cumulative counts, and per-row ranks then need
+    * only a window PARTITIONED by x — full parallelism. r = cum_before(x) +
+    * rank-within-x. Identical to row_number() over the global (x, event_id)
+    * order; the sf1 rehearsal measured the global-window forms of
+    * calibration/score_lift at ~10× for 10× data (one sequential task).
+    */
+  private def gridRank(scored: DataFrame, xAsc: Boolean): DataFrame = {
+    val gw = if (xAsc) Window.orderBy(col("x").asc) else Window.orderBy(col("x").desc)
+    val grid = scored.groupBy("x").agg(count(lit(1)).as("t"))
+      .withColumn("cum_before",
+        coalesce(sum(col("t")).over(gw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("x", "cum_before")
+    val iw = Window.partitionBy("x").orderBy(col("event_id").asc)
+    scored.join(broadcast(grid), "x")
+      .withColumn("r", col("cum_before") + row_number().over(iw).cast("long"))
+  }
+
   def scoreLift(spark: SparkSession, dir: String): DataFrame = {
     val scored = Tables.events(spark, dir)
       .select(floor(col("value") * 1e2 + 0.5).cast("long").as("x"),
         col("event_id"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
-    val wd = Window.orderBy(col("x").desc, col("event_id").asc)
-    val binned = scored.withColumn("decile", ntile(10).over(wd))
+    // ntile(10) on the gridRank r: with n = 10q + rem, ntile gives the FIRST
+    // rem buckets q+1 rows (⌊(r−1)·10/n⌋ spreads the remainder instead —
+    // EvalSpec pins the n=1003 case the divisible fixtures never exercise;
+    // the q=0 branch is unreachable because rem·(q+1)=n then)
+    val ranked = gridRank(scored, xAsc = false)
+    val nAll = scored.agg(count(lit(1)).as("n_all"))
+    val binned = ranked.crossJoin(broadcast(nAll))
+      .withColumn("decile", (expr(
+        """CASE WHEN r <= (n_all % 10) * (n_all div 10 + 1)
+          |     THEN (r - 1) div (n_all div 10 + 1)
+          |     ELSE (n_all % 10) + (r - (n_all % 10) * (n_all div 10 + 1) - 1) div (n_all div 10)
+          |END""".stripMargin) + 1L).cast("int"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n"), sum(col("p")).as("n_pos"))
     val tot = binned.agg(sum(col("n")).as("tot_n"), sum(col("n_pos")).as("tot_pos"))
@@ -389,12 +418,12 @@ object EvalOps {
     * monitoring page derives from this table.
     */
   def calibration(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("x"), col("event_id"))
-    val ranked = Tables.events(spark, dir)
-      .select(floor(col("value") * 1e2 + 0.5).cast("long").as("x"),
-        col("event_id"),
-        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
-      .withColumn("r", row_number().over(w).cast("long"))
+    val ranked = gridRank(
+      Tables.events(spark, dir)
+        .select(floor(col("value") * 1e2 + 0.5).cast("long").as("x"),
+          col("event_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y")),
+      xAsc = true)
     val n = ranked.agg(count(lit(1)).as("n"))
     ranked.crossJoin(broadcast(n))
       .withColumn("bin", floor((col("r") - 1).cast("double") * 10 / col("n").cast("double")).cast("long"))
@@ -698,14 +727,18 @@ object EvalOps {
 
   /** Behavioral user similarity — "users like you" from the event log alone:
     * each user's event-type count vector (the simplest behavioral
-    * embedding), cosine similarity via exact integer dot products over the
-    * type-keyed join, top [[UserSimTopK]] neighbors per user. The join
-    * explodes to users² per type, which is the DECLARED brute-force rung:
-    * at corpus scale the same vectors feed the LSH/IVF family (the
-    * `dedup_embedding_nn` path) — this operator is the exact ground truth
-    * those would approximate, same stance as `ann_bruteforce_topk`.
-    * Determinism: dot and norms² are exact BIGINTs; the only double is the
-    * final cosine, r6-rounded with an id tiebreak.
+    * embedding), cosine similarity via exact integer dot products, top
+    * [[UserSimTopK]] neighbors per QUERY user. This is the DECLARED
+    * brute-force rung ([[userSimilarityBlocked]] is the production form),
+    * and like `ann_bruteforce_topk` its QUERY side is capped: exact scores
+    * for a deterministic md5-ordered sample of ≤ [[UserSimRecallMaxQ]] users
+    * against the FULL corpus — one-sided sampling keeps ground truth exact
+    * per query while the cost stays linear in corpus size (the uncapped
+    * all-users form measured 140× for 10× data at the sf1 rehearsal: pairs
+    * are inherently quadratic). At and below the cap (including the driver's
+    * sf0.01 gate) every user is a query. Determinism: dot and norms² are
+    * exact BIGINTs; the only double is the final cosine, r6-rounded with an
+    * id tiebreak.
     */
   def userSimilarity(spark: SparkSession, dir: String): DataFrame = {
     // densify each user's type-count vector with pivot (the internal distinct
@@ -720,7 +753,14 @@ object EvalOps {
       .na.fill(0L)
       .localCheckpoint(eager = true) // one user-sized table feeds both sides
     val types = vecs.columns.filterNot(_ == "user_id").sorted
-    val a = vecs.select(col("user_id").as("ua") +: types.map(t => col(t).as(s"a_$t")): _*)
+    val qsel = vecs.select(col("user_id"))
+      .withColumn("h", conv(substring(
+        md5(concat(lit("usq:"), col("user_id").cast("string"))), 1, 7), 16, 10)
+        .cast("long"))
+      .orderBy("h", "user_id").limit(UserSimRecallMaxQ)
+      .select("user_id")
+    val a = vecs.join(broadcast(qsel), Seq("user_id"))
+      .select(col("user_id").as("ua") +: types.map(t => col(t).as(s"a_$t")): _*)
     val b = vecs.select(col("user_id").as("ub") +: types.map(t => col(t).as(s"b_$t")): _*)
     val dot = types.map(t => col(s"a_$t") * col(s"b_$t")).reduce(_ + _)
     val n2a = types.map(t => col(s"a_$t") * col(s"a_$t")).reduce(_ + _)
@@ -744,11 +784,18 @@ object EvalOps {
   def userSimilarityOracle: String =
     s"""WITH cnt AS (
        |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+       |), qsel AS (
+       |  SELECT user_id FROM (
+       |    SELECT user_id,
+       |           ('0x' || substr(md5('usq:' || CAST(user_id AS VARCHAR)), 1, 7))::BIGINT AS h
+       |    FROM (SELECT DISTINCT user_id FROM cnt)
+       |  ) ORDER BY h, user_id LIMIT $UserSimRecallMaxQ
        |), norms AS (
        |  SELECT user_id, CAST(sum(n*n) AS BIGINT) AS nrm2 FROM cnt GROUP BY 1
        |), dots AS (
        |  SELECT a.user_id AS ua, b.user_id AS ub, CAST(sum(a.n*b.n) AS BIGINT) AS dot
        |  FROM cnt a JOIN cnt b ON a.event_type = b.event_type AND a.user_id <> b.user_id
+       |  WHERE a.user_id IN (SELECT user_id FROM qsel)
        |  GROUP BY 1, 2
        |), scored AS (
        |  SELECT d.ua, d.ub,

@@ -270,6 +270,10 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // a source that listed zero files would leave cur null — fail loudly
+    // naming the cause rather than NPE-ing inside the parquet reader
+    require(cur.get != null,
+      s"streamMvMerge: the events stream under $dir produced no micro-batches")
     graft.operators.EventsOps.mvFinish(spark.read.parquet(cur.get))
   }
 

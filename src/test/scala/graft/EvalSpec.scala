@@ -68,6 +68,44 @@ class EvalSpec extends SparkSpec {
     assert(badRanks == 0)
   }
 
+  test("gridRank decile formula equals ntile(10) including the remainder case") {
+    // the sf fixtures have row counts divisible by 10, so they never exercise
+    // ntile's unequal-bucket remainder (larger buckets first) — pin it on
+    // n = 1003 with duplicate x values (ties broken by event_id, as in the op)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 1003).map(i => ((i * 7) % 50).toLong -> i.toLong)
+      .toDF("x", "event_id")
+    // the op's exact ntile identity with n=1003, k=10 (q=100, rem=3)
+    val ntileExpr =
+      """CASE WHEN r <= (1003 % 10) * (1003 div 10 + 1)
+        |     THEN (r - 1) div (1003 div 10 + 1)
+        |     ELSE (1003 % 10) + (r - (1003 % 10) * (1003 div 10 + 1) - 1) div (1003 div 10)
+        |END""".stripMargin
+    val wd = Window.orderBy(col("x").desc, col("event_id").asc)
+    val viaNtile = df.withColumn("d", ntile(10).over(wd))
+      .groupBy("d").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the gridRank route: global r by (x desc, event_id), then the formula
+    val gw = Window.orderBy(col("x").desc)
+    val grid = df.groupBy("x").agg(count(lit(1)).as("t"))
+      .withColumn("cb", coalesce(
+        sum(col("t")).over(gw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("x", "cb")
+    val iw = Window.partitionBy("x").orderBy(col("event_id").asc)
+    val viaFormula = df.join(grid, "x")
+      .withColumn("r", col("cb") + row_number().over(iw).cast("long"))
+      .withColumn("d", (expr(ntileExpr) + 1L).cast("int"))
+      .groupBy("d").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(viaFormula == viaNtile)
+    // per-row equality, not just bucket sizes
+    val a = df.withColumn("d", ntile(10).over(wd)).select("event_id", "d")
+    val b = df.join(grid, "x")
+      .withColumn("r", col("cb") + row_number().over(iw).cast("long"))
+      .withColumn("d", (expr(ntileExpr) + 1L).cast("int"))
+      .select("event_id", "d")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("heavy hitters output equals the brute-force recount") {
     val got = EvalOps.heavyHitters(spark, sf)
       .select("user_id", "n_events").collect()
