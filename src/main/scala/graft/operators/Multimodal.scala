@@ -110,6 +110,72 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Real-codec AUDIO decoder: `javax.sound.sampled` WAV decode (JDK
+    * built-in). The fixture is 8-bit UNSIGNED mono PCM, so each decoded
+    * sample is exactly one payload byte (0..255) — the WAV round-trip is
+    * lossless and the oracle replays the sample stream from the LCG closed
+    * form, same stance as [[ImageIoDecoder]]. Fails loudly on undecodable
+    * payloads.
+    */
+  object WavDecoder extends MediaDecoder {
+    def decode(row: MediaRow): MediaFeatures = {
+      val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(row.payload))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"media_id=${row.media_id}: payload is not a decodable WAV", e)
+      }
+      val samples =
+        try in.readAllBytes()
+        finally in.close()
+      sampleStats(row, samples.length, i => samples(i) & 0xff)
+    }
+  }
+
+  /** WAV fixture geometry: [[WavSamples]] 8-bit samples per clip at 8 kHz. */
+  val WavSamples = 4000
+  val WavN = 48L
+
+  /** WAV corpus: each clip's 8-bit unsigned PCM samples are the SAME LCG
+    * stream as [[mediaTable]]'s payload bytes, encoded through the real
+    * `javax.sound.sampled` WAV writer — [[WavDecoder]]'s sample statistics
+    * must equal the closed-form LCG statistics the oracle computes.
+    */
+  def wavMediaTable(spark: SparkSession, n: Long = WavN): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { ids =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        8000f, 8, 1, 1, 8000f, false)
+      ids.map { id =>
+        val pcm = new Array[Byte](WavSamples)
+        var x = (id * 40503 + 12345) % 2147483648L
+        var i = 0
+        while (i < WavSamples) {
+          x = (x * 69069 + 12345) % 2147483648L
+          pcm(i) = ((x >>> 8) & 255L).toByte
+          i += 1
+        }
+        val stream = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, WavSamples.toLong)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        MediaRow(id, "audio", 0, 0, baos.toByteArray)
+      }
+    }.toDF()
+  }
+
+  /** Real-codec audio feature extraction: `javax.sound.sampled` decodes the
+    * WAV corpus per partition, oracle-checked against the LCG sample stream.
+    */
+  def wavFeatures(spark: SparkSession, n: Long = WavN): DataFrame = {
+    import spark.implicits._
+    wavMediaTable(spark, n).as[MediaRow]
+      .mapPartitions(_.map(WavDecoder.decode)).toDF()
+  }
+
   /** PNG fixture geometry: [[PngW]]×[[PngH]] gray pixels per image. */
   val PngW = 64
   val PngH = 48
@@ -239,6 +305,7 @@ object Multimodal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> ((s, _) => extractFeatures(s).orderBy("media_id")),
     "media_png_features" -> ((s, _) => pngFeatures(s).orderBy("media_id")),
+    "media_wav_features" -> ((s, _) => wavFeatures(s).orderBy("media_id")),
     "media_frame_sample" -> ((s, _) => frameSample(s).orderBy("media_id", "frame_id")),
     "media_kind_stats" -> ((s, _) => kindStats(s).orderBy("kind")),
     "media_payload_dedup" -> ((s, _) => payloadDedup(s).orderBy("media_id"))
@@ -318,6 +385,18 @@ object Multimodal {
          |ORDER BY media_id""".stripMargin,
     "media_features" -> (featuresSql(64, 4096) +
       " SELECT * FROM features ORDER BY media_id"),
+    // the real-codec audio query: 8-bit unsigned PCM WAV is lossless, so the
+    // decoded sample stream must equal the LCG closed form byte-for-byte
+    "media_wav_features" ->
+      s"""WITH ${bytesSql(WavN, WavSamples)},
+         |features AS (
+         |  SELECT media_id, 'audio' AS kind, CAST($WavSamples AS INT) AS n_bytes,
+         |         CAST(sum(b) AS DOUBLE) / $WavSamples.0e0 AS mean_byte,
+         |         CAST(max(b) AS INT) AS max_byte,
+         |         CAST(sum((i + 1) * b) AS BIGINT) AS checksum
+         |  FROM bytes GROUP BY 1, 2
+         |)
+         |SELECT * FROM features ORDER BY media_id""".stripMargin,
     // the real-codec query: the PNG writer/reader round-trip is lossless, so
     // the decoded pixel stream must equal the LCG closed form byte-for-byte
     "media_png_features" ->

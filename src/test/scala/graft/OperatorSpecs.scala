@@ -517,6 +517,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WavDecoder runs a real WAV codec and recovers the exact LCG samples") {
+    // 8-bit unsigned PCM is lossless through javax.sound.sampled, so the
+    // decoded sample stats must equal the generator-stream stats per clip
+    val real = Multimodal.wavFeatures(spark).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(real.size == Multimodal.WavN)
+    val n = Multimodal.WavSamples
+    (0L until Multimodal.WavN).foreach { id =>
+      var x = (id * 40503 + 12345) % 2147483648L
+      var sum = 0L; var mx = 0; var ck = 0L
+      var i = 0
+      while (i < n) {
+        x = (x * 69069 + 12345) % 2147483648L
+        val b = ((x >>> 8) & 255L).toInt
+        sum += b; if (b > mx) mx = b; ck += (i + 1).toLong * b
+        i += 1
+      }
+      val r = real(id)
+      assert(r.getInt(2) == n)
+      assert(math.abs(r.getDouble(3) - sum.toDouble / n) < 1e-12)
+      assert(r.getInt(4) == mx)
+      assert(r.getLong(5) == ck)
+    }
+  }
+
+  test("WavDecoder fails loudly on non-audio payloads") {
+    val ex = intercept[org.apache.spark.SparkException] {
+      import spark.implicits._
+      Multimodal.mediaTable(spark, 4).as[Multimodal.MediaRow]
+        .mapPartitions(_.map(Multimodal.WavDecoder.decode)).toDF().collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("both MediaDecoder implementations run through the same pipeline shape") {
     val byByte = Multimodal.extractFeatures(spark, 16, Multimodal.ByteStatsDecoder)
     assert(byByte.count() == 16)
