@@ -176,6 +176,46 @@ object Multimodal {
       .mapPartitions(_.map(WavDecoder.decode)).toDF()
   }
 
+  /** Samples per analysis frame for [[wavFrameFeatures]]. */
+  val WavFrameLen = 400
+
+  /** Frame-level audio features over the REAL-codec decode — the
+    * feature-extract stage an audio pipeline runs after the container
+    * parse: per [[WavFrameLen]]-sample frame, the energy Σ(s−128)² and the
+    * zero-crossing count (sign changes around the unsigned-PCM midpoint,
+    * within-frame only). All integer arithmetic over losslessly recovered
+    * samples, so the oracle recomputes both from the LCG closed form.
+    * Narrow per-partition pass: payloads never shuffle, only the
+    * (media_id, frame, features) rows move.
+    */
+  def wavFrameFeatures(spark: SparkSession, n: Long = WavN): DataFrame = {
+    import spark.implicits._
+    wavMediaTable(spark, n).as[MediaRow].flatMap { row =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(row.payload))
+      val s = try in.readAllBytes() finally in.close()
+      (0 until s.length / WavFrameLen).map { f =>
+        var energy = 0L
+        var zcr = 0L
+        var i = f * WavFrameLen
+        val end = i + WavFrameLen
+        var prevHi = false
+        var first = true
+        while (i < end) {
+          val v = s(i) & 0xff
+          val d = (v - 128).toLong
+          energy += d * d
+          val hi = v >= 128
+          if (!first && hi != prevHi) zcr += 1
+          prevHi = hi
+          first = false
+          i += 1
+        }
+        (row.media_id, f, WavFrameLen, energy, zcr)
+      }
+    }.toDF("media_id", "frame_id", "n_samples", "energy", "zcr")
+  }
+
   /** PNG fixture geometry: [[PngW]]×[[PngH]] gray pixels per image. */
   val PngW = 64
   val PngH = 48
@@ -306,6 +346,7 @@ object Multimodal {
     "media_features" -> ((s, _) => extractFeatures(s).orderBy("media_id")),
     "media_png_features" -> ((s, _) => pngFeatures(s).orderBy("media_id")),
     "media_wav_features" -> ((s, _) => wavFeatures(s).orderBy("media_id")),
+    "media_wav_frames" -> ((s, _) => wavFrameFeatures(s).orderBy("media_id", "frame_id")),
     "media_frame_sample" -> ((s, _) => frameSample(s).orderBy("media_id", "frame_id")),
     "media_kind_stats" -> ((s, _) => kindStats(s).orderBy("kind")),
     "media_payload_dedup" -> ((s, _) => payloadDedup(s).orderBy("media_id"))
@@ -397,6 +438,18 @@ object Multimodal {
          |  FROM bytes GROUP BY 1, 2
          |)
          |SELECT * FROM features ORDER BY media_id""".stripMargin,
+    "media_wav_frames" ->
+      s"""WITH ${bytesSql(WavN, WavSamples)},
+         |lagged AS (
+         |  SELECT media_id, CAST(i // $WavFrameLen AS INT) AS frame_id, b,
+         |         lag(b) OVER (PARTITION BY media_id, i // $WavFrameLen ORDER BY i) AS pb
+         |  FROM bytes
+         |)
+         |SELECT media_id, frame_id, CAST($WavFrameLen AS INT) AS n_samples,
+         |       CAST(sum((b - 128) * (b - 128)) AS BIGINT) AS energy,
+         |       CAST(sum(CASE WHEN pb IS NOT NULL AND ((b >= 128) <> (pb >= 128))
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+         |FROM lagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the real-codec query: the PNG writer/reader round-trip is lossless, so
     // the decoded pixel stream must equal the LCG closed form byte-for-byte
     "media_png_features" ->
