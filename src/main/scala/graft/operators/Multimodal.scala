@@ -176,6 +176,86 @@ object Multimodal {
       .mapPartitions(_.map(WavDecoder.decode)).toDF()
   }
 
+  /** GIF fixture geometry: [[GifFrames]] frames of [[GifW]]×[[GifH]] gray
+    * pixels per clip. */
+  val GifW = 32
+  val GifH = 24
+  val GifFrames = 8
+  val GifN = 24L
+
+  /** Multi-frame GIF corpus — the VIDEO-shaped rung with a REAL container
+    * codec: the JDK ships no video decoder, but animated GIF is a genuine
+    * multi-frame container the `javax.imageio` writer/reader handle natively,
+    * and a 256-level gray palette makes the round-trip LOSSLESS. Frames
+    * carry one continuing LCG pixel stream per clip, so frame extraction is
+    * oracle-checkable against the closed form (frame = i div W·H).
+    */
+  def gifMediaTable(spark: SparkSession, n: Long = GifN): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val baos = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var x = (id * 40503 + 12345) % 2147483648L
+        var f = 0
+        while (f < GifFrames) {
+          val img = new java.awt.image.BufferedImage(
+            GifW, GifH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var j = 0
+          while (j < GifW * GifH) {
+            x = (x * 69069 + 12345) % 2147483648L
+            raster.setSample(j % GifW, j / GifW, 0, ((x >>> 8) & 255L).toInt)
+            j += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        writer.dispose()
+        MediaRow(id, "video", GifW, GifH, baos.toByteArray)
+      }
+    }.toDF()
+  }
+
+  /** Real-container frame extraction: the `javax.imageio` GIF reader parses
+    * the multi-frame container per partition and each frame's gray values
+    * are read through getRGB (palette-order independent), giving exact
+    * per-frame statistics the oracle replays from the LCG stream. Narrow:
+    * payloads never shuffle.
+    */
+  def gifFrameStats(spark: SparkSession, n: Long = GifN): DataFrame = {
+    import spark.implicits._
+    gifMediaTable(spark, n).as[MediaRow].flatMap { row =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(row.payload))
+      reader.setInput(iis)
+      val frames =
+        try {
+          val num = reader.getNumImages(true)
+          (0 until num).map { f =>
+            val img = reader.read(f)
+            var sum = 0L; var mx = 0; var ck = 0L
+            var j = 0
+            val w = img.getWidth
+            val np = w * img.getHeight
+            while (j < np) {
+              val v = img.getRGB(j % w, j / w) & 0xff // gray: R=G=B
+              sum += v; if (v > mx) mx = v; ck += (j + 1).toLong * v
+              j += 1
+            }
+            (row.media_id, f, np, sum.toDouble / np, mx, ck)
+          }
+        } finally { reader.dispose(); iis.close() }
+      frames
+    }.toDF("media_id", "frame_id", "n_pixels", "mean_px", "max_px", "checksum")
+  }
+
   /** Samples per analysis frame for [[wavFrameFeatures]]. */
   val WavFrameLen = 400
 
@@ -347,6 +427,7 @@ object Multimodal {
     "media_png_features" -> ((s, _) => pngFeatures(s).orderBy("media_id")),
     "media_wav_features" -> ((s, _) => wavFeatures(s).orderBy("media_id")),
     "media_wav_frames" -> ((s, _) => wavFrameFeatures(s).orderBy("media_id", "frame_id")),
+    "media_gif_frames" -> ((s, _) => gifFrameStats(s).orderBy("media_id", "frame_id")),
     "media_frame_sample" -> ((s, _) => frameSample(s).orderBy("media_id", "frame_id")),
     "media_kind_stats" -> ((s, _) => kindStats(s).orderBy("kind")),
     "media_payload_dedup" -> ((s, _) => payloadDedup(s).orderBy("media_id"))
@@ -438,6 +519,20 @@ object Multimodal {
          |  FROM bytes GROUP BY 1, 2
          |)
          |SELECT * FROM features ORDER BY media_id""".stripMargin,
+    // real multi-frame container: gray-palette GIF round-trips losslessly,
+    // so per-frame stats must equal the closed-form LCG stream per frame
+    "media_gif_frames" ->
+      s"""WITH ${bytesSql(GifN, GifFrames * GifW * GifH)},
+         |pf AS (
+         |  SELECT media_id, CAST(i // ${GifW * GifH} AS INT) AS frame_id,
+         |         i % ${GifW * GifH} AS j, b
+         |  FROM bytes
+         |)
+         |SELECT media_id, frame_id, CAST(${GifW * GifH} AS INT) AS n_pixels,
+         |       CAST(sum(b) AS DOUBLE) / ${GifW * GifH}.0e0 AS mean_px,
+         |       CAST(max(b) AS INT) AS max_px,
+         |       CAST(sum((j + 1) * b) AS BIGINT) AS checksum
+         |FROM pf GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "media_wav_frames" ->
       s"""WITH ${bytesSql(WavN, WavSamples)},
          |lagged AS (

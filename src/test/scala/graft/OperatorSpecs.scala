@@ -542,6 +542,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GIF container round-trip recovers exact per-frame LCG pixels") {
+    val got = Multimodal.gifFrameStats(spark).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    assert(got.size == Multimodal.GifN * Multimodal.GifFrames)
+    val perFrame = Multimodal.GifW * Multimodal.GifH
+    (0L until Multimodal.GifN).foreach { id =>
+      var x = (id * 40503 + 12345) % 2147483648L
+      (0 until Multimodal.GifFrames).foreach { f =>
+        var sum = 0L; var mx = 0; var ck = 0L
+        var j = 0
+        while (j < perFrame) {
+          x = (x * 69069 + 12345) % 2147483648L
+          val b = ((x >>> 8) & 255L).toInt
+          sum += b; if (b > mx) mx = b; ck += (j + 1).toLong * b
+          j += 1
+        }
+        val r = got((id, f))
+        assert(r.getInt(2) == perFrame)
+        assert(r.getInt(4) == mx)
+        assert(r.getLong(5) == ck, s"clip $id frame $f checksum")
+      }
+    }
+  }
+
   test("WavDecoder fails loudly on non-audio payloads") {
     val ex = intercept[org.apache.spark.SparkException] {
       import spark.implicits._
