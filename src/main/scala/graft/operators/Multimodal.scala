@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
   * Decoding is pluggable ([[MediaDecoder]]): the same per-partition pipeline
   * runs [[ByteStatsDecoder]] (statistics over the raw byte stream — the
   * deterministic implementation whose output the DuckDB oracle replays from
-  * the LCG closed form) and [[ImageIoDecoder]], a REAL codec: `javax.imageio`
-  * PNG decode, pixel-domain statistics. Because the PNG fixture encodes
-  * LCG-generated gray pixels LOSSLESSLY, the real-codec path is oracle-checked
-  * too — the SQL twin recomputes the pixel stream the codec must recover
-  * byte-for-byte, so a decode bug (wrong raster order, color management,
-  * truncation) is a hash mismatch, not a silent drift.
+  * the LCG closed form) and three REAL JDK codecs — [[ImageIoDecoder]]
+  * (`javax.imageio` PNG, pixel stats), [[WavDecoder]] (`javax.sound.sampled`
+  * 8-bit PCM WAV, sample stats + frame energy/ZCR), and the multi-frame GIF
+  * container reader ([[gifFrameStats]]). Each fixture encodes LCG-generated
+  * data through a LOSSLESS round-trip, so every real-codec path is
+  * oracle-checked: the SQL twin recomputes the stream the codec must recover
+  * byte-for-byte, and a decode bug (wrong raster order, color management,
+  * truncation, frame order) is a hash mismatch, not a silent drift.
   *
   * Scale: payloads never shuffle — decode/feature-extract are narrow
   * per-partition passes; only the small (media_id, feature) projections move.
@@ -64,8 +66,8 @@ object Multimodal {
 
   /** Byte-domain decoder: statistics straight over the payload bytes. This is
     * the deterministic implementation the oracle replays via the LCG closed
-    * form — and the honest stand-in for codecs this container lacks (audio/
-    * video libraries): the Spark-side batch shape is identical either way.
+    * form — and the stand-in for formats with no JDK codec (e.g. real video
+    * bitstreams): the Spark-side batch shape is identical either way.
     */
   object ByteStatsDecoder extends MediaDecoder {
     def decode(row: MediaRow): MediaFeatures =
