@@ -11,7 +11,9 @@ object ExplainAudit {
     val sf = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "tpch_q1", "tpch_q5", "diff_sample_cond", "diff_sample_inpaint",
-      "ts_decompose_dim", "media_features", "dedup_minhash_sig", "gen_parity")
+      "ts_decompose_dim", "media_features", "dedup_minhash_sig", "gen_parity",
+      "events_user_similarity_blocked", "events_calibration",
+      "diff_forecast_rollout", "media_gif_frames")
     names.foreach { n =>
       println(s"========== $n ==========")
       println(SparkEntry.queries(n)(spark, sf).queryExecution.explainString(
