@@ -98,9 +98,15 @@ object GenSf1 {
     write("documents", replicate(Tables.documents(spark, srcDir), Replicas) { (df, r) =>
       val txt = if (r == 0) col("text")
       else regexp_replace(col("text"), "(\\S+)", s"$$1x$r")
+      // n_chars from the REPLACED column, not the unresolved expression:
+      // re-using `txt` after the text withColumn would re-resolve col("text")
+      // against the already-suffixed text and apply the suffix twice, so
+      // n_chars = length(text) + n_words·(1+len(r)) — breaking the
+      // n_chars == length(text) invariant the documents queries rely on
+      // (ADVICE r8 medium).
       df.withColumn("doc_id", col("doc_id") + lit(r * DK))
         .withColumn("text", txt)
-        .withColumn("n_chars", length(txt))
+        .withColumn("n_chars", length(col("text")))
     })
     write("embeddings", replicate(Tables.embeddings(spark, srcDir), Replicas) { (df, r) =>
       val emb = if (r == 0) col("embedding")

@@ -72,7 +72,15 @@ object Tables {
     * selecting only that file.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val isDir = new java.io.File(s"$dir/events.parquet").isDirectory
+    // probe through Hadoop's FileSystem, not java.io.File: a non-local dir
+    // (HDFS/S3 URI) is invisible to File.isDirectory, which would silently
+    // fall back to the glob form and list zero files — the exact failure
+    // this dir probe exists to prevent (ADVICE r8).
+    val probe = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = probe.getFileSystem(spark.sessionState.newHadoopConf())
+    val isDir =
+      try fs.getFileStatus(probe).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
     val base = if (isDir) s"$dir/events.parquet" else dir
     def src(schema: StructType): DataFrame = {
       val r = spark.readStream.schema(schema)

@@ -765,7 +765,11 @@ object EvalOps {
     val dot = types.map(t => col(s"a_$t") * col(s"b_$t")).reduce(_ + _)
     val n2a = types.map(t => col(s"a_$t") * col(s"a_$t")).reduce(_ + _)
     val n2b = types.map(t => col(s"b_$t") * col(s"b_$t")).reduce(_ + _)
-    val scored = a.crossJoin(broadcast(b))
+    // broadcast the BOUNDED side: `a` is the ≤ UserSimRecallMaxQ query panel
+    // (plan-time-capped by the limit above); `b` is the full per-user pivot,
+    // which grows with corpus size and must stay on the scanned side or the
+    // broadcast OOMs at 100× users (VERDICT r8 finding #1).
+    val scored = b.crossJoin(broadcast(a))
       .filter(col("ua") =!= col("ub"))
       // drop zero-overlap pairs (dot = 0): the oracle's inner join on
       // event_type never produces them, and on sparse data a flood of
@@ -909,10 +913,14 @@ object EvalOps {
       .join(cnt.select(col("user_id").as("ub"), col("event_type"), col("n").as("nb")),
         Seq("ub", "event_type"))
       .groupBy("ua", "ub").agg(sum(col("na") * col("nb")).as("dot"))
+    // no broadcast hint on norms: it has one row per USER, so its size scales
+    // with the base table (VERDICT r8 finding #2). AQE picks broadcast when
+    // the runtime size is actually small; at scale this stays a shuffle join
+    // keyed by the already-bounded candidate set.
     val norms = sigs.select(col("user_id"), col("nrm2"))
     val scored = dots
-      .join(broadcast(norms.select(col("user_id").as("ua"), col("nrm2").as("n2a"))), "ua")
-      .join(broadcast(norms.select(col("user_id").as("ub"), col("nrm2").as("n2b"))), "ub")
+      .join(norms.select(col("user_id").as("ua"), col("nrm2").as("n2a")), "ua")
+      .join(norms.select(col("user_id").as("ub"), col("nrm2").as("n2b")), "ub")
       .withColumn("cos", r6(col("dot").cast("double") /
         sqrt(col("n2a").cast("double") * col("n2b").cast("double"))))
     val w = Window.partitionBy("ua").orderBy(desc("cos"), asc("ub"))

@@ -354,7 +354,9 @@ object OpqOps {
       .agg(max(when(col("rank") === 1, col("dist"))).as("d1"),
         max(when(col("rank") === 2, col("dist"))).as("d2"))
       .filter(col("d1") > 0.0)
-      .join(broadcast(labels), "qid")
+      // no broadcast hint: labels is vec_id-sized (scales with the corpus)
+      // while piv is ≤ NumQueries rows — AQE broadcasts the SMALL side.
+      .join(labels, "qid")
       .select(col("qlabel"), fx(log(col("d2") / col("d1")), 12).as("lr"))
     piv.groupBy("qlabel")
       .agg(count(lit(1)).as("n_points"), sum(col("lr")).as("slr"))

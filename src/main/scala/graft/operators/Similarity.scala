@@ -222,13 +222,17 @@ object Similarity {
     * assignments match the oracle's windowed argmin exactly.
     */
   private def assignLit(cent: Seq[(Int, Seq[Double])]): Column = {
-    // (dist, c) pairs as 2-element arrays: array_min is lexicographic, so the
-    // minimum is (min dist, lowest c) — the deterministic tiebreak; c ≤ 16 is
-    // exact in double
-    val pairs = cent.map { case (c, w) =>
-      array(r6(l2_sq(col("v"), typedLit(w))), lit(c.toDouble))
-    }
-    array_min(array(pairs: _*)).getItem(1).cast("int")
+    // One fused kernel instead of k separate 64-literal l2_sq trees: PqCodes
+    // with a single slice (m = 0, subDim = Dim) IS nearest-centroid — same
+    // r6 floor-rounding, and its strict `<` over (m, c)-sorted entries keeps
+    // the LOWEST c on ties, exactly the old array_min (dist, c) lexicographic
+    // tiebreak. The k-tree literal fold cost ~2 s of Catalyst analysis +
+    // Janino compile PER PLAN (the BqPack lesson), which multiplied by the
+    // Lloyd iterations made the sf1 fit 40×; the kernel's centroids are one
+    // flat reference object, so plan build is constant.
+    val dim = cent.head._2.length
+    graft.plans.VectorFunctions.pq_codes(col("v"), dim,
+      cent.map { case (c, w) => (0, c, w) }).getItem(0)
   }
 
   /** Lloyd iterations with driver-folded centroids: each iteration is ONE
@@ -1279,10 +1283,12 @@ object Similarity {
     * same brute-force ranking; the label table joins twice on ids only.
     */
   def labelPrecision(spark: SparkSession, dir: String): DataFrame = {
+    // no broadcast hint on labels: it is vec_id-sized (scales with the base
+    // table). The ranked side is NumQueries×TopK rows — AQE broadcasts THAT.
     val labels = emb(spark, dir).select(col("vec_id"), col("label"))
     bruteForceTopK(spark, dir)
-      .join(broadcast(labels.select(col("vec_id").as("qid"), col("label").as("qlabel"))), "qid")
-      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel"))),
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("qlabel")), "qid")
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")),
         "neighbor_id")
       .groupBy("qid", "qlabel")
       .agg(count(lit(1)).as("k"),
@@ -1313,17 +1319,18 @@ object Similarity {
     * hull. Same brute-force ranking; labels join on ids only.
     */
   def knnAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    // labels is vec_id-sized — no broadcast hint (see labelPrecision)
     val labels = emb(spark, dir).select(col("vec_id"), col("label"))
     val votes = bruteForceTopK(spark, dir)
-      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
-        col("label").as("nlabel"))), "neighbor_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), "neighbor_id")
       .groupBy("qid", "nlabel").agg(count(lit(1)).as("v"))
     val wV = Window.partitionBy("qid").orderBy(desc("v"), asc("nlabel"))
     val pred = votes.withColumn("rk", row_number().over(wV))
       .filter(col("rk") === 1)
       .select(col("qid"), col("nlabel").as("pred"))
-    pred.join(broadcast(labels.select(col("vec_id").as("qid"),
-        col("label").as("qlabel"))), "qid")
+    pred.join(labels.select(col("vec_id").as("qid"),
+        col("label").as("qlabel")), "qid")
       .groupBy("qlabel")
       .agg(count(lit(1)).as("n_queries"),
         sum(when(col("pred") === col("qlabel"), 1L).otherwise(0L)).as("n_correct"))
@@ -1367,12 +1374,13 @@ object Similarity {
     * brute-force ranking; labels join on ids only.
     */
   def tripletMargin(spark: SparkSession, dir: String): DataFrame = {
+    // labels is vec_id-sized — no broadcast hint (see labelPrecision)
     val labels = emb(spark, dir).select(col("vec_id"), col("label"))
     val ranked = bruteForceTopK(spark, dir)
-      .join(broadcast(labels.select(col("vec_id").as("qid"),
-        col("label").as("qlabel"))), "qid")
-      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
-        col("label").as("nlabel"))), "neighbor_id")
+      .join(labels.select(col("vec_id").as("qid"),
+        col("label").as("qlabel")), "qid")
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), "neighbor_id")
     def nearest(sameLabel: Boolean, as: String) = {
       val f = if (sameLabel) col("nlabel") === col("qlabel")
               else col("nlabel") =!= col("qlabel")

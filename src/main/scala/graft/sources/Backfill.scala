@@ -33,7 +33,15 @@ object Backfill {
   private def writeAndBackfill(spark: SparkSession, dir: String): Unit = {
     val loc = location(spark).toString
     val ev = withDate(Tables.events(spark, dir))
-    ev.write.partitionBy("event_date").mode("overwrite").parquet(loc)
+    // pre-chunk the initial full write in (date, id) range order — the bare
+    // partitionBy write makes EVERY task emit one file per date it holds
+    // (tasks × dates small files, the sf1 rehearsal's 16× cost for 10× data);
+    // range chunks keep same-date rows contiguous so per-date file count
+    // stays ~date_rows/chunk, byte-ceilinged like the compactor's
+    val nChunks = FileSizing.boundedChunks(ev.count(),
+      FileSizing.bytesAt(spark, s"$dir/events.parquet"), Compaction.TargetFileRows)
+    ev.repartitionByRange(nChunks, col("event_date"), col("event_id"))
+      .write.partitionBy("event_date").mode("overwrite").parquet(loc)
     val corrected = ev.filter(col("event_date") === lit(BackfillDate).cast("date"))
       .withColumn("value", col("value") * 2.0)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

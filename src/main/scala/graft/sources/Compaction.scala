@@ -65,21 +65,27 @@ object Compaction {
       .mode("overwrite").parquet(fragmentedLocation(spark).toString)
 
   /** The size-targeted compaction pass itself, reusable at any target: one
-    * count as the stats pass, then equal-frequency range chunks in
-    * (event_date, event_id) order so files are right-sized AND same-date
-    * rows stay contiguous.
+    * count + one listing as the stats pass, then equal-frequency range chunks
+    * in (event_date, event_id) order so files are right-sized AND same-date
+    * rows stay contiguous. Chunk count is row-targeted at fixture scale and
+    * BYTE-ceilinged past it ([[FileSizing.boundedChunks]]) — the unbounded
+    * row form cut rows/target tasks and went 22× for 10× data at the sf1
+    * rehearsal; with the ceiling, task/file count tracks data VOLUME.
     */
-  private[graft] def compactTo(frag: DataFrame, location: String, targetRows: Long): Unit = {
+  private[graft] def compactTo(frag: DataFrame, location: String, targetRows: Long,
+                               sourceBytes: Long): Unit = {
     val total = frag.count()
-    val nChunks = math.max(1L, (total + targetRows - 1) / targetRows).toInt
+    val nChunks = FileSizing.boundedChunks(total, sourceBytes, targetRows)
     frag.repartitionByRange(nChunks, col("event_date"), col("event_id"))
       .write.partitionBy("event_date")
       .mode("overwrite").parquet(location)
   }
 
-  private def writeCompacted(spark: SparkSession): Unit =
-    compactTo(spark.read.parquet(fragmentedLocation(spark).toString),
-      compactedLocation(spark).toString, TargetFileRows)
+  private def writeCompacted(spark: SparkSession): Unit = {
+    val fragLoc = fragmentedLocation(spark).toString
+    compactTo(spark.read.parquet(fragLoc), compactedLocation(spark).toString,
+      TargetFileRows, FileSizing.bytesAt(spark, fragLoc))
+  }
 
   private def ensureLayouts(spark: SparkSession, dir: String): Unit = {
     WriteOnce.ensure(fragmentedLocation(spark).toString, dir)(writeFragmented(spark, dir))

@@ -84,15 +84,25 @@ object ZOrder {
   private[graft] def rankBucket(c: Column, bounds: Seq[Double]): Column =
     bounds.map(b => when(c > lit(b), lit(1L)).otherwise(lit(0L))).reduceLeft(_ + _)
 
+  /** Past this many rows the stats pass switches from exact quantiles
+    * (deterministic boundaries — what ZOrderSpec's must-open-rows assertions
+    * need at fixture scale) to Greenwald-Khanna with a small relativeError:
+    * relativeError=0.0 forces the EXACT algorithm, whose cost grows with
+    * distinct-value count and was part of the sf1 write's super-linear bill.
+    * Rank buckets only need boundaries good to ~1/256 of the rank range, so
+    * ε=0.001 is an order of magnitude finer than the layout can even use.
+    */
+  val ExactQuantileMaxRows = 200000L
+
   /** One stats pass: the interior quantile boundaries of both dimensions
     * (a bounded 2×15-double collect, like the IVF centroid fold).
     */
-  private def dimBounds(df: DataFrame): (Seq[Double], Seq[Double]) = {
+  private def dimBounds(df: DataFrame, relativeError: Double): (Seq[Double], Seq[Double]) = {
     val probs = (1 until (1 << Bits)).map(_.toDouble / (1 << Bits)).toArray
     val qs = df
       .select(col("user_id").cast("double").as("u"),
         unix_micros(col("ts")).cast("double").as("t"))
-      .stat.approxQuantile(Array("u", "t"), probs, 0.0)
+      .stat.approxQuantile(Array("u", "t"), probs, relativeError)
     (qs(0).toSeq, qs(1).toSeq)
   }
 
@@ -107,7 +117,8 @@ object ZOrder {
     * not a looser cut.
     */
   private[graft] def zOrderTo(df: DataFrame, location: String, nFiles: Int): Unit = {
-    val (uBounds, tBounds) = dimBounds(df)
+    val err = if (df.count() <= ExactQuantileMaxRows) 0.0 else 0.001
+    val (uBounds, tBounds) = dimBounds(df, err)
     df.withColumn("zkey", mortonInterleave(
         rankBucket(col("user_id").cast("double"), uBounds),
         rankBucket(unix_micros(col("ts")).cast("double"), tBounds)))
@@ -117,8 +128,16 @@ object ZOrder {
       .write.mode("overwrite").parquet(location)
   }
 
-  private def writeZOrdered(spark: SparkSession, dir: String): Unit =
-    zOrderTo(Tables.events(spark, dir), location(spark).toString, NumFiles)
+  private def writeZOrdered(spark: SparkSession, dir: String): Unit = {
+    // file count = max(demo floor, byte target): the fixed 8-file form is the
+    // fixture's box-skipping demo; past ~8 byte-targets of data the count
+    // grows with volume so files stay right-sized (and with it, write
+    // parallelism — 8 tasks for 10× data was part of the sf1 22×)
+    val nFiles = math.max(NumFiles,
+      (FileSizing.bytesAt(spark, s"$dir/events.parquet") /
+        FileSizing.TargetFileBytes).toInt)
+    zOrderTo(Tables.events(spark, dir), location(spark).toString, nFiles)
+  }
 
   def ensureZOrdered(spark: SparkSession, dir: String): Unit =
     WriteOnce.ensure(location(spark).toString, dir)(writeZOrdered(spark, dir))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.Compaction
+import graft.sources.{Compaction, FileSizing}
 import org.apache.spark.sql.functions._
 
 class CompactionSpec extends SparkSpec {
@@ -44,7 +44,8 @@ class CompactionSpec extends SparkSpec {
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), "graft_events_compacted_small").toString
     Compaction.compactTo(
-      spark.read.parquet(Compaction.fragmentedLocation(spark).toString), loc, target)
+      spark.read.parquet(Compaction.fragmentedLocation(spark).toString), loc, target,
+      FileSizing.bytesAt(spark, Compaction.fragmentedLocation(spark).toString))
     val files = Compaction.perFileRows(spark, loc).cache()
 
     // band holds at this target too …

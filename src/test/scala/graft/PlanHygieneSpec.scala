@@ -27,6 +27,102 @@ class PlanHygieneSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  /** No `broadcast()` hint may sit on a subtree whose row count scales with
+    * base-table rows (VERDICT r8 findings #1/#2: a corpus-sized pivot and
+    * user-sized norms were hint-broadcast — correct at sf0.1, OOM at 100×).
+    * Planner/AQE-chosen broadcasts are size-adaptive and safe by definition;
+    * the structural hazard is exactly the EXPLICIT hint, which forces the
+    * exchange at any scale. Sweep: every ResolvedHint(BROADCAST) child in
+    * every registered query's analyzed plan must be plan-time bounded —
+    *   (a) a Limit somewhere in the subtree (top-k panels, query samples),
+    *   (b) a grand-total aggregate (groupingExpressions.isEmpty — 1-row
+    *       stats, thresholds),
+    *   (c) a literal upper bound on an `*_id` column (the `vec_id < 100`
+    *       ANN query-panel convention),
+    *   (d) no fact-table scan and no checkpointed RDD among its leaves
+    *       (dimension tables, spark.range grids, literal schedules) —
+    *       LogicalRDD is treated as fact-like because localCheckpoint erases
+    *       provenance, so anything derived from a checkpoint must re-bound
+    *       itself via the other rules,
+    *   (e) an Aggregate or Deduplicate whose keys are all VOCABULARY-shaped
+    *       (no `*_id`/`*key` attribute): event types, words, labels, score
+    *       grids, days — key spaces bounded by the domain, not by row count.
+    *       An id-keyed aggregate keeps one row per ENTITY and entities scale
+    *       with the data, so ids disqualify,
+    * or the query is in the documented whitelist below.
+    */
+  test("no broadcast hint on a subtree that scales with base-table rows") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+    val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
+    // Broadcast panels the rules above cannot see structurally but whose
+    // bound is by construction. Each entry names why. (Keep this list SHORT:
+    // a new offender should first try to express its bound via (a)-(e).)
+    val whitelist: Map[String, String] = Map(
+      // itemN / deg: one row per part (catalog entity) of the co-purchase
+      // graph — bounded by the catalog, keyed by p/node/u (id-shaped)
+      "items_cf_topk" -> "item marginals keyed by p_partkey (catalog)",
+      "graph_degree_stats" -> "degree table keyed by part node (catalog)",
+      "graph_link_predict" -> "degree table keyed by part node (catalog)",
+      // Misra-Gries candidates: ≤ k × partitions rows by construction,
+      // though keyed (deduped) by user_id
+      "events_heavy_hitters" -> "MG summary bounded by k x partitions",
+      // checkpointed plan-time constants (LogicalRDD hides the bound):
+      // type×hash-grid for LDP, driver-fitted BPE merge list
+      "events_ldp_freq" -> "checkpointed type x hash-grid constants",
+      "text_bpe_apply" -> "checkpointed BPE merge table (vocab budget)"
+    )
+
+    def isBoundedIdCap(e: Expression): Boolean = e.exists {
+      // analysis wraps the literal in a Cast, so match any foldable bound
+      case LessThan(a: AttributeReference, r) => r.foldable && a.name.endsWith("_id")
+      case LessThanOrEqual(a: AttributeReference, r) => r.foldable && a.name.endsWith("_id")
+      case _ => false
+    }
+    def idShaped(name: String): Boolean =
+      name.endsWith("_id") || name.endsWith("key") || name == "qid" || name == "vid"
+    def vocabKeyed(keys: Seq[Expression]): Boolean =
+      keys.nonEmpty && keys.forall(_.references.forall(a => !idShaped(a.name)))
+    def factLeafy(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation =>
+          val name = h.location.rootPaths.headOption.map(_.getName).getOrElse("")
+          factTables.exists(name.startsWith)
+        case _ => true // unknown relation kind: conservative
+      }
+      case _: LogicalRDD => true // checkpoint erased provenance: conservative
+      case _ => false // Range / LocalRelation / OneRowRelation
+    }
+    def bounded(p: LogicalPlan): Boolean = {
+      val capped = p.collectFirst {
+        case _: GlobalLimit => ()
+        case _: LocalLimit => ()
+        case a: Aggregate if a.groupingExpressions.isEmpty || vocabKeyed(a.groupingExpressions) => ()
+        case d: Deduplicate if vocabKeyed(d.keys) => ()
+        case f: Filter if isBoundedIdCap(f.condition) => ()
+      }.nonEmpty
+      capped || !factLeafy(p)
+    }
+
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (whitelist.contains(name)) None
+      else {
+        val analyzed = fn(spark, sf).queryExecution.analyzed
+        val unbounded = analyzed.collectWithSubqueries {
+          case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) && !bounded(h.child) => h
+        }
+        if (unbounded.nonEmpty) Some(s"$name (${unbounded.size})") else None
+      }
+    }
+    assert(offenders.isEmpty, s"unbounded broadcast hints in: $offenders")
+    // every whitelist entry must still exist — stale entries hide regressions
+    val stale = whitelist.keys.filterNot(SparkEntry.queries.contains)
+    assert(stale.isEmpty, s"stale whitelist entries: $stale")
+  }
+
   /** Top-k rank filters must plan a WindowGroupLimit: Catalyst rewrites
     * `row_number().over(w) <= k` into a per-partition group-limit BEFORE the
     * window sort, so each map task keeps only k rows per key instead of
