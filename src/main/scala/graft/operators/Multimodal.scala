@@ -334,6 +334,112 @@ object Multimodal {
     }.toDF()
   }
 
+  // ---------------- perceptual-hash image dedup ----------------
+
+  /** Base images in the pHash dedup fixture; ids >= PhashBase are NEAR-dup
+    * re-uploads of id − PhashBase (same LCG pixel stream with every 97th
+    * pixel inverted — the brightness-touched re-post exact payload dedup
+    * cannot catch, since the PNG bytes differ). */
+  val PhashBase = 24L
+  val PhashN = 2 * PhashBase
+  /** aHash geometry: an 8×8 grid of block means over the 64×48 raster
+    * (block = 8×6 pixels), bit k = [64·blockSum_k > totalSum] — the exact
+    * integer cross-multiplied form of blockMean > globalMean, so both
+    * engines compute identical bits with no division. */
+  val PhashBands = 8
+  val PhashBandBits = 8
+  /** Near-dup pair threshold on the 64-bit Hamming distance. Planted pairs
+    * measure 0-2 (≤32 of 3072 pixels touched barely moves block means);
+    * random LCG pairs center at 32. */
+  val PhashHamMax = 6
+
+  /** pHash fixture: REAL PNG payloads whose pixels come from the base-keyed
+    * LCG stream, with the variant half perturbed BEFORE encode. Same
+    * lossless round-trip stance as [[pngMediaTable]] — the oracle replays
+    * pixel, perturbation, hash, banding, and pairing from the closed form.
+    */
+  def phashMediaTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.range(PhashN).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val base = id % PhashBase
+        val variant = id >= PhashBase
+        val img = new java.awt.image.BufferedImage(
+          PngW, PngH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var x = (base * 40503 + 12345) % 2147483648L
+        var i = 0
+        while (i < PngW * PngH) {
+          x = (x * 69069 + 12345) % 2147483648L
+          val v = ((x >>> 8) & 255L).toInt
+          val px = if (variant && i % 97 == 0) 255 - v else v
+          raster.setSample(i % PngW, i / PngW, 0, px)
+          i += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        MediaRow(id, "image", PngW, PngH, baos.toByteArray)
+      }
+    }.toDF()
+  }
+
+  /** (media_id, band, bkey): block-mean aHash over the REAL decoded raster,
+    * one narrow pass per image — payloads never shuffle; only the
+    * [[PhashBands]] band bytes move. Hamming distance downstream is XOR
+    * popcount over the band bytes, so the bands ARE the hash.
+    */
+  private[operators] def phashBands(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    phashMediaTable(spark).as[MediaRow].flatMap { row =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+      require(img != null, s"media_id=${row.media_id}: payload is not a decodable image")
+      val raster = img.getRaster
+      val w = img.getWidth
+      val n = w * img.getHeight
+      val bs = new Array[Long](64)
+      var ts = 0L
+      var i = 0
+      while (i < n) {
+        val v = raster.getSample(i % w, i / w, 0).toLong
+        bs(((i / w) / 6) * 8 + (i % w) / 8) += v
+        ts += v
+        i += 1
+      }
+      val bits = bs.map(b => if (64L * b > ts) 1L else 0L)
+      (0 until PhashBands).map { band =>
+        val bkey = (0 until PhashBandBits)
+          .map(j => bits(band * PhashBandBits + j) << (PhashBandBits - 1 - j)).sum
+        (row.media_id, band, bkey)
+      }
+    }.toDF("media_id", "band", "bkey")
+  }
+
+  /** Near-duplicate image pairs by perceptual hash — the standard
+    * LLM-pipeline image dedup: candidates from ANY-band equality (the
+    * MinHash/SimHash banding shape — an equi-join on (band, key), never
+    * all-pairs), then the exact 64-bit Hamming distance over the candidate
+    * set, thresholded at [[PhashHamMax]]. At scale the band join carries
+    * ~n·collision rows and the hash pass is narrow; the raster never leaves
+    * its partition.
+    */
+  def phashDedup(spark: SparkSession): DataFrame = {
+    val h = phashBands(spark).localCheckpoint(eager = true)
+    val cand = h.select(col("media_id").as("ma"), col("band"), col("bkey"))
+      .join(h.select(col("media_id").as("mb"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("ma") < col("mb"))
+      .select("ma", "mb").distinct()
+    // exact Hamming over candidates: 8 band rows per pair, XOR popcount
+    val ham = cand
+      .join(h.select(col("media_id").as("ma"), col("band"), col("bkey").as("ka")), Seq("ma"))
+      .join(h.select(col("media_id").as("mb"), col("band"), col("bkey").as("kb")),
+        Seq("mb", "band"))
+      .groupBy("ma", "mb")
+      .agg(sum(bit_count(col("ka").bitwiseXOR(col("kb")))).as("hamming"))
+    ham.filter(col("hamming") <= PhashHamMax)
+      .select(col("ma").as("media_a"), col("mb").as("media_b"), col("hamming"))
+  }
+
   /** Re-upload factor for the dedup fixture: ids >= DupSeedMod carry
     * byte-identical payloads of id mod DupSeedMod. */
   val DupSeedMod = 48L
@@ -435,7 +541,8 @@ object Multimodal {
     "media_gif_frames" -> ((s, _) => gifFrameStats(s).orderBy("media_id", "frame_id")),
     "media_frame_sample" -> ((s, _) => frameSample(s).orderBy("media_id", "frame_id")),
     "media_kind_stats" -> ((s, _) => kindStats(s).orderBy("kind")),
-    "media_payload_dedup" -> ((s, _) => payloadDedup(s).orderBy("media_id"))
+    "media_payload_dedup" -> ((s, _) => payloadDedup(s).orderBy("media_id")),
+    "media_phash_dedup" -> ((s, _) => phashDedup(s).orderBy("media_a", "media_b"))
   )
 
   // ---------------- DuckDB oracle twins ----------------
@@ -512,6 +619,46 @@ object Multimodal {
          |ORDER BY media_id""".stripMargin,
     "media_features" -> (featuresSql(64, 4096) +
       " SELECT * FROM features ORDER BY media_id"),
+    // perceptual-hash dedup: the oracle replays pixel stream (base-keyed LCG
+    // closed form), variant perturbation, block-mean aHash bits, band keys,
+    // band-join candidates, and the exact Hamming filter — the REAL PNG
+    // round-trip on the Spark side must land on identical pairs
+    "media_phash_dedup" ->
+      s"""WITH ${bytesSql(PhashBase, PngW * PngH)},
+         |pix AS (
+         |  SELECT base.media_id + v.v * $PhashBase AS media_id, base.i,
+         |         CASE WHEN v.v = 1 AND base.i % 97 = 0 THEN 255 - base.b
+         |              ELSE base.b END AS px
+         |  FROM bytes base CROSS JOIN range(0, 2) v(v)
+         |), blocks AS (
+         |  SELECT media_id,
+         |         ((i // $PngW) // 6) * 8 + (i % $PngW) // 8 AS blk,
+         |         CAST(sum(px) AS BIGINT) AS bs
+         |  FROM pix GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT media_id, CAST(sum(px) AS BIGINT) AS ts FROM pix GROUP BY 1
+         |), bits AS (
+         |  SELECT b.media_id, b.blk,
+         |         CASE WHEN 64 * b.bs > t.ts THEN 1 ELSE 0 END AS bit
+         |  FROM blocks b JOIN tot t USING (media_id)
+         |), bands AS (
+         |  SELECT media_id, CAST(blk // $PhashBandBits AS INT) AS band,
+         |         CAST(sum(bit * CAST(pow(2, $PhashBandBits - 1 - blk % $PhashBandBits) AS BIGINT)) AS BIGINT) AS bkey
+         |  FROM bits GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.media_id < b.media_id
+         |), ham AS (
+         |  SELECT c.ma, c.mb,
+         |         CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+         |  FROM cand c
+         |  JOIN bits ba ON ba.media_id = c.ma
+         |  JOIN bits bb ON bb.media_id = c.mb AND bb.blk = ba.blk
+         |  GROUP BY 1, 2
+         |)
+         |SELECT ma AS media_a, mb AS media_b, hamming
+         |FROM ham WHERE hamming <= $PhashHamMax ORDER BY 1, 2""".stripMargin,
     // the real-codec audio query: 8-bit unsigned PCM WAV is lossless, so the
     // decoded sample stream must equal the LCG closed form byte-for-byte
     "media_wav_features" ->

@@ -575,6 +575,22 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("perceptual-hash dedup recovers exactly the planted near-dup image pairs") {
+    // fixture: ids >= PhashBase are perturbed re-posts of id - PhashBase
+    // (every 97th pixel inverted pre-encode), so the expected pair set is
+    // exactly {(b, b + PhashBase)}: planted pairs keep Hamming ≤ PhashHamMax
+    // while independent LCG images center at 32 of 64 bits
+    val got = Multimodal.phashDedup(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = (0L until Multimodal.PhashBase).map(b => (b, b + Multimodal.PhashBase)).toSet
+    assert(got.map(t => (t._1, t._2)).toSet == expected,
+      s"pairs: ${got.sortBy(_._1).mkString(", ")}")
+    assert(got.forall(_._3 <= Multimodal.PhashHamMax))
+    // candidates come from a band-key equi-join, never a cartesian pass
+    val plan = Multimodal.phashDedup(spark).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("both MediaDecoder implementations run through the same pipeline shape") {
     val byByte = Multimodal.extractFeatures(spark, 16, Multimodal.ByteStatsDecoder)
     assert(byByte.count() == 16)
