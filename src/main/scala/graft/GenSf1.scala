@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-rehearsal fixture: sf1 = 10 key-offset replicas of the driver's
-  * sf0.1 tables, written under a repo-local dir (the driver fixtures are
-  * read-only). Usage: `runMain graft.GenSf1 /root/testdata/sf0.1 tmp/sf1`.
+/** Scale-rehearsal fixture: N key-offset replicas of the driver's sf0.1
+  * tables, written under a repo-local dir (the driver fixtures are
+  * read-only). Usage: `runMain graft.GenSf1 /root/testdata/sf0.1 tmp/sf1 [N]`
+  * — N defaults to [[Replicas]] (10 → sf1); N = 100 builds sf10. Key strides
+  * were sized for the sf0.1 maxima, so they hold for any N ≤ ~1000.
   *
   * Replication preserves every per-replica distribution (so plan shapes and
   * selectivities match the real fixture) while keeping REFERENTIAL
@@ -37,6 +39,7 @@ object GenSf1 {
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir) = args.take(2)
+    val replicas = args.drop(2).headOption.map(_.toInt).getOrElse(Replicas)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,41 +64,42 @@ object GenSf1 {
     val OK = 1000000L; val CK = 100000L; val SK = 10000L; val PK = 100000L
     val EV = 1000000L; val UK = 10000L; val DK = 100000L; val VK = 100000L
 
-    // c_name: overlay the replica digit at position 10 (the first digit of
-    // the 9-digit number in "Customer#%09d") for r > 0. Byte-identical names
-    // would grow the fuzzy-match prefix blocks 10× (pairs 100×) purely from
-    // the replication artifact; a leading tag shifts the 16-char block
-    // window and collapses each replica into ONE giant block (measured:
-    // 480 s). The overlaid digit sits INSIDE the block key, so replicas
-    // never co-block (cross-replica pairs are out of scope by the blocking
-    // contract) and each replica reproduces sf0.1's block layout exactly.
-    write("customer", replicate(Tables.customer(spark, srcDir), Replicas) { (df, r) =>
+    // c_name: overlay a FIXED-WIDTH 3-digit replica tag over the first three
+    // digits of the 9-digit number in "Customer#%09d" for r > 0. Fixed width
+    // matters: the r8 single-digit overlay made 2-digit replicas (r ≥ 10)
+    // one char LONGER, so replica 1 and replicas 10-19 shared 16-char
+    // prefixes and co-blocked — the sf10 rehearsal measured
+    // customers_fuzzy_match at 195 s purely from that fixture artifact.
+    // With a zero-padded tag all names keep their length, the tag sits
+    // INSIDE the 16-char block key (replicas never co-block, r ≤ 999), and
+    // each replica reproduces sf0.1's ~100-name block layout exactly.
+    write("customer", replicate(Tables.customer(spark, srcDir), replicas) { (df, r) =>
       val named = if (r == 0) df
       else df.withColumn("c_name", concat(
-        substring(col("c_name"), 1, 9), lit(r.toString),
-        substring(col("c_name"), 11, 1000)))
+        substring(col("c_name"), 1, 9), format_string("%03d", lit(r)),
+        substring(col("c_name"), 13, 1000)))
       named.withColumn("c_custkey", col("c_custkey") + lit(r * CK))
     })
-    write("supplier", replicate(Tables.t(spark, srcDir, "supplier"), Replicas) { (df, r) =>
+    write("supplier", replicate(Tables.t(spark, srcDir, "supplier"), replicas) { (df, r) =>
       df.withColumn("s_suppkey", col("s_suppkey") + lit(r * SK))
     })
-    write("part", replicate(Tables.t(spark, srcDir, "part"), Replicas) { (df, r) =>
+    write("part", replicate(Tables.t(spark, srcDir, "part"), replicas) { (df, r) =>
       df.withColumn("p_partkey", col("p_partkey") + lit(r * PK))
     })
-    write("orders", replicate(Tables.orders(spark, srcDir), Replicas) { (df, r) =>
+    write("orders", replicate(Tables.orders(spark, srcDir), replicas) { (df, r) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(r * OK))
         .withColumn("o_custkey", col("o_custkey") + lit(r * CK))
     })
-    write("lineitem", replicate(Tables.lineitem(spark, srcDir), Replicas) { (df, r) =>
+    write("lineitem", replicate(Tables.lineitem(spark, srcDir), replicas) { (df, r) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(r * OK))
         .withColumn("l_partkey", col("l_partkey") + lit(r * PK))
         .withColumn("l_suppkey", col("l_suppkey") + lit(r * SK))
     })
-    write("events", replicate(Tables.events(spark, srcDir), Replicas) { (df, r) =>
+    write("events", replicate(Tables.events(spark, srcDir), replicas) { (df, r) =>
       df.withColumn("event_id", col("event_id") + lit(r * EV))
         .withColumn("user_id", col("user_id") + lit(r * UK))
     })
-    write("documents", replicate(Tables.documents(spark, srcDir), Replicas) { (df, r) =>
+    write("documents", replicate(Tables.documents(spark, srcDir), replicas) { (df, r) =>
       val txt = if (r == 0) col("text")
       else regexp_replace(col("text"), "(\\S+)", s"$$1x$r")
       // n_chars from the REPLACED column, not the unresolved expression:
@@ -108,7 +112,7 @@ object GenSf1 {
         .withColumn("text", txt)
         .withColumn("n_chars", length(col("text")))
     })
-    write("embeddings", replicate(Tables.embeddings(spark, srcDir), Replicas) { (df, r) =>
+    write("embeddings", replicate(Tables.embeddings(spark, srcDir), replicas) { (df, r) =>
       val emb = if (r == 0) col("embedding")
       else transform(col("embedding"), (x, i) =>
         (x + (pmod(col("vec_id") * 31 + i * 7 + lit(r), lit(97)).cast("float") - lit(48.0f)) / lit(480.0f)))

@@ -298,46 +298,67 @@ object Dedup {
   }
 
   /** Max Hamming distance for a SimHash near-dup pair, and the blocking that
-    * finds them without all-pairs: split the 16-bit fingerprint into
-    * HammingMax + 1 = 4 blocks of 4 bits — a pair within Hamming 3 differs
-    * in at most 3 blocks, so by pigeonhole it MATCHES on at least one, and
-    * the (block, value) equi-join surfaces every such pair with zero false
-    * negatives. Exact popcount(xor) then keeps the true ones. Same
-    * blocked-candidate discipline as MinHash bands and LSH buckets.
+    * finds them without all-pairs: split the [[SimBits]]-bit fingerprint into
+    * HammingMax + 1 = 4 blocks of [[SimBlockBits]] bits — a pair within
+    * Hamming 3 differs in at most 3 blocks, so by pigeonhole it MATCHES on
+    * at least one, and the (block, value) equi-join surfaces every such pair
+    * with zero false negatives. Exact popcount(xor) then keeps the true
+    * ones. Same blocked-candidate discipline as MinHash bands and LSH
+    * buckets.
     */
   val HammingMax = 3
 
-  /** Raw Hamming-≤ 3 pairs. NOTE on output cardinality: a 16-bit fingerprint
-    * is demo granularity (production simhash is 64-bit) and this synthetic
-    * corpus is token-homogeneous, so the pair set is DENSE — ~1/3 of all
-    * doc pairs at sf0.001. The registered query therefore aggregates to the
-    * per-distance histogram ([[simhashPairStats]]): constant-size output at
-    * any scale while still executing the full blocked pipeline; the raw
-    * pair frame stays the composable building block.
+  /** Fingerprint width. The r8 16-bit demo form gave each block 4 bits = 16
+    * bucket values, so buckets held n/16 docs and candidates went quadratic —
+    * the sf10 rehearsal (500k docs) measured the detector at a disk-filling
+    * >70 GB candidate shuffle. 60 bits (md5's first 15 hex chars — the widest
+    * value that stays inside a SIGNED 64-bit long in both engines) gives
+    * 15-bit blocks = 32,768 values, the Manku et al. (WWW'07) production
+    * shape; expected bucket stays ≤ ~n/32768 and candidates linear into the
+    * millions of docs.
+    */
+  val SimBits = 60
+  val SimBlockBits: Int = SimBits / (HammingMax + 1)
+  val SimBlockMod: Long = 1L << SimBlockBits
+  /** Degenerate-bucket guard, same stance as the MinHash [[MaxBandBucket]]:
+    * a block value shared by more docs than this is uninformative (an
+    * identical-doc flood — exact dedup's job) and is skipped rather than
+    * allowed to go quadratic.
+    */
+  val MaxSimBucket = 256L
+
+  /** Raw Hamming-≤ 3 pairs over the blocked candidates. The registered query
+    * aggregates to the per-distance histogram ([[simhashPairStats]]):
+    * constant-size output at any scale while still executing the full
+    * blocked pipeline; the raw pair frame stays the composable building
+    * block. At 60 bits Hamming ≤ 3 is a HIGH-PRECISION detector (only
+    * near-identical token multisets land that close), which is exactly the
+    * production simhash operating point.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val fp = simhash(spark, dir).localCheckpoint(true)
     val blockCols = (0 to HammingMax).map { b =>
-      struct(lit(b).as("blk"), (shiftright(col("simhash"), b * 4) % 16).as("bv"))
+      struct(lit(b).as("blk"),
+        (shiftright(col("simhash"), b * SimBlockBits) % SimBlockMod).as("bv"))
     }
+    val wBucket = Window.partitionBy("blk", "bv")
     val blocks = fp
       .select(col("doc_id"), col("simhash"), explode(array(blockCols: _*)).as("e"))
       .select(col("doc_id"), col("simhash"), col("e.blk").as("blk"), col("e.bv").as("bv"))
+      .withColumn("bsz", count(lit(1)).over(wBucket))
+      .filter(col("bsz") <= MaxSimBucket)
     val cand = blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.blk").as("blk"),
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-    // emit-on-first-matching-block: a pair matching in several blocks is kept
-    // only at its SMALLEST matching index — a pure map-side filter derived
-    // from the two fingerprints, replacing a distinct() shuffle of the full
-    // (dense) candidate set
-    def blockOf(c: Column, j: Int) = shiftright(c, j * 4) % 16
-    val earlier = (0 until HammingMax).map { j =>
-      col("blk") > j && (blockOf(col("sh_a"), j) === blockOf(col("sh_b"), j))
-    }.reduce(_ || _)
-    cand.filter(!earlier)
+      // multi-block matches dedup via distinct: the r8 emit-on-first-block
+      // map-side filter assumed every matching block PRODUCES the candidate,
+      // which the bucket cap above breaks (a pair whose earlier matching
+      // block was capped away would be dropped entirely). The candidate set
+      // is bucket-capped now, so the distinct shuffle is bounded.
+      .distinct()
+    cand
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= HammingMax)
       .select("doc_a", "doc_b", "hamming")
@@ -357,11 +378,11 @@ object Dedup {
        |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
        |  FROM documents
        |), hv_t AS (
-       |  SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS hv FROM toks
+       |  SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
        |), votes AS (
        |  SELECT doc_id, CAST(b.i AS INT) AS bit,
        |         CAST(sum(CASE WHEN (hv >> CAST(b.i AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
-       |  FROM hv_t CROSS JOIN range(0, 16) b(i)
+       |  FROM hv_t CROSS JOIN range(0, $SimBits) b(i)
        |  GROUP BY doc_id, b.i
        |), fp AS (
        |  SELECT doc_id,
@@ -503,17 +524,19 @@ object Dedup {
          |, truth AS (
          |  SELECT doc_a, doc_b FROM jac WHERE jaccard >= ${sqlD(JaccardThreshold)}
          |), ${simhashSqlChain.stripPrefix("WITH ")}
-         |, sblocks AS (
-         |  SELECT doc_id, simhash, b.i AS blk, (simhash >> (CAST(b.i AS INT) * 4)) % 16 AS bv
+         |, sblocks0 AS (
+         |  SELECT doc_id, simhash, b.i AS blk,
+         |         (simhash >> (CAST(b.i AS INT) * $SimBlockBits)) % $SimBlockMod AS bv
          |  FROM fp CROSS JOIN range(0, ${HammingMax + 1}) b(i)
+         |), sblocks AS (
+         |  SELECT doc_id, simhash, blk, bv FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY blk, bv) AS bsz FROM sblocks0)
+         |  WHERE bsz <= $MaxSimBucket
          |), scand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         a.simhash AS sh_a, b.simhash AS sh_b
          |  FROM sblocks a JOIN sblocks b
          |    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
-         |  WHERE NOT (${(0 until HammingMax).map(j =>
-              s"(a.blk > $j AND (a.simhash >> ${j * 4}) % 16 = (b.simhash >> ${j * 4}) % 16)")
-              .mkString(" OR ")})
          |), spairs AS (
          |  SELECT doc_a, doc_b FROM scand WHERE bit_count(xor(sh_a, sh_b)) <= $HammingMax
          |), tagged AS (
@@ -558,24 +581,26 @@ object Dedup {
          |       ${sqlR6("CAST(sum(CASE WHEN in_cand AND in_truth THEN 1 ELSE 0 END) AS DOUBLE) / NULLIF(CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS DOUBLE), 0)")} AS band_recall
          |FROM flags""".stripMargin
 
-  /** SimHash: 16-bit fingerprint from per-token md5 bits, weight ±1 per distinct
-    * token; bit set iff the signed vote is positive.
+  /** SimHash: [[SimBits]]-bit fingerprint from per-token md5 bits, weight ±1
+    * per distinct token; bit set iff the signed vote is positive. 15 hex
+    * chars of the md5 = 60 bits — the widest value that fits a SIGNED 64-bit
+    * long in both engines (16 chars can exceed 2^63 and overflow the cast).
     *
-    * One pass: all 16 bit votes are parallel conditional sums in a single
+    * One pass: all bit votes are parallel conditional sums in a single
     * `groupBy(doc_id)` — the same trick as the k-minhash aggregation — instead
-    * of a 16× crossJoin fan-out of the token table followed by two aggregations
+    * of a crossJoin fan-out of the token table followed by two aggregations
     * (VERDICT r1 "what's wrong #2": 33× slower under the driver bench).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(words).as("tok")).distinct()
-      .withColumn("hv", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"))
-    val votes = (0 until 16).map { b =>
+      .withColumn("hv", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until SimBits).map { b =>
       sum(when(shiftright(col("hv"), b) % 2 === 1, 1).otherwise(-1)).as(s"v$b")
     }
     toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 16).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        (0 until SimBits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
@@ -998,17 +1023,19 @@ object Dedup {
     "dedup_simhash" -> (simhashSqlChain +
       " SELECT doc_id, simhash FROM fp ORDER BY doc_id"),
     "dedup_simhash_pairs" -> (simhashSqlChain +
-      s""", blocks AS (
-         |  SELECT doc_id, simhash, b.i AS blk, (simhash >> (CAST(b.i AS INT) * 4)) % 16 AS bv
+      s""", blocks0 AS (
+         |  SELECT doc_id, simhash, b.i AS blk,
+         |         (simhash >> (CAST(b.i AS INT) * $SimBlockBits)) % $SimBlockMod AS bv
          |  FROM fp CROSS JOIN range(0, ${HammingMax + 1}) b(i)
+         |), blocks AS (
+         |  SELECT doc_id, simhash, blk, bv FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY blk, bv) AS bsz FROM blocks0)
+         |  WHERE bsz <= $MaxSimBucket
          |), cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         a.simhash AS sh_a, b.simhash AS sh_b
          |  FROM blocks a JOIN blocks b
          |    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
-         |  WHERE NOT (${(0 until HammingMax).map(j =>
-              s"(a.blk > $j AND (a.simhash >> ${j * 4}) % 16 = (b.simhash >> ${j * 4}) % 16)")
-              .mkString(" OR ")})
          |)
          |SELECT CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming, count(*) AS n_pairs
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $HammingMax

@@ -824,8 +824,25 @@ object EvalOps {
     * comparison (no cross-engine log2 ulp risk at power-of-two boundaries).
     */
   val UserSimBands = 3
-  val UserSimMaxBits = 8
+  /** Ceiling on adaptive bits per band. 16 bits keeps the expected bucket at
+    * [[UserSimTargetBucket]] users up to ~2M users; the r8 ceiling of 8
+    * saturated at 8k users and the sf10 rehearsal (150k users) measured the
+    * saturated form at 128× cost for 100× data — every bucket held ~586
+    * users and candidates went quadratic again, the exact failure the
+    * adaptive nbits exists to prevent. The ceiling is a sandbox bound, not a
+    * design constant: at larger corpora raise it with log2(users/32).
+    */
+  val UserSimMaxBits = 16
   val UserSimTargetBucket = 32
+  /** Sorted-neighborhood cell width inside a bucket: each user pairs only
+    * with users within W/2 positions of the direction-proxy sort (two
+    * half-offset W-cell grids — see [[userSimilarityBlocked]]). Candidates
+    * are ≤ ~2·W per user per band at ANY bucket size, which is what keeps
+    * the concentrated-center buckets from going quadratic. 64 covers the
+    * sf0.01 population's largest bucket whole, so the driver gate exercises
+    * the full-pairing regime too.
+    */
+  val UserSimSortWindow = 64
 
   /** nbits = clamp(⌈log2(n/32)⌉, 2, 8) as (threshold, bits) pairs:
     * bits = k for n ≤ 32·2^k, else [[UserSimMaxBits]].
@@ -847,16 +864,37 @@ object EvalOps {
     * bucket (measured: 142/150 per band, pruning nothing). The centered
     * projection Σ (nₜ − S/k)·cₜ is evaluated exactly as the integer
     * k·Σ nₜcₜ − S·Σ cₜ (S = Σ nₜ, k = #present types — no rationals, both
-    * engines agree bit-for-bit). The sign bits group into band keys,
-    * users sharing ANY band key become candidates via a band-key equi-join,
-    * and only candidates get exact dot/cosine scoring + per-user top-k.
-    * Users² never materializes: the shuffle carries (band, key) groups, the
-    * scoring join carries |candidates|×shared-types rows, and the exact
-    * [[userSimilarity]] is demoted to the declared ground-truth rung that
-    * [[userSimilarityRecallQ]] measures this against — the
+    * engines agree bit-for-bit). The sign bits group into band keys;
+    * WITHIN each band bucket, members are ordered by the continuous
+    * direction proxy and paired only inside [[UserSimSortWindow]]-cell
+    * sorted-neighborhood grids (see the inline note in
+    * [[userSimilarityBlocked]] — concentrated 5-type profiles make pure
+    * band keys saturate at ~100k users), and only candidates get exact
+    * dot/cosine scoring + per-user top-k.
+    * Users² never materializes: the shuffle carries (band, key, cell)
+    * groups, the scoring join carries |candidates|×shared-types rows, and
+    * the exact [[userSimilarity]] is demoted to the declared ground-truth
+    * rung that [[userSimilarityRecallQ]] measures this against — the
     * ann_bruteforce/ann_lsh stance.
     */
-  def userSimilarityBlocked(spark: SparkSession, dir: String): DataFrame = {
+  /** Dev-audit accessor: the (user_id, band, bkey) frame the blocked
+    * similarity joins on, for bucket-distribution measurement
+    * ([[graft.SimBlockAudit]]).
+    */
+  private[graft] def userSimBandsDebug(spark: SparkSession, dir: String): DataFrame =
+    bandsOfSigs(userSimParts(spark, dir)._2)
+
+  private def bandsOfSigs(sigs: DataFrame): DataFrame =
+    sigs.select(col("user_id"), col("dirp"),
+      explode(array((0 until UserSimBands).map(b =>
+        struct(lit(b).as("band"), col(s"k$b").as("bkey"))): _*)).as("bk"))
+      .select(col("user_id"), col("dirp"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+  /** (cnt, sigs): the checkpointed (user, type, n) counts and the SRP band
+    * signatures (user_id, nrm2, k0..k{bands-1}). Extracted so the audit tool
+    * and the blocked operator share one construction. */
+  private def userSimParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.functions.DetRand
     val nPlanes = UserSimBands * UserSimMaxBits
     // one tiny (user, type, n) table feeds projection, blocking AND scoring;
@@ -891,18 +929,50 @@ object EvalOps {
           pow(lit(2.0), (col("nbits") - 1 - i).cast("double")).cast("long"))
         .otherwise(0L))
       .reduce(_ + _)
+    // dirp: a CONTINUOUS direction proxy for the sorted-neighborhood stage —
+    // the first plane's centered projection normalized by the vector norm
+    // (scale-free, so users with similar PROFILES sort adjacently regardless
+    // of activity volume); r6-rounded with a user_id tiebreak so both
+    // engines order identically
+    val dirp = r6(centered(0).cast("double") / sqrt(col("nrm2").cast("double")))
     val sigs = proj.crossJoin(broadcast(nu)).withColumn("nbits", nbits)
       .select(
-        col("user_id") +: col("nrm2") +:
+        col("user_id") +: col("nrm2") +: dirp.as("dirp") +:
           (0 until UserSimBands).map(b => bandKey(b).as(s"k$b")): _*)
       .localCheckpoint(eager = true)
-    val bands = sigs.select(col("user_id"),
-      explode(array((0 until UserSimBands).map(b =>
-        struct(lit(b).as("band"), col(s"k$b").as("bkey"))): _*)).as("bk"))
-      .select(col("user_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = bands.select(col("user_id").as("ua"), col("band"), col("bkey"))
-      .join(bands.select(col("user_id").as("ub"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
+    (cnt, sigs)
+  }
+
+  def userSimilarityBlocked(spark: SparkSession, dir: String): DataFrame = {
+    val (cnt, sigs) = userSimParts(spark, dir)
+    // Sorted-neighborhood WITHIN each bucket (the SemDeDup move from
+    // dedup_semantic): with a ~5-type vocabulary the profile vectors live on
+    // a 4-simplex and CONCENTRATE, so past ~100k users the dense center
+    // collapses into a few giant buckets NO bit width can split — the sf10
+    // rehearsal measured the full-bucket join at a disk-filling candidate
+    // shuffle even at 13 bits/band, and a blunt skip-hot-buckets cap
+    // measured recall 0.10 (it throws the whole center away). Instead, each
+    // bucket's members are ORDERED by the continuous direction proxy `dirp`
+    // and paired only inside [[UserSimSortWindow]]-sized cells of two
+    // half-offset grids, so any two users within W/2 positions co-cell at
+    // least once. Candidates = O(users × W × bands) — linear at any corpus —
+    // while near neighbors (similar direction ⇒ adjacent sort positions)
+    // stay paired. The recall twin measures exactly what the window costs.
+    val W = UserSimSortWindow
+    val wBucket = Window.partitionBy("band", "bkey").orderBy("dirp", "user_id")
+    val ranked = bandsOfSigs(sigs)
+      .withColumn("rn", row_number().over(wBucket) - 1)
+    val cells = ranked.select(col("user_id"), col("band"), col("bkey"),
+      explode(array(
+        struct(lit(0).as("grid"), (col("rn") / lit(W)).cast("long").as("cell")),
+        struct(lit(1).as("grid"), ((col("rn") + lit(W / 2)) / lit(W)).cast("long").as("cell"))
+      )).as("g"))
+      .select(col("user_id"), col("band"), col("bkey"),
+        col("g.grid").as("grid"), col("g.cell").as("cell"))
+    val cand = cells.select(col("user_id").as("ua"), col("band"), col("bkey"),
+        col("grid"), col("cell"))
+      .join(cells.select(col("user_id").as("ub"), col("band"), col("bkey"),
+        col("grid"), col("cell")), Seq("band", "bkey", "grid", "cell"))
       .filter(col("ua") =!= col("ub"))
       .select("ua", "ub").distinct()
     // exact integer dots for candidates only: inner join on event_type keeps
@@ -948,9 +1018,11 @@ object EvalOps {
       }.mkString(" + ")
       s"($bits) AS k$b"
     }.mkString(",\n         ")
+    val dirpSql = sqlR6("CAST(kt*a0 - sn*c0 AS DOUBLE) / sqrt(CAST(nrm2 AS DOUBLE))")
     val bandUnion = (0 until UserSimBands)
-      .map(b => s"SELECT user_id, $b AS band, k$b AS bkey FROM sig")
+      .map(b => s"SELECT user_id, dirp, $b AS band, k$b AS bkey FROM sig")
       .mkString("\n  UNION ALL ")
+    val W = UserSimSortWindow
     s"""WITH cnt AS (
        |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
        |), hcnt AS (
@@ -965,14 +1037,23 @@ object EvalOps {
        |), nb AS (
        |  SELECT $nbitsSql AS nbits FROM (SELECT count(*) AS nu FROM proj)
        |), sig AS (
-       |  SELECT user_id, nrm2,
+       |  SELECT user_id, nrm2, $dirpSql AS dirp,
        |         $keyCols
        |  FROM proj CROSS JOIN nb
        |), bands AS (
        |  $bandUnion
+       |), ranked AS (
+       |  SELECT user_id, band, bkey,
+       |         row_number() OVER (PARTITION BY band, bkey ORDER BY dirp, user_id) - 1 AS rn
+       |  FROM bands
+       |), cells AS (
+       |  SELECT user_id, band, bkey, 0 AS grid, rn // $W AS cell FROM ranked
+       |  UNION ALL
+       |  SELECT user_id, band, bkey, 1 AS grid, (rn + ${W / 2}) // $W AS cell FROM ranked
        |), cand AS (
        |  SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |  FROM cells a JOIN cells b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.grid = b.grid AND a.cell = b.cell
        |  WHERE a.user_id <> b.user_id
        |), dots AS (
        |  SELECT c.ua, c.ub, CAST(sum(a.n * b.n) AS BIGINT) AS dot

@@ -1303,24 +1303,42 @@ object Relational {
 
   /** Fuzzy-match block width: names sharing this prefix are candidates. */
   val FuzzyBlockLen = 16
+  /** Hot-block guard: a block bigger than this extends its key to
+    * [[FuzzyExtLen]] chars. Pairs in a block cost block², so ONE hot block
+    * (a common name prefix, an ingest artifact) can dominate the whole
+    * matcher — the sf10 rehearsal measured 195 s + an OOM cascade from a
+    * single fixture-made hot block. Sub-blocking trades recall (pairs
+    * differing in chars 17-18 of a hot block are out of scope, the same
+    * documented contract as the base blocking) for a hard pair bound. */
+  val FuzzyHotBlock = 256L
+  val FuzzyExtLen = 18
 
   /** Blocked fuzzy entity matching — the candidate-generation pass of entity
     * resolution: customers whose names sit within edit distance 1, found via
     * prefix BLOCKING (names sharing the first [[FuzzyBlockLen]] chars) + an
     * in-block levenshtein filter. Blocking is to ER what banding is to
-    * MinHash dedup: candidate pairs are bounded by block size (≤ 100 here —
-    * the last-two-character tail), never table², and the edit distance only
-    * runs inside blocks — the one shape that survives 100 TB, since the full
-    * cross-product levenshtein is exactly what it avoids. Pairs differing
-    * inside the blocked prefix are out of scope BY CONTRACT (the documented
-    * recall trade every blocked matcher makes).
+    * MinHash dedup: candidate pairs are bounded by block size, never table²,
+    * and the edit distance only runs inside blocks — the one shape that
+    * survives 100 TB, since the full cross-product levenshtein is exactly
+    * what it avoids. Hot blocks (> [[FuzzyHotBlock]] names) hierarchically
+    * extend their key to [[FuzzyExtLen]] chars, so pair volume stays bounded
+    * under ANY name distribution. Pairs differing inside the blocked prefix
+    * are out of scope BY CONTRACT (the documented recall trade every blocked
+    * matcher makes).
     */
   def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
+    val base = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"),
         substring(col("c_name"), 1, FuzzyBlockLen).as("blk"))
-    c.select(col("c_custkey").as("a_key"), col("c_name").as("a_name"), col("blk"))
-      .join(c.select(col("c_custkey").as("b_key"), col("c_name").as("b_name"), col("blk")), "blk")
+    // block census (one small blk-keyed aggregate) drives the per-block key
+    // choice; no broadcast hint — block count scales with the table and AQE
+    // picks the join side at runtime
+    val sizes = base.groupBy("blk").agg(count(lit(1)).as("blk_n"))
+    val c = base.join(sizes, "blk")
+      .withColumn("eblk", when(col("blk_n") > FuzzyHotBlock,
+        substring(col("c_name"), 1, FuzzyExtLen)).otherwise(col("blk")))
+    c.select(col("c_custkey").as("a_key"), col("c_name").as("a_name"), col("eblk"))
+      .join(c.select(col("c_custkey").as("b_key"), col("c_name").as("b_name"), col("eblk")), "eblk")
       // thresholded levenshtein short-circuits to -1 past the bound: O(n·k)
       // per pair instead of O(n²), same result set (DuckDB's oracle computes
       // the full distance — values agree wherever the threshold form is ≥ 0)
@@ -1331,11 +1349,18 @@ object Relational {
   }
 
   def fuzzyMatchOracle: String =
-    s"""WITH c AS (
+    s"""WITH cb AS (
        |  SELECT c_custkey, c_name, substr(c_name, 1, $FuzzyBlockLen) AS blk FROM customer
+       |), sizes AS (
+       |  SELECT blk, count(*) AS blk_n FROM cb GROUP BY 1
+       |), c AS (
+       |  SELECT c_custkey, c_name,
+       |         CASE WHEN s.blk_n > $FuzzyHotBlock
+       |              THEN substr(c_name, 1, $FuzzyExtLen) ELSE cb.blk END AS eblk
+       |  FROM cb JOIN sizes s USING (blk)
        |), p AS (
        |  SELECT a.c_custkey AS a_key, b.c_custkey AS b_key
-       |  FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey <> b.c_custkey
+       |  FROM c a JOIN c b ON a.eblk = b.eblk AND a.c_custkey <> b.c_custkey
        |  WHERE levenshtein(a.c_name, b.c_name) <= 1
        |)
        |SELECT a_key AS c_custkey, count(*) AS n_near, min(b_key) AS min_match_key
