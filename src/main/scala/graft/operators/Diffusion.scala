@@ -83,6 +83,32 @@ object Diffusion {
 
   private def cell: Column = col("series_id").cast("double") * L + col("t")
 
+  /** Fixed timestep and series count for [[forwardInspect]] — the notebook's
+    * `t=10` probe over a small sine batch. */
+  val InspectStep = 10
+  val InspectN = 8L
+
+  /** §3.3 notebook twin — the tutorial's single-forward inspection at a
+    * FIXED timestep (tutorial.ipynb cells 4-7; utils/visualisation.py:97-150):
+    * a synthetic sine dataset forward-noised at step [[InspectStep]] through
+    * the cosine schedule (q_sample with a constant t instead of the per-row
+    * draw), then the decomposition triple + residual read off the NOISED
+    * series — "what the model sees at t=10". Pure composition of the P2/J1
+    * forward noising and the W9 decompose chain (VERDICT r8 noted the
+    * composition existed but had no NAMED registry twin).
+    */
+  def forwardInspect(spark: SparkSession): DataFrame = {
+    val x0 = Generators.dataset(spark, "sine", InspectN, L)
+    val coef = schedule(spark, T, "cosine")
+      .filter(col("step") === InspectStep)
+      .select("sqrt_ac", "sqrt_omac")
+    val noised = x0.crossJoin(broadcast(coef))
+      .withColumn("noise", R.gauss(cell, 21))
+      .select(col("series_id"), col("t"),
+        (col("sqrt_ac") * col("value") + col("sqrt_omac") * col("noise")).as("value"))
+    EventsOps.decomposeOf(noised, "series_id").orderBy("series_id", "t")
+  }
+
   /** P2+J1: forward noising x_t = √ᾱ·x0 + √(1-ᾱ)·ε via broadcast schedule join. */
   def qSample(spark: SparkSession, kind: String = "linear"): DataFrame = {
     val x0 = withStep(Generators.dataset(spark, "linear_sum", N, L))
@@ -400,6 +426,20 @@ object Diffusion {
        |  FROM stepped s JOIN sched c USING (step)
        |)""".stripMargin
 
+  /** Mirror of [[forwardInspect]]: sine core → fixed-step noising as the
+    * `series(key, t, value, n)` CTE → the SHARED decompose chain. */
+  private def forwardInspectOracle: String =
+    s"""WITH x0c AS (${Generators.datasetSqlCore("sine", InspectN, L)}),
+       |${schedSql(T, "cosine")},
+       |coef AS (SELECT sqrt_ac, sqrt_omac FROM sched WHERE step = $InspectStep),
+       |series AS (
+       |  SELECT series_id, t,
+       |         c.sqrt_ac * x.value + c.sqrt_omac * (${R.sqlGauss(cellSql, 21)}) AS value,
+       |         count(*) OVER (PARTITION BY series_id) AS n
+       |  FROM x0c x CROSS JOIN coef c
+       |)${EventsOps.decomposeCtes("series_id")}
+       | SELECT * FROM dec ORDER BY 1, 2""".stripMargin
+
   private def qSampleOracle: String = qSampleSql +
     s""" SELECT series_id, t, step, ${sqlR6("xt")} AS xt
        | FROM qs ORDER BY series_id, t""".stripMargin
@@ -605,6 +645,7 @@ object Diffusion {
     "diff_schedule_linear" -> ((s, _) => schedRounded(schedule(s, T, "linear"))),
     "diff_schedule_cosine" -> ((s, _) => schedRounded(schedule(s, T, "cosine"))),
     "diff_schedule_custom" -> ((s, _) => schedRounded(scheduleFrom(s, T, quadraticBeta(T)))),
+    "diff_forward_inspect" -> ((s, _) => forwardInspect(s)),
     "diff_qsample" -> ((s, _) => qSample(s)
       .select(col("series_id"), col("t"), col("step"), r6(col("xt")).as("xt"))
       .orderBy("series_id", "t")),
@@ -632,6 +673,7 @@ object Diffusion {
     "diff_schedule_linear" -> scheduleOracle("linear"),
     "diff_schedule_cosine" -> scheduleOracle("cosine"),
     "diff_schedule_custom" -> scheduleOracle("quadratic"),
+    "diff_forward_inspect" -> forwardInspectOracle,
     "diff_qsample" -> qSampleOracle,
     "diff_predict_start" -> predictStartOracle,
     "diff_psample_step" -> pSampleStepOracle,

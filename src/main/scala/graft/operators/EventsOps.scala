@@ -2615,9 +2615,11 @@ object EventsOps {
        |)""".stripMargin
 
   /** spectrum tails + top-K + seasonality + full decomposition, ending in CTE
-    * `dec(<key>, t, value, trend, seasonality, residual)`.
+    * `dec(<key>, t, value, trend, seasonality, residual)`. private[operators]
+    * so Diffusion's notebook-twin oracle composes the SAME chain over a
+    * noised generated frame.
     */
-  private def decomposeCtes(key: String): String = spectrumTail(key) +
+  private[operators] def decomposeCtes(key: String): String = spectrumTail(key) +
     s""", top AS (
        |  SELECT $key, k, re, im
        |  FROM (SELECT *, row_number() OVER (PARTITION BY $key ORDER BY amplitude DESC, k ASC) AS rn FROM spectrum_a)

@@ -353,7 +353,13 @@ object OpqOps {
     val piv = top2.groupBy("qid")
       .agg(max(when(col("rank") === 1, col("dist"))).as("d1"),
         max(when(col("rank") === 2, col("dist"))).as("d2"))
-      .filter(col("d1") > 0.0)
+      // d2 > d1 strictly: the Facco MLE is defined over ratios μ = r2/r1 > 1
+      // — two-NN TIES (μ = 1, ln 0) are zero-measure on continuous data but
+      // REAL on quantized/replicated grids, and a label made entirely of
+      // ties sums slr to 0 and divides by zero (the sf10 rehearsal hit it
+      // under ANSI mode). Tied points carry no dimension information and are
+      // excluded, the paper's own convention.
+      .filter(col("d1") > 0.0 && col("d2") > col("d1"))
       // no broadcast hint: labels is vec_id-sized (scales with the corpus)
       // while piv is ≤ NumQueries rows — AQE broadcasts the SMALL side.
       .join(labels, "qid")
@@ -385,7 +391,7 @@ object OpqOps {
        |  SELECT l.label AS qlabel, ${sqlFx("ln(p.d2/p.d1)", 12)} AS lr
        |  FROM piv p JOIN (SELECT DISTINCT vec_id, label FROM embeddings) l
        |    ON l.vec_id = p.qid
-       |  WHERE p.d1 > 0
+       |  WHERE p.d1 > 0 AND p.d2 > p.d1
        |)
        |SELECT qlabel, count(*) AS n_points,
        |       ${sqlR6("2.0e0*CAST(count(*) AS DOUBLE)/(CAST(sum(lr) AS DOUBLE)/1e12)")} AS id_twonn

@@ -1664,27 +1664,32 @@ object Relational {
   /** Per-type latency-style SLO quantiles (p50/p90/p99) by the EXACT
     * order-statistic rank: k_q = ⌈q·n⌉ computed in pure integer arithmetic
     * ((q_num·n + q_den − 1) div q_den — Spark Column `/` is double division,
-    * so the div is written floor()), then the k-th value selected by
-    * row_number over (cents, event_id). This is the exact form of the
-    * sketch-quantile pair (`ts_value_quantiles_sketch`): right while a
-    * per-type sort fits an executor; the rank-histogram and KLL paths are
-    * the documented scale-outs. One shuffle on event_type.
+    * so the div is written floor()), then the k-th value read off the
+    * cents-grid cumulative counts (the rank-histogram form). This is the
+    * exact form of the sketch-quantile pair (`ts_value_quantiles_sketch`).
     */
   def typeSlo(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    // grid rank, not row_number: `c` is the BOUNDED cents grid, so the c
+    // value holding rank k is fully determined by per-(type, c) cumulative
+    // counts — the per-type row_number (one task sorting 1/5 of the fact
+    // table; 44× for 100× data at the sf10 rehearsal) collapses to a
+    // map-side count + a window over the grid. Same outputs: min c with
+    // cum ≥ k IS the value at rank k (the event_id tiebreak never changes
+    // WHICH c holds a rank).
+    val cnt = Tables.events(spark, dir)
+      .select(col("event_type"), floor(col("value") * 1e2 + 0.5).cast("long").as("c"))
+      .groupBy("event_type", "c").agg(count(lit(1)).as("cn"))
+    val wc = Window.partitionBy("event_type").orderBy("c")
     val wAll = Window.partitionBy("event_type")
     def kOf(num: Int, den: Int) =
       floor((col("n") * num + den - 1).cast("double") / den).cast("long")
-    Tables.events(spark, dir)
-      .select(col("event_type"), col("event_id"),
-        floor(col("value") * 1e2 + 0.5).cast("long").as("c"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
+    cnt.withColumn("cum", sum("cn").over(wc))
+      .withColumn("n", sum("cn").over(wAll))
       .groupBy("event_type")
       .agg(max(col("n")).as("n"),
-        r6(max(when(col("rn") === kOf(1, 2), col("c"))).cast("double") / 1e2).as("p50"),
-        r6(max(when(col("rn") === kOf(9, 10), col("c"))).cast("double") / 1e2).as("p90"),
-        r6(max(when(col("rn") === kOf(99, 100), col("c"))).cast("double") / 1e2).as("p99"))
+        r6(min(when(col("cum") >= kOf(1, 2), col("c"))).cast("double") / 1e2).as("p50"),
+        r6(min(when(col("cum") >= kOf(9, 10), col("c"))).cast("double") / 1e2).as("p90"),
+        r6(min(when(col("cum") >= kOf(99, 100), col("c"))).cast("double") / 1e2).as("p99"))
   }
 
   def typeSloOracle: String =
@@ -2600,26 +2605,31 @@ object Relational {
     */
   def leadtimeSla(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        col("l_shipdate"))
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
       .join(Tables.orders(spark, dir)
           .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
         "l_orderkey")
       .select(col("l_returnflag"),
-        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"),
-        col("l_orderkey"), col("l_linenumber"))
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("days"), col("l_orderkey"), col("l_linenumber"))
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"))
+    // grid rank, not row_number: `days` is a BOUNDED integer grid (order→ship
+    // legs span ~1-122 days), and the day value holding rank k is fully
+    // determined by per-day cumulative counts — so the 3-partition
+    // row_number window (one task sorting the whole fact table per flag; the
+    // sf10 rehearsal measured it at 83× for 100× data) collapses to a
+    // map-side (flag, days) count plus a window over ≤ flags × days rows.
+    // Same outputs: min days with cum ≥ k IS the value at rank k.
+    val cnt = li.groupBy("l_returnflag", "days").agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("l_returnflag").orderBy("days")
     val wAll = Window.partitionBy("l_returnflag")
+    val cum = cnt.withColumn("cum", sum("c").over(wc))
+      .withColumn("n", sum("c").over(wAll))
     def kOf(num: Int, den: Int) =
       floor((col("n") * num + den - 1).cast("double") / den).cast("long")
-    li.withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .groupBy("l_returnflag")
+    cum.groupBy("l_returnflag")
       .agg(max(col("n")).as("n"),
-        max(when(col("rn") === kOf(1, 2), col("days"))).as("p50_days"),
-        max(when(col("rn") === kOf(9, 10), col("days"))).as("p90_days"),
-        max(when(col("rn") === kOf(99, 100), col("days"))).as("p99_days"),
+        min(when(col("cum") >= kOf(1, 2), col("days"))).as("p50_days"),
+        min(when(col("cum") >= kOf(9, 10), col("days"))).as("p90_days"),
+        min(when(col("cum") >= kOf(99, 100), col("days"))).as("p99_days"),
         max(col("days")).as("max_days"))
   }
 

@@ -192,8 +192,18 @@ object TextOps {
           .cast("long").as("batch_id"))
   }
 
-  /** Shard count for exact packing: parallelism of the per-shard serial walk. */
+  /** Floor on the shard count for exact packing. */
   val PackShards = 8
+
+  /** Docs per packing shard past the floor: the per-shard serial first-fit
+    * walk scans every OPEN bin per doc and bins only accumulate, so shard
+    * cost is quadratic in shard SIZE — with a fixed shard count the sf10
+    * rehearsal measured the packer at 91× for 100× data. Holding shard size
+    * ~constant (shards = max(floor, ⌈docs/5000⌉)) keeps the walk the same
+    * cost per shard at any corpus and moves growth into parallelism, which
+    * is the knob the docstring always claimed.
+    */
+  val PackShardDocs = 5000L
 
   /** Budget for the EXACT packer — deliberately tighter than [[PackBudget]] so
     * the fixture's 10-99-token docs open many bins per shard and the first-fit
@@ -205,8 +215,9 @@ object TextOps {
   /** EXACT first-fit sequence packing — the form an LLM-data pipeline ships
     * token batches with (the window form above is the documented greedy
     * approximation). First-fit is inherently serial per stream, so the
-    * corpus is split into [[PackShards]] deterministic shards
-    * (shard = doc_id mod K) and each shard packs independently in doc_id
+    * corpus is split into max([[PackShards]], ⌈docs/[[PackShardDocs]]⌉)
+    * deterministic shards (shard = doc_id mod K) and each shard packs
+    * independently in doc_id
     * order: place each doc in the FIRST open bin with enough remaining
     * budget, else open a new bin. Deterministic shard assignment + total
     * order within the shard make the serial walk oracle-checkable (DuckDB
@@ -221,11 +232,17 @@ object TextOps {
     */
   def seqPackExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docs(spark, dir)
-      .select(pmod(col("doc_id"), lit(PackShards.toLong)).as("shard"),
-        col("doc_id"), size(words).cast("long").as("n_tokens"))
+    val base = docs(spark, dir)
+      .select(col("doc_id"), size(words).cast("long").as("n_tokens"))
+    // corpus-adaptive shard count (one bounded driver count — the stats-pass
+    // stance): shard SIZE stays ~PackShardDocs at any scale
+    val k = math.max(PackShards.toLong,
+      (base.count() + PackShardDocs - 1) / PackShardDocs)
+    base
+      .select(pmod(col("doc_id"), lit(k)).as("shard"),
+        col("doc_id"), col("n_tokens"))
       .as[(Long, Long, Long)]
-      .repartition(PackShards, col("shard"))
+      .repartition(k.toInt, col("shard"))
       .sortWithinPartitions("shard", "doc_id")
       .mapPartitions { it =>
         var curShard = -1L
@@ -815,9 +832,12 @@ object TextOps {
     // so [1] IS first-fit); NULL idx opens a new bin — identical to the Scala
     // indexWhere branch, all-integer so both engines agree exactly.
     "text_seq_pack_exact" ->
-      s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id % $PackShards AS shard, doc_id, len($wordsSql)::BIGINT AS n_tokens,
-         |         row_number() OVER (PARTITION BY doc_id % $PackShards ORDER BY doc_id) AS seq
+      s"""WITH RECURSIVE nk AS (
+         |  SELECT greatest($PackShards, CAST(ceil(count(*) / $PackShardDocs.0e0) AS BIGINT)) AS k
+         |  FROM documents
+         |), toks AS (
+         |  SELECT doc_id % (SELECT k FROM nk) AS shard, doc_id, len($wordsSql)::BIGINT AS n_tokens,
+         |         row_number() OVER (PARTITION BY doc_id % (SELECT k FROM nk) ORDER BY doc_id) AS seq
          |  FROM documents
          |), walk AS (
          |  SELECT shard, seq, doc_id, n_tokens,
