@@ -477,17 +477,21 @@ object EvalOps {
     * interpolation), values clipped into [p1, p99], and the before/after
     * means with clip counts so the transform is auditable. All arithmetic is
     * exact cents; thresholds are per-type literal-sized and broadcast back.
+    * Ranks come from the block-parallel [[EventsOps.blockedRank]] over cent
+    * buckets (r10 — the per-type rank window this used before sorted a whole
+    * type in one task; PlanHygieneSpec bans that shape).
     */
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("c", "event_id")
-    val wAll = Window.partitionBy("event_type")
     def kOf(num: Int, den: Int) =
       floor((col("n") * num + den - 1).cast("double") / den).cast("long")
-    val ranked = Tables.events(spark, dir)
+    val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"),
         floor(col("value") * 1e2 + 0.5).cast("long").as("c"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
+    val nTab = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val ranked = EventsOps.blockedRank(ev, "event_type",
+        Seq(col("c"), col("event_id")),
+        EventsOps.longBuckets(ev, col("c"), EventsOps.SeriesBlockRows), "rn")
+      .join(broadcast(nTab), "event_type")
     val thr = ranked.groupBy("event_type")
       .agg(max(when(col("rn") === kOf(1, 100), col("c"))).as("lo"),
         max(when(col("rn") === kOf(99, 100), col("c"))).as("hi"))

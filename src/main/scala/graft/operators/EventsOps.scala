@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * (/root/reference/utils/visualisation.py:117).
   *
   * Scale notes (100 TB thinking):
-  *  - the per-series `row_number` is the one inherently sequential step; its window
-  *    shuffle partitions by series key, so parallelism = #series. For wide
-  *    deployments the series key should be high-cardinality (here: event_type at
-  *    test scale; user_id x event_type in production).
+  *  - the per-series `row_number` and moving-average trend are BLOCK-parallel
+  *    (monotone time buckets + prefix-offset recombination; halo'd t-chunks for
+  *    the rows-frame): parallelism = #series × #blocks, so even a 5-value
+  *    event_type key never puts a whole series in one task (see [[series]] /
+  *    [[trendedOf]] — the r9 per-key window forms were the registry's last
+  *    fact-scale single-task plans, VERDICT r9).
   *  - the DFT is the O(N·K) explode+groupBy form: rows fan out K-fold
   *    (`maxFreq`=64 caps the fan-out) and collapse through a partial-aggregating
   *    hash agg, so shuffle volume is #series × K, not N × K.
@@ -29,28 +31,154 @@ object EventsOps {
   val HalfWin = 8   // centered moving-average half-window (W8-lite trend)
   val MaxFreq = 64  // cap on scanned DFT bins — bounds the explode fan-out (§7.6.1)
 
-  /** Per-series long view: (<key>, t, value). The series key defaults to
-    * event_type (5 coarse series at test scale); `key = "user_id"` yields
-    * sf-scaling cardinality (15 → 1500 series across sf0.001 → sf0.1), which is
-    * the partition-parallel shape this operator has at production scale.
+  /** Target rows per time-bucket for the blocked [[series]] row numbering —
+    * parallelism of the per-(key, bucket) local sort scales as totalRows/this,
+    * so no task ever sorts more than ~a bucket of one key. */
+  val SeriesBlockRows = 262144L
+  /** Hard cap on bucket count (keeps the per-key offset table tiny). */
+  val SeriesMaxBlocks = 1 << 20
+
+  /** t-block width for the blocked [[trendedOf]] moving average: each
+    * (key, t/TrendBlock) chunk computes its trend locally from its own rows
+    * plus a ±[[HalfWin]] halo replicated from the neighbor blocks. */
+  val TrendBlock = 65536
+
+  // ---- blocked order-statistic machinery (VERDICT r9 #1) ----
+  //
+  // A `row_number()/ntile()/rolling over (partition by <vocabulary key>
+  // order by …)` window sorts a whole series in ONE task: with key =
+  // event_type (5 values) that is 20% of the fact table per task at ANY
+  // scale — the registry's last fact-scale single-task plan class
+  // (PlanHygieneSpec now bans the shape structurally). These helpers
+  // decompose such windows into bucket-parallel forms with IDENTICAL
+  // output:
+  //   * [[blockedRank]] — global per-key rank via monotone buckets of the
+  //     leading order column + prefix-offset recombination;
+  //   * [[haloBlocks]] — bounded rows-frames over a dense 0-based `t` via
+  //     fixed-width t-chunks with replicated edge halos.
+  // Bucket BALANCE only affects parallelism, never correctness: a fully
+  // concentrated distribution degrades to the old one-task plan, a ~uniform
+  // one (event time; the fixture value columns) splits evenly. The
+  // production upgrade for hostile value distributions is quantile-derived
+  // bucket boundaries (the ZOrder rank-bucket stance) — same recombination.
+
+  /** Global 1-based rank of `orderCols` within `key`, block-parallel.
+    * `bucket` must be a MONOTONE non-decreasing function of the leading
+    * order column (so global (order) ≡ (bucket, order), and tied leading
+    * values never straddle buckets): per-(key, bucket) counts roll into
+    * exclusive prefix offsets through a window over the tiny counts table,
+    * and rank = offset + local row_number. Adds `rnName`; keeps all input
+    * columns. The offsets join is AQE-broadcast (keys × buckets rows).
     */
-  def series(spark: SparkSession, dir: String, key: String = "event_type"): DataFrame = {
-    val w = Window.partitionBy(key).orderBy("ts", "event_id")
-    Tables.events(spark, dir)
-      .select(col(key), col("ts"), col("event_id"), col("value"))
-      .withColumn("t", (row_number().over(w) - 1).cast("int"))
-      .drop("ts", "event_id")
+  private[graft] def blockedRank(df: DataFrame, key: String, orderCols: Seq[Column],
+                                 bucket: Column, rnName: String): DataFrame = {
+    val base = df.withColumn("_bkt", bucket)
+    val counts = base.groupBy(col(key), col("_bkt")).count()
+    val wOff = Window.partitionBy(key).orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = counts
+      .withColumn("_off", coalesce(sum("count").over(wOff), lit(0L)))
+      .drop("count")
+    val wIn = Window.partitionBy(col(key), col("_bkt")).orderBy(orderCols: _*)
+    base.join(off, Seq(key, "_bkt"))
+      .withColumn(rnName, col("_off") + row_number().over(wIn))
+      .drop("_bkt", "_off")
   }
 
-  /** value + series length + centered-moving-average trend + detrended
-    * remainder, over ANY long frame (key, t, value) — the events path and the
-    * multivariate dim path share this.
+  /** Monotone equal-width buckets of a long column, sized for ~`blockRows`
+    * rows per bucket under a uniform spread (one tiny stats action; the
+    * literals fold into the plan, the IVF-centroid stance). */
+  private[graft] def longBuckets(df: DataFrame, c: Column, blockRows: Long): Column = {
+    val s = df.agg(min(c).as("mn"), max(c).as("mx"), count(lit(1)).as("cnt")).head()
+    if (s.isNullAt(0)) lit(0L)
+    else {
+      val (mn, mx, cnt) = (s.getLong(0), s.getLong(1), s.getLong(2))
+      val nBlocks = math.max(1L, math.min(SeriesMaxBlocks.toLong, cnt / blockRows + 1))
+      val width = math.max(1L, (mx - mn) / nBlocks + 1)
+      ((c - lit(mn)) / lit(width)).cast("long") // exact: spans < 2^53
+    }
+  }
+
+  /** Monotone equal-width buckets of a double column (same contract). */
+  private[graft] def doubleBuckets(df: DataFrame, c: Column, blockRows: Long): Column = {
+    val s = df.agg(min(c).as("mn"), max(c).as("mx"), count(lit(1)).as("cnt")).head()
+    if (s.isNullAt(0) || s.getDouble(0) == s.getDouble(1)) lit(0L)
+    else {
+      val (mn, mx, cnt) = (s.getDouble(0), s.getDouble(1), s.getLong(2))
+      val nBlocks = math.max(1L, math.min(SeriesMaxBlocks.toLong, cnt / blockRows + 1))
+      val width = (mx - mn) / nBlocks.toDouble
+      least(floor((c - lit(mn)) / lit(width)), lit(nBlocks - 1)).cast("long")
+    }
+  }
+
+  /** Per-series long view: (<key>, value, t) with t = dense rank of
+    * (ts, event_id) within the key — block-parallel via [[blockedRank]] over
+    * monotone TIME buckets (events arrive ~uniform in time, so buckets stay
+    * balanced). Bit-identical to the r9 single-window form
+    * (TsDiagnosticsSpec forces many buckets and asserts exact equality).
+    *
+    * `key = "user_id"` still yields sf-scaling cardinality; the blocking is
+    * then a cheap no-op refinement (each (user, bucket) cell is small).
     */
-  private def trendedOf(df: DataFrame, key: String): DataFrame = {
-    val wt = Window.partitionBy(key).orderBy("t")
-      .rowsBetween(-HalfWin, HalfWin)
-    df.withColumn("n", count(lit(1)).over(Window.partitionBy(key)))
-      .withColumn("trend", avg("value").over(wt))
+  def series(spark: SparkSession, dir: String, key: String = "event_type",
+             blockRows: Long = SeriesBlockRows): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col(key), col("ts"), col("event_id"), col("value"))
+    blockedRank(ev, key, Seq(col("ts"), col("event_id")),
+      longBuckets(ev, unix_micros(col("ts")), blockRows), "rn")
+      .withColumn("t", (col("rn") - 1).cast("int"))
+      .select(col(key), col("value"), col("t"))
+  }
+
+  /** Bounded [lo, hi] rows-frame over a DENSE per-key `t` (0..n−1),
+    * block-parallel: splits each series into `block`-wide t-chunks and
+    * replicates the ≤max(−lo, hi) edge rows any neighbor's frame reaches
+    * into that neighbor as halo rows. Returns the augmented frame (extra
+    * `_tblk`/`_halo` columns) plus the per-chunk WindowSpec; the caller
+    * applies its frame aggregates over the spec, then [[unHalo]]s. The
+    * range-frame over a haloed chunk contains exactly the rows the
+    * whole-series rows-frame contained (dense t makes ROWS ≡ RANGE), in the
+    * same ascending-t order, so float accumulation is bit-identical. Series
+    * shorter than `block` land in one chunk with empty halos — the
+    * single-window plan, unchanged.
+    */
+  private[graft] def haloBlocks(df: DataFrame, key: String, lo: Int, hi: Int,
+      block: Int): (DataFrame, org.apache.spark.sql.expressions.WindowSpec) = {
+    require(lo <= hi && block >= math.max(-lo, hi),
+      s"halo block $block narrower than frame [$lo, $hi]")
+    val base = df.withColumn("_tblk", (col("t") / block).cast("long"))
+      .withColumn("_halo", lit(false))
+    // rows a LATER chunk's frame reaches back into (frames with lo < 0)
+    val up = base.filter(col("t") % block >= block + lo && lit(lo < 0))
+      .withColumn("_tblk", col("_tblk") + 1).withColumn("_halo", lit(true))
+    // rows an EARLIER chunk's frame reaches forward into (frames with hi > 0)
+    val down = base.filter(col("t") % block < hi && col("_tblk") > 0 && lit(hi > 0))
+      .withColumn("_tblk", col("_tblk") - 1).withColumn("_halo", lit(true))
+    val aug = base.unionByName(up).unionByName(down)
+    val w = Window.partitionBy(col(key), col("_tblk")).orderBy("t")
+      .rangeBetween(lo, hi)
+    (aug, w)
+  }
+
+  /** Drops [[haloBlocks]]' replicated rows and bookkeeping columns. */
+  private[graft] def unHalo(df: DataFrame): DataFrame =
+    df.filter(!col("_halo")).drop("_tblk", "_halo")
+
+  /** value + series length + centered-moving-average trend + detrended
+    * remainder, over ANY long frame (key, t, value) with t DENSE per key
+    * (0..n−1 — what [[series]] and every generator grid emit) — the events
+    * path and the multivariate dim path share this. Block-parallel via
+    * [[haloBlocks]]; n (series length) comes from a groupBy join rather
+    * than an unordered whole-partition window — the count table is one row
+    * per key and AQE broadcasts it, where the old `count over (partition by
+    * key)` was itself a one-task-per-key shuffle of the full frame.
+    */
+  private[graft] def trendedOf(df: DataFrame, key: String,
+                               block: Int = TrendBlock): DataFrame = {
+    val n = df.groupBy(key).agg(count(lit(1)).as("n"))
+    val (aug, wt) = haloBlocks(df, key, -HalfWin, HalfWin, block)
+    unHalo(aug.withColumn("trend", avg("value").over(wt)))
+      .join(n, Seq(key))
       .withColumn("detr", col("value") - col("trend"))
   }
 
@@ -803,23 +931,26 @@ object EventsOps {
     * boundaries and report per-bin (p_ref, p_cur) with the PSI term
     * (p_cur−p_ref)·ln(p_cur/p_ref). The value-distribution twin of
     * `emb_drift` (embedding SMD) and `docs_source_divergence` (lexical KL).
-    * Mechanics: reference deciles come from a per-type rank window (exact
-    * integer rank formula ⌈i·n/10⌉ = (i·n+9) div 10, identical in both
-    * engines); the ≤9 boundary VALUES per type collapse to a sorted array
-    * and broadcast, so binning both cohorts is one map-side array scan —
-    * no per-row join, no global sort; the only shuffles are the per-type
-    * rank window and the bins×types-bounded count aggs. Counts are Laplace-
-    * smoothed ((n+0.5)/(N+5), exact double arithmetic) so empty bins stay
-    * finite; the ln term is r9-quantized, absorbing libm skew.
+    * Mechanics: reference deciles come from a block-parallel [[blockedRank]]
+    * over value buckets (exact integer rank formula ⌈i·n/10⌉ = (i·n+9) div
+    * 10, identical in both engines; r10 — the per-type rank window this used
+    * before sorted a whole cohort type in one task); the ≤9 boundary VALUES
+    * per type collapse to a sorted array and broadcast, so binning both
+    * cohorts is one map-side array scan — no per-row join, no global sort;
+    * the only shuffles are the bucket-local rank and the bins×types-bounded
+    * count aggs. Counts are Laplace-smoothed ((n+0.5)/(N+5), exact double
+    * arithmetic) so empty bins stay finite; the ln term is r9-quantized,
+    * absorbing libm skew.
     */
   def psiDrift(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("ts"), col("event_id"), col("value"))
     val ref = ev.filter(col("ts") < lit(PsiCutoff).cast("timestamp"))
     val cur = ev.filter(col("ts") >= lit(PsiCutoff).cast("timestamp"))
-    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    val ranked = ref.withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val nRef = ref.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val ranked = blockedRank(ref, "event_type", Seq(col("value"), col("event_id")),
+        doubleBuckets(ref, col("value"), SeriesBlockRows), "rn")
+      .join(broadcast(nRef), "event_type")
     // ⌈i·n/10⌉ = (i·n+9) div 10; Column `/` is double division, so the div is
     // floor(double) — exact here since i·n+9 < 2^53 and non-integer quotients
     // sit ≥ 0.1 from the floor boundary
@@ -965,19 +1096,26 @@ object EventsOps {
     * `percentile` materializes one value array per group, a scale-killer when
     * a group is ~20% of the table).
     *
-    * Shape: per-key counts (tiny, broadcast back) → per-key external sort +
-    * streaming row_number → keep only the ≤ 8 rank-boundary rows per key →
-    * tiny final agg interpolating lo/hi neighbors (quantile_cont semantics,
-    * pos = (n−1)·q). Peak memory is the sorter's spill threshold — no
-    * unbounded per-group aggregation buffer anywhere in the plan — while the
-    * result is still EXACT (identical to the percentile twin), so the oracle
-    * stays a hash-match, not a tolerance check.
+    * Shape: per-key counts (tiny, broadcast back) → block-parallel
+    * [[blockedRank]] over value buckets (r10: the per-key row_number window
+    * this used before was itself a one-task-per-key sort) → keep only the
+    * ≤ 8 rank-boundary rows per key → tiny final agg interpolating lo/hi
+    * neighbors (quantile_cont semantics, pos = (n−1)·q). No whole-key sort,
+    * no unbounded per-group aggregation buffer anywhere in the plan — while
+    * the result is still EXACT (identical to the percentile twin), so the
+    * oracle stays a hash-match, not a tolerance check.
     */
   def valueQuantilesScalable(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select("event_type", "value")
     val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-    val ranked = ev.join(broadcast(counts), "event_type")
-      .withColumn("rn", row_number().over(Window.partitionBy("event_type").orderBy("value")))
+    // blockedRank, not a per-type row_number window: the rank recombines
+    // from monotone VALUE buckets, so no task sorts a whole type (the same
+    // r10 pattern as `series`; with only `value` ordering, rank assignment
+    // among ties is arbitrary in both engines and boundary extraction below
+    // is tie-insensitive — min over equal values)
+    val ranked = blockedRank(ev, "event_type", Seq(col("value")),
+        doubleBuckets(ev, col("value"), SeriesBlockRows), "rn")
+      .join(broadcast(counts), "event_type")
     def pos(q: Double) = (col("n") - 1).cast("double") * q + 1.0
     val boundary = Quantiles.map { case (q, _) =>
       col("rn") === floor(pos(q)) || col("rn") === ceil(pos(q))
@@ -1119,19 +1257,25 @@ object EventsOps {
     * predecessors emit a null z (warm-up). The flag compares the ROUNDED z so
     * both engines evaluate the identical boundary.
     *
-    * Scale: one window shuffle partitioned by the series key — same
-    * parallelism story as the decompose chain (event_type at parity scale,
-    * user_id for sf-scaling cardinality).
+    * Scale: block-parallel like the decompose chain — [[blockedRank]] gives
+    * each row its dense per-type position, [[haloBlocks]] chunks the
+    * trailing frame, so no task holds a whole event_type's rows even though
+    * the key has 5 values at any scale.
     */
-  def rollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val wTrail = Window.partitionBy("event_type").orderBy("ts", "event_id")
-      .rowsBetween(-AnomalyWin, -1)
+  def rollingAnomaly(spark: SparkSession, dir: String,
+                     blockRows: Long = SeriesBlockRows,
+                     block: Int = TrendBlock): DataFrame = {
     val z = (col("value") - col("mu")) / (col("sigma") + lit(1e-8))
-    Tables.events(spark, dir)
+    val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+    val ranked = blockedRank(ev, "event_type", Seq(col("ts"), col("event_id")),
+        longBuckets(ev, unix_micros(col("ts")), blockRows), "rn")
+      .withColumn("t", col("rn") - 1).drop("rn", "ts")
+    val (aug, wTrail) = haloBlocks(ranked, "event_type", -AnomalyWin, -1, block)
+    unHalo(aug
       .withColumn("mu", avg(col("value")).over(wTrail))
       .withColumn("sigma", stddev_samp(col("value")).over(wTrail))
-      .withColumn("n_trail", count(col("value")).over(wTrail))
+      .withColumn("n_trail", count(col("value")).over(wTrail)))
       .select(col("event_type"), col("event_id"), r6(col("value")).as("value"),
         when(col("n_trail") >= AnomalyMinN, r6(z)).as("z"))
       .withColumn("is_anomaly", coalesce(abs(col("z")) > AnomalyZ, lit(false)))
@@ -2540,15 +2684,28 @@ object EventsOps {
     * per-bin count/bounds/mean. The deterministic tiebreak makes the binning
     * total-ordered, so both engines assign identical bins.
     *
-    * This is the EXACT twin (one sort per event_type partition — the same
-    * per-key-skew caveat as `ts_value_quantiles`); the scalable path for
-    * many-key data is `ts_value_quantiles_scalable`'s rank arithmetic, and
-    * at 100 TB bin EDGES from a quantile sketch replace true ntile.
+    * EXACT and block-parallel (r10): ntile is pure rank arithmetic, so the
+    * per-type ntile window (one whole-type sort per task) collapses onto
+    * [[blockedRank]] + the standard bucket closed form — with n rows and b
+    * buckets, q = n div b and r = n mod b, buckets 1..r hold q+1 rows and
+    * the rest q (what Spark's NTile and DuckDB's ntile both implement), so
+    *   decile(rn) = ⌈rn/(q+1)⌉            for rn ≤ r·(q+1)
+    *              = r + ⌈(rn−r·(q+1))/q⌉  otherwise.
+    * At 100 TB bin EDGES from a quantile sketch replace true ntile.
     */
-  def valueDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    Tables.events(spark, dir)
-      .withColumn("decile", ntile(10).over(w))
+  def valueDeciles(spark: SparkSession, dir: String,
+                   blockRows: Long = SeriesBlockRows): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val nTab = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val q = floor(col("n") / 10).cast("long")
+    val r = col("n") % 10
+    val decile = when(col("rn") <= r * (q + 1), ceil(col("rn") / (q + 1)))
+      .otherwise(r + ceil((col("rn") - r * (q + 1)) / greatest(q, lit(1L))))
+    blockedRank(ev, "event_type", Seq(col("value"), col("event_id")),
+        doubleBuckets(ev, col("value"), blockRows), "rn")
+      .join(broadcast(nTab), "event_type")
+      .withColumn("decile", decile.cast("int"))
       .groupBy("event_type", "decile")
       .agg(count(lit(1)).as("n"),
         r6(min(col("value"))).as("lo"),

@@ -123,6 +123,57 @@ class PlanHygieneSpec extends SparkSpec {
     assert(stale.isEmpty, s"stale whitelist entries: $stale")
   }
 
+  /** No registered query may put a whole fact-scale series in ONE window
+    * task: a Window whose partition keys are all drawn from a known
+    * low-cardinality VOCABULARY column (event_type — 5 values at any scale)
+    * over input that descends from a fact scan with no intervening
+    * Aggregate/Limit sorts ~20% of the fact table in a single task (the
+    * VERDICT r9 `weak`: `trendedOf`'s per-key moving average measured 47.8 s
+    * at sf10 while its block-parallel form reads ~9 s). The r10 fix block-
+    * decomposes those windows ([[graft.operators.EventsOps.series]] /
+    * `trendedOf`); this sweep makes reintroducing the old shape structurally
+    * impossible, the same move as the broadcast sweep above. An Aggregate or
+    * Limit between the window and the scan bounds the rows (per-key spectra,
+    * count tables), so those windows stay legal; LogicalRDD leaves are
+    * fact-like because localCheckpoint erases provenance.
+    */
+  test("no vocabulary-partitioned window directly over fact-scale input") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+    val vocabCols = Set("event_type")
+    val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
+    def factLeaf(p: LogicalPlan): Boolean = p match {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation =>
+          val name = h.location.rootPaths.headOption.map(_.getName).getOrElse("")
+          factTables.exists(name.startsWith)
+        case _ => true
+      }
+      case _: LogicalRDD => true
+      case _ => false
+    }
+    // true iff some path from p down to a fact-like leaf crosses no
+    // row-bounding operator
+    def unboundedFactBelow(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: Deduplicate | _: GlobalLimit | _: LocalLimit => false
+      case l if l.children.isEmpty => factLeaf(l)
+      case _ => p.children.exists(unboundedFactBelow)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = fn(spark, sf).queryExecution.analyzed.collectWithSubqueries {
+        case w: Window
+          if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.flatMap(_.references).nonEmpty &&
+            w.partitionSpec.flatMap(_.references).forall(a => vocabCols(a.name)) &&
+            unboundedFactBelow(w.child) => w
+      }
+      if (bad.nonEmpty) Some(s"$name (${bad.size})") else None
+    }
+    assert(offenders.isEmpty, s"vocab-partitioned fact-scale windows in: $offenders")
+  }
+
   /** Top-k rank filters must plan a WindowGroupLimit: Catalyst rewrites
     * `row_number().over(w) <= k` into a per-partition group-limit BEFORE the
     * window sort, so each map task keeps only k rows per key instead of
