@@ -9,7 +9,8 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 /** One-off dev audit: for every registered query, print each BROADCAST-hinted
   * subtree that the PlanHygieneSpec bounded rules do NOT already clear, with
   * its aggregate grouping keys and leaf tables — input for designing the
-  * bounded-vocabulary rule. Not part of the shipped surface.
+  * bounded-vocabulary rule. Not part of the shipped surface; the fixture dir
+  * comes from args(0) (like GenSf1 / SimBlockAudit).
   */
 object BroadcastAudit {
   def main(args: Array[String]): Unit = {
@@ -20,7 +21,7 @@ object BroadcastAudit {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.001"
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
 
     def factLeaves(p: LogicalPlan): Seq[String] = p.collectLeaves().flatMap {

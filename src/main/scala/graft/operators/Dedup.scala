@@ -301,10 +301,17 @@ object Dedup {
     * finds them without all-pairs: split the [[SimBits]]-bit fingerprint into
     * HammingMax + 1 = 4 blocks of [[SimBlockBits]] bits — a pair within
     * Hamming 3 differs in at most 3 blocks, so by pigeonhole it MATCHES on
-    * at least one, and the (block, value) equi-join surfaces every such pair
-    * with zero false negatives. Exact popcount(xor) then keeps the true
-    * ones. Same blocked-candidate discipline as MinHash bands and LSH
-    * buckets.
+    * at least one, and the (block, value) equi-join surfaces every such pair.
+    * Exact popcount(xor) then keeps the true ones. Same blocked-candidate
+    * discipline as MinHash bands and LSH buckets.
+    *
+    * The pigeonhole guarantee (no false negatives) holds for UNCAPPED
+    * buckets only: [[MaxSimBucket]] skips block values shared by >256 docs,
+    * so a near-dup cluster larger than the cap (e.g. reordered-token copies
+    * with identical fingerprints) loses the pairs that only co-occur in its
+    * flooded blocks. That trade is measured, not assumed — the
+    * `dedup_band_recall` twin reports the blocked detector's recall against
+    * ground truth with the cap in force.
     */
   val HammingMax = 3
 

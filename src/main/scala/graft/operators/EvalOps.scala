@@ -848,39 +848,12 @@ object EvalOps {
     */
   val UserSimSortWindow = 64
 
-  /** nbits = clamp(⌈log2(n/32)⌉, 2, 8) as (threshold, bits) pairs:
-    * bits = k for n ≤ 32·2^k, else [[UserSimMaxBits]].
+  /** nbits = clamp(⌈log2(n/32)⌉, 2, [[UserSimMaxBits]] = 16) as
+    * (threshold, bits) pairs: bits = k for n ≤ 32·2^k, else the ceiling.
     */
   private val userSimBitThresholds: Seq[(Long, Int)] =
     (2 until UserSimMaxBits).map(k => (UserSimTargetBucket.toLong << k, k))
 
-  /** Blocked twin of [[userSimilarity]] — the shape that survives 100 TB
-    * (VERDICT r7 flagged the brute force as the one registered plan that
-    * doesn't): candidate pairs come from sign-random-projection (SimHash)
-    * band keys over the type-count vectors, not a crossJoin. Each user's
-    * vector is projected onto [[UserSimBands]] bands of corpus-adaptive
-    * nbits = ⌈log2(users/[[UserSimTargetBucket]])⌉ deterministic
-    * hyperplanes (coefficients ±1 drawn from the DetRand stream keyed by the
-    * md5 type digest, so both engines derive identical planes without
-    * enumerating the type vocabulary). Vectors are CENTERED before the sign
-    * is taken — raw count vectors are near-uniform here, so sign(Σ nₜ·cₜ) is
-    * dominated by the user-independent Σ cₜ and every user lands in one
-    * bucket (measured: 142/150 per band, pruning nothing). The centered
-    * projection Σ (nₜ − S/k)·cₜ is evaluated exactly as the integer
-    * k·Σ nₜcₜ − S·Σ cₜ (S = Σ nₜ, k = #present types — no rationals, both
-    * engines agree bit-for-bit). The sign bits group into band keys;
-    * WITHIN each band bucket, members are ordered by the continuous
-    * direction proxy and paired only inside [[UserSimSortWindow]]-cell
-    * sorted-neighborhood grids (see the inline note in
-    * [[userSimilarityBlocked]] — concentrated 5-type profiles make pure
-    * band keys saturate at ~100k users), and only candidates get exact
-    * dot/cosine scoring + per-user top-k.
-    * Users² never materializes: the shuffle carries (band, key, cell)
-    * groups, the scoring join carries |candidates|×shared-types rows, and
-    * the exact [[userSimilarity]] is demoted to the declared ground-truth
-    * rung that [[userSimilarityRecallQ]] measures this against — the
-    * ann_bruteforce/ann_lsh stance.
-    */
   /** Dev-audit accessor: the (user_id, band, bkey) frame the blocked
     * similarity joins on, for bucket-distribution measurement
     * ([[graft.SimBlockAudit]]).
@@ -925,8 +898,8 @@ object EvalOps {
     def centered(p: Int): Column =
       col("kt") * col(s"a$p") - col("sn") * col(s"c$p")
     def bit(p: Int): Column = when(centered(p) >= 0L, 1L).otherwise(0L)
-    // key = Σ_{i < nbits} bit_i · 2^(nbits−1−i): pow's exponent stays in
-    // [0, 7], where the double result is exact
+    // key = Σ_{i < nbits} bit_i · 2^(nbits−1−i): pow's exponent stays below
+    // UserSimMaxBits = 16, where the double result is exact
     def bandKey(b: Int): Column = (0 until UserSimMaxBits)
       .map(i => when(lit(i) < col("nbits"),
         bit(b * UserSimMaxBits + i) *
@@ -947,6 +920,32 @@ object EvalOps {
     (cnt, sigs)
   }
 
+  /** Blocked twin of [[userSimilarity]] — the shape that survives 100 TB
+    * (VERDICT r7 flagged the brute force as the one registered plan that
+    * doesn't): candidate pairs come from sign-random-projection (SimHash)
+    * band keys over the type-count vectors, not a crossJoin. Each user's
+    * vector is projected onto [[UserSimBands]] bands of corpus-adaptive
+    * nbits = ⌈log2(users/[[UserSimTargetBucket]])⌉ deterministic
+    * hyperplanes (coefficients ±1 drawn from the DetRand stream keyed by the
+    * md5 type digest, so both engines derive identical planes without
+    * enumerating the type vocabulary). Vectors are CENTERED before the sign
+    * is taken — raw count vectors are near-uniform here, so sign(Σ nₜ·cₜ) is
+    * dominated by the user-independent Σ cₜ and every user lands in one
+    * bucket (measured: 142/150 per band, pruning nothing). The centered
+    * projection Σ (nₜ − S/k)·cₜ is evaluated exactly as the integer
+    * k·Σ nₜcₜ − S·Σ cₜ (S = Σ nₜ, k = #present types — no rationals, both
+    * engines agree bit-for-bit). The sign bits group into band keys;
+    * WITHIN each band bucket, members are ordered by the continuous
+    * direction proxy and paired only inside [[UserSimSortWindow]]-cell
+    * sorted-neighborhood grids (see the inline note below — concentrated
+    * 5-type profiles make pure band keys saturate at ~100k users), and only
+    * candidates get exact dot/cosine scoring + per-user top-k.
+    * Users² never materializes: the shuffle carries (band, key, cell)
+    * groups, the scoring join carries |candidates|×shared-types rows, and
+    * the exact [[userSimilarity]] is demoted to the declared ground-truth
+    * rung that [[userSimilarityRecallQ]] measures this against — the
+    * ann_bruteforce/ann_lsh stance.
+    */
   def userSimilarityBlocked(spark: SparkSession, dir: String): DataFrame = {
     val (cnt, sigs) = userSimParts(spark, dir)
     // Sorted-neighborhood WITHIN each bucket (the SemDeDup move from

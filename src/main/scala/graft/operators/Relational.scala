@@ -1307,9 +1307,14 @@ object Relational {
     * [[FuzzyExtLen]] chars. Pairs in a block cost block², so ONE hot block
     * (a common name prefix, an ingest artifact) can dominate the whole
     * matcher — the sf10 rehearsal measured 195 s + an OOM cascade from a
-    * single fixture-made hot block. Sub-blocking trades recall (pairs
-    * differing in chars 17-18 of a hot block are out of scope, the same
-    * documented contract as the base blocking) for a hard pair bound. */
+    * single fixture-made hot block. Sub-blocking trades recall for a hard
+    * pair bound, and the trade is SEVERE for short name schemas: the fixture
+    * 'Customer#%09d' names are exactly 18 chars, so the 18-char extended key
+    * degenerates to full-name equality and a hot block keeps ONLY its exact
+    * duplicates — every edit-distance-1 pair between distinct names inside a
+    * hot block is lost (the oracle mirrors the same rule, so parity holds).
+    * For name schemas longer than 18 chars the extended key is a genuine
+    * partial prefix and only chars-beyond-18 pairs are sacrificed. */
   val FuzzyHotBlock = 256L
   val FuzzyExtLen = 18
 

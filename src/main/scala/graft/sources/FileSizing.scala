@@ -48,6 +48,13 @@ object FileSizing {
 
   /** Output chunk count for a rewrite of `rows` rows / `bytes` source bytes:
     * row-targeted at fixture scale, byte-ceilinged at real scale.
+    *
+    * Between ~[[MaxDemoChunks]]·rowTarget rows and the first byte-target
+    * multiple past it, the count pins at [[MaxDemoChunks]], so per-file rows
+    * CAN exceed rowTarget there — CompactionSpec's row-band assertion is a
+    * fixture-scale contract only; past that plateau the byte target governs
+    * (the production invariant is bytes-per-file, asserted by the
+    * byte-ceiling spec case, not rows-per-file).
     */
   def boundedChunks(rows: Long, bytes: Long, rowTarget: Long): Int = {
     val byRows = math.max(1L, (rows + rowTarget - 1) / rowTarget)

@@ -70,4 +70,27 @@ class CompactionSpec extends SparkSpec {
     assert(totalRows == Tables.events(spark, sf).count())
     files.unpersist()
   }
+
+  test("byte ceiling governs chunk count past the demo plateau") {
+    // the three boundedChunks regimes, pinned as a unit contract: the
+    // fixture row form below the plateau, the MaxDemoChunks plateau where
+    // rows alone would explode the count, the byte branch past it (the
+    // production invariant — bytes-per-file, not rows-per-file)
+    val bt = FileSizing.TargetFileBytes
+    assert(FileSizing.boundedChunks(1000, 10 * bt, 100) == 10)
+    assert(FileSizing.boundedChunks(100L * 1000000, 10 * bt, 1000) ==
+      FileSizing.MaxDemoChunks)
+    assert(FileSizing.boundedChunks(100L * 1000000, 100 * bt, 1000) == 100)
+
+    // e2e: drive the real compaction write through the byte branch (the
+    // sourceBytes stat is a parameter, so the branch is reachable at fixture
+    // scale) — the layout must cut byte-target chunks, not the 64 plateau
+    val frag = Tables.events(spark, sf).withColumn("event_date", to_date(col("ts")))
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_bytegov_test").toString
+    Compaction.compactTo(frag, loc, 1L, 100 * bt)
+    val nFiles = spark.read.parquet(loc)
+      .select(input_file_name().as("f")).distinct().count()
+    assert(nFiles >= 100, s"byte ceiling not engaged: $nFiles files")
+  }
 }
