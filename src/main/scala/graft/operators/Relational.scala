@@ -824,10 +824,17 @@ object Relational {
         .select(col("dst"),
           floor(col("rank") / col("outdeg").cast("double") * 1e12 + 0.5).cast("long").as("c_mi"))
         .groupBy("dst").agg(sum(col("c_mi")).as("sum_mi"))
+      // materialize each pass: the lazy chain references the previous ranks
+      // TWICE (the contrib broadcast and the update join), so unmaterialized
+      // iteration i re-executes iteration i−1's whole subplan ~2× — 2^iters
+      // edge joins by iteration 3 (the r9 sf10 bill: 72.6 s). A per-pass
+      // localCheckpoint makes each edge join run exactly once; values are
+      // bit-identical, so the unrolled oracle is untouched.
       ranks = ranks.join(broadcast(contrib), col("node") === col("dst"), "left")
         .select(col("node"), col("outdeg"), col("n_nodes"),
           r(lit(1.0 - PrDamping) / col("n_nodes").cast("double") +
             lit(PrDamping) * (coalesce(col("sum_mi"), lit(0L)).cast("double") / 1e12), 9).as("rank"))
+        .localCheckpoint(eager = true)
     }
     ranks.select(col("node").as("p_partkey"), col("outdeg"), col("rank"))
       .orderBy(desc("rank"), asc("p_partkey"))

@@ -10,7 +10,7 @@ package graft.sources
   * serialize (the second caller sees the recorded dir and skips the write),
   * while different locations never contend.
   */
-private[sources] object WriteOnce {
+private[graft] object WriteOnce {
   private val written = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 

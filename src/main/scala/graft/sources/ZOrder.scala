@@ -89,10 +89,27 @@ object ZOrder {
     * need at fixture scale) to Greenwald-Khanna with a small relativeError:
     * relativeError=0.0 forces the EXACT algorithm, whose cost grows with
     * distinct-value count and was part of the sf1 write's super-linear bill.
-    * Rank buckets only need boundaries good to ~1/256 of the rank range, so
-    * ε=0.001 is an order of magnitude finer than the layout can even use.
+    * Rank buckets with 2^Bits = 16 cells only need boundaries good to a
+    * fraction of a 1/16 bucket; ε=0.002 keeps any boundary within ~3% of a
+    * bucket width (balance noise, invisible to skipping) and halves the GK
+    * sketch cost vs the r9 ε=0.001 (the stats pass measured 9.2 s of the
+    * 22 s sf10 write).
     */
   val ExactQuantileMaxRows = 200000L
+  val StatsEpsilon = 0.002
+
+  /** Write-parallelism floor at scale: below ~a byte-target of data the
+    * byte-derived file count is 1-2 and the range write runs in single-digit
+    * tasks regardless of row count (the sf10 profile: 10 s of the 22 s write
+    * in 8 tasks on 32 cores). One extra file per ~256k rows, capped at 32,
+    * cuts more, smaller files once rows justify it — strictly better
+    * box-skipping, negligible footer overhead at these sizes — and is
+    * irrelevant at real scale where bytes/byteTarget dominates. Fixture
+    * layouts unchanged (floor reaches [[NumFiles]] = 8 only past ~1.8M rows;
+    * the sf0.1 fixture has 100k).
+    */
+  private[graft] def parallelismFloor(rows: Long): Int =
+    math.min(32L, rows / 262144L + 1).toInt
 
   /** One stats pass: the interior quantile boundaries of both dimensions
     * (a bounded 2×15-double collect, like the IVF centroid fold).
@@ -117,12 +134,13 @@ object ZOrder {
     * not a looser cut.
     */
   private[graft] def zOrderTo(df: DataFrame, location: String, nFiles: Int): Unit = {
-    val err = if (df.count() <= ExactQuantileMaxRows) 0.0 else 0.001
+    val rows = df.count()
+    val err = if (rows <= ExactQuantileMaxRows) 0.0 else StatsEpsilon
     val (uBounds, tBounds) = dimBounds(df, err)
     df.withColumn("zkey", mortonInterleave(
         rankBucket(col("user_id").cast("double"), uBounds),
         rankBucket(unix_micros(col("ts")).cast("double"), tBounds)))
-      .repartitionByRange(nFiles, col("zkey"))
+      .repartitionByRange(math.max(nFiles, parallelismFloor(rows)), col("zkey"))
       .sortWithinPartitions("zkey", "event_id")
       .drop("zkey")
       .write.mode("overwrite").parquet(location)

@@ -73,7 +73,10 @@ class PlanHygieneSpec extends SparkSpec {
       // checkpointed plan-time constants (LogicalRDD hides the bound):
       // type×hash-grid for LDP, driver-fitted BPE merge list
       "events_ldp_freq" -> "checkpointed type x hash-grid constants",
-      "text_bpe_apply" -> "checkpointed BPE merge table (vocab budget)"
+      "text_bpe_apply" -> "checkpointed BPE merge table (vocab budget)",
+      // per-iteration checkpointed rank vector: one row per part (catalog),
+      // keyed by node id — the checkpoint erases the grand-total-n bound
+      "graph_pagerank" -> "checkpointed rank vector keyed by part (catalog)"
     )
 
     def isBoundedIdCap(e: Expression): Boolean = e.exists {
