@@ -146,15 +146,27 @@ object EventsOps {
       block: Int): (DataFrame, org.apache.spark.sql.expressions.WindowSpec) = {
     require(lo <= hi && block >= math.max(-lo, hi),
       s"halo block $block narrower than frame [$lo, $hi]")
-    val base = df.withColumn("_tblk", (col("t") / block).cast("long"))
-      .withColumn("_halo", lit(false))
-    // rows a LATER chunk's frame reaches back into (frames with lo < 0)
-    val up = base.filter(col("t") % block >= block + lo && lit(lo < 0))
-      .withColumn("_tblk", col("_tblk") + 1).withColumn("_halo", lit(true))
-    // rows an EARLIER chunk's frame reaches forward into (frames with hi > 0)
-    val down = base.filter(col("t") % block < hi && col("_tblk") > 0 && lit(hi > 0))
-      .withColumn("_tblk", col("_tblk") - 1).withColumn("_halo", lit(true))
-    val aug = base.unionByName(up).unionByName(down)
+    // ONE generator pass, not a 3-way union: the input is typically an
+    // expensive rank window, and each union branch would re-execute it
+    // (ReusedExchange shares only the shuffle write, not the sort+window
+    // compute). Each row emits its own (chunk, halo=false) entry plus
+    // conditional halo entries into the neighbor chunks its edge position
+    // makes reachable; `concat` of `when`-typed arrays keeps the stage
+    // inside whole-stage codegen (a higher-order `filter` lambda would not).
+    val blk = (col("t") / block).cast("long")
+    val entry = "struct<b:bigint,h:boolean>"
+    def one(b: Column, h: Boolean) = array(struct(b.as("b"), lit(h).as("h")))
+    val none = array().cast(s"array<$entry>")
+    val up = // rows a LATER chunk's frame reaches back into (lo < 0)
+      if (lo >= 0) none
+      else when(col("t") % block >= block + lo, one(blk + 1, h = true)).otherwise(none)
+    val down = // rows an EARLIER chunk's frame reaches forward into (hi > 0)
+      if (hi <= 0) none
+      else when(col("t") % block < hi && blk > 0, one(blk - 1, h = true)).otherwise(none)
+    val aug = df
+      .select(col("*"), explode(concat(one(blk, h = false), up, down)).as("_e"))
+      .withColumn("_tblk", col("_e.b")).withColumn("_halo", col("_e.h"))
+      .drop("_e")
     val w = Window.partitionBy(col(key), col("_tblk")).orderBy("t")
       .rangeBetween(lo, hi)
     (aug, w)
