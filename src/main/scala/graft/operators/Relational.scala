@@ -815,7 +815,7 @@ object Relational {
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), col("outdeg"), col("n_nodes"),
         r(lit(1.0) / col("n_nodes").cast("double"), 9).as("rank"))
-    for (_ <- 1 to PrIters) {
+    for (it <- 1 to PrIters) {
       // the rank vector (one row per node) broadcasts both ways, so the
       // 30×-larger edge table never shuffles: contributions are a map-side
       // broadcast join + partial-agg, the update a broadcast left join
@@ -829,12 +829,17 @@ object Relational {
       // iteration i re-executes iteration i−1's whole subplan ~2× — 2^iters
       // edge joins by iteration 3 (the r9 sf10 bill: 72.6 s). A per-pass
       // localCheckpoint makes each edge join run exactly once; values are
-      // bit-identical, so the unrolled oracle is untouched.
+      // bit-identical, so the unrolled oracle is untouched. The LAST pass
+      // stays lazy: its inputs are already checkpointed (nothing can
+      // re-execute beyond a cheap RDD rescan), and leaving it in the plan
+      // keeps the query's broadcast-join shape visible to the executed-plan
+      // hygiene sweep instead of collapsing the whole query to one
+      // LogicalRDD scan.
       ranks = ranks.join(broadcast(contrib), col("node") === col("dst"), "left")
         .select(col("node"), col("outdeg"), col("n_nodes"),
           r(lit(1.0 - PrDamping) / col("n_nodes").cast("double") +
             lit(PrDamping) * (coalesce(col("sum_mi"), lit(0L)).cast("double") / 1e12), 9).as("rank"))
-        .localCheckpoint(eager = true)
+      if (it < PrIters) ranks = ranks.localCheckpoint(eager = true)
     }
     ranks.select(col("node").as("p_partkey"), col("outdeg"), col("rank"))
       .orderBy(desc("rank"), asc("p_partkey"))
