@@ -206,25 +206,32 @@ object EventsOps {
     * whereas DuckDB's generate_series(1, 0) is empty, so the guard is also an
     * oracle-parity requirement for tiny series under high-cardinality keys.
     */
-  private def spectrumOf(tr: DataFrame, key: String): DataFrame = {
-    val freqs = tr.select(key, "n").distinct()
-      .filter(col("n") >= 3)
-      .withColumn("k", explode(sequence(lit(1),
-        least(lit(MaxFreq), (ceil(col("n") / 2) - 1).cast("int")))))
-      .select(key, "k")
-    val theta = lit(2.0 * math.Pi) * col("k") * col("t") / col("n")
+  private[graft] def spectrumOf(tr: DataFrame, key: String): DataFrame = {
     // fx9 long terms: max|detr·cos| ≈ 486 at sf0.1 → ≤ 4.9e11/term × n ≈ 2e4
     // rows/series → |sum| ≤ 1e16, ~900× under 2^63. The quantization (5e-10 a
     // term) is invisible at the 6dp output contract; what it buys is a group
     // sum that is INTEGER, hence identical under any partial-merge order in
     // both engines (see Num.fx — plain double sums flipped an r6 boundary
     // run-to-run inside DuckDB itself).
-    tr.join(freqs, key)
-      .groupBy(col(key), col("k"))
-      .agg(
-        r6(sum(fx9(col("detr") * cos(theta))).cast("double") / 1e9).as("re"),
-        r6(-(sum(fx9(col("detr") * sin(theta))).cast("double") / 1e9)).as("im"),
+    //
+    // One fused [[graft.plans.DftSumsAgg]] pass accumulates all MaxFreq bins
+    // per input row — the r9 explode-join form fanned every fact row out 64×
+    // through a BroadcastHashJoin before aggregating, and the sf10 profile
+    // put 21 of the DFT's 27 s in that 640 M-row join pipeline (trig ~2 s).
+    // The kernel replays the identical double trees (theta association order,
+    // fx9 floors), so the long sums — and therefore the oracle hashes — are
+    // bit-identical.
+    val sums = tr.filter(col("n") >= 3)
+      .groupBy(col(key))
+      .agg(graft.plans.DftSumsAgg.dftSums(col("detr"), col("t"), col("n"), MaxFreq).as("_s"),
         first(col("n")).as("n"))
+    sums
+      .withColumn("k", explode(sequence(lit(1),
+        least(lit(MaxFreq), (ceil(col("n") / 2) - 1).cast("int")))))
+      .select(col(key), col("k"),
+        r6(element_at(col("_s"), col("k") * 2 - 1).cast("double") / 1e9).as("re"),
+        r6(-(element_at(col("_s"), col("k") * 2).cast("double") / 1e9)).as("im"),
+        col("n"))
       .withColumn("amplitude", r6(sqrt(col("re") * col("re") + col("im") * col("im"))))
   }
 
@@ -254,19 +261,39 @@ object EventsOps {
     */
   def decomposeOf(df: DataFrame, key: String): DataFrame = {
     val tr = trendedOf(df, key).localCheckpoint(eager = true)
-    val top = topBinsOf(spectrumOf(tr, key), TopK, key).select(key, "k", "re", "im")
-    val theta = lit(2.0 * math.Pi) * col("k") * col("t") / col("n")
-    // inverse rDFT over the kept bins only: each (series,t) row joins K=4 bins.
-    // No broadcast hint on `top`: it is K rows PER SERIES, and callers key by
-    // user_id/series_id where series count scales with the base table — a
-    // forced broadcast OOMs at 100× users (the VERDICT r8 finding class).
-    // AQE broadcasts it at runtime when it is actually small (it always is
-    // per-series-bounded relative to the grid side, so the join stays local
-    // per key either way).
-    val seas = tr.select(key, "t", "n").join(top, key)
-      .groupBy(col(key), col("t"))
-      .agg(r6(sum(fx9((lit(2.0) / col("n")) * (col("re") * cos(theta) - col("im") * sin(theta)))).cast("double") / 1e9).as("seasonality"))
-    tr.join(seas, Seq(key, "t"))
+    // inverse rDFT over the kept bins only — as a MAP, not a fan-out: the r9
+    // form joined every (series, t) row against its K=4 kept bins (4× row
+    // explosion), re-aggregated by (key, t), then joined the 10 M-group
+    // result back onto `tr` — two fact-scale shuffles and a fact⋈fact SMJ
+    // per query. The kept bins instead pivot to ONE row per series (≤TopK
+    // bins each; rank order is topBinsOf's (amplitude desc, k asc), though
+    // the term SUM makes the order immaterial), the join is 1:1 on the
+    // series key, and the seasonality is a per-row expression summing the
+    // same fx9 long terms the old group-sum added — bit-identical output,
+    // zero fact-scale shuffles. No broadcast hint on the pivot: it is one
+    // row PER SERIES and callers key by user_id/series_id where series count
+    // scales with the base table (the VERDICT r8 class); AQE broadcasts it
+    // when it is actually small.
+    val wTop = Window.partitionBy(col(key)).orderBy(desc("amplitude"), asc("k"))
+    val aggs = (1 to TopK).flatMap { i =>
+      Seq(max(when(col("_i") === i, col("k"))).as(s"_k$i"),
+        max(when(col("_i") === i, col("re"))).as(s"_re$i"),
+        max(when(col("_i") === i, col("im"))).as(s"_im$i"))
+    }
+    val piv = spectrumOf(tr, key)
+      .withColumn("_i", row_number().over(wTop))
+      .filter(col("_i") <= TopK)
+      .groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    def term(i: Int): Column = {
+      val theta = lit(2.0 * math.Pi) * col(s"_k$i") * col("t") / col("n")
+      // absent bins (series with < TopK valid bins) are null → contribute 0,
+      // exactly as their absent rows contributed nothing to the old group-sum
+      coalesce(fx9((lit(2.0) / col("n")) *
+        (col(s"_re$i") * cos(theta) - col(s"_im$i") * sin(theta))), lit(0L))
+    }
+    val seas = r6((1 to TopK).map(term).reduce(_ + _).cast("double") / 1e9)
+    tr.join(piv, Seq(key))
+      .withColumn("seasonality", seas)
       .select(col(key), col("t"),
         r6(col("value")).as("value"),
         r6(col("trend")).as("trend"),
