@@ -93,11 +93,16 @@ object Dedup {
     * what a production dedup pipeline does anyway: shingle once, persist,
     * run every detector off the artifact.
     *
-    * The read is localCheckpoint'd: every pair query references the shingle
-    * frame several times (candidates + verification + set stats), and a bare
-    * parquet frame re-scans the disk artifact per reference — at sf10 the
-    * rescans cost more than the derive the artifact saved (dedup_containment
-    * 189 s vs the r9 in-memory form's 105 s). One columnar scan into
+    * The read is repartitioned and localCheckpoint'd: every pair query
+    * references the shingle frame several times (candidates + verification +
+    * set stats), and a bare parquet frame re-scans the disk artifact per
+    * reference — at sf10 the rescans cost more than the derive the artifact
+    * saved (dedup_containment 189 s vs the r9 in-memory form's 105 s). Worse,
+    * the artifact is SMALL on disk (8-byte pairs compress to ~220 MB at
+    * sf10), so maxPartitionBytes coalesces the scan to ~3 partitions and
+    * every downstream band join inherits 3-way parallelism — the repartition
+    * restores full width AND hash-clusters by doc_id, which the signature
+    * groupBy then consumes exchange-free. One scan + one narrow shuffle into
     * MEMORY_AND_DISK blocks keeps the cross-query disk sharing AND the
     * in-query block reuse.
     */
@@ -106,7 +111,9 @@ object Dedup {
     graft.sources.WriteOnce.ensure(loc, dir)(
       shinglesOf(Tables.documents(spark, dir))
         .write.mode("overwrite").parquet(loc))
-    spark.read.parquet(loc).localCheckpoint(eager = true)
+    spark.read.parquet(loc)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .localCheckpoint(eager = true)
   }
 
   /** Non-distinct digest stream for the signature-only path: MIN-aggregation
