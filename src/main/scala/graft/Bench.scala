@@ -61,6 +61,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE sizes shuffles from THIS width down: 32 fixed partitions made
+      // every sf100 reducer sort ~19M rows and spill (lineitem_leadtime_sla
+      // read 18× for 10× data); 8× cpus initial width keeps big-shuffle
+      // reducers in memory while AQE coalesces small shuffles back to a
+      // handful of tasks — the standard deploy-scale knob, not a fixture hack
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", cpus.toInt * 8)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()

@@ -12,6 +12,8 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same deploy-scale shuffle width as Bench (AQE coalesces back down)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", cpus.toInt * 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

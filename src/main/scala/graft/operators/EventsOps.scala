@@ -1361,11 +1361,20 @@ object EventsOps {
     * the 100-TB pipeline runs the sketch alone.
     */
   def dailyUsersSketch(spark: SparkSession, dir: String): DataFrame =
+    // two-step, not a mixed distinct aggregate: countDistinct next to plain
+    // aggs plans an Expand (2× the fact rows through a spilling partial map —
+    // the sf100 rehearsal read 12× for 10× data). Collapsing to (day, user)
+    // pairs first is one map-combinable shuffle; the day-level rollup then
+    // counts rows for the exact twin and feeds the SAME user values to the
+    // sketch — HLL register updates are idempotent, so the estimate off the
+    // deduplicated pairs is bit-identical to the estimate off raw events.
     Tables.events(spark, dir)
-      .groupBy(to_date(col("ts")).as("event_date"))
+      .groupBy(to_date(col("ts")).as("event_date"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_date")
       .agg(approx_count_distinct(col("user_id"), HllRsd).as("approx"),
-        countDistinct(col("user_id")).as("n_users_exact"),
-        count(lit(1)).as("n_events"))
+        count(lit(1)).as("n_users_exact"),
+        sum(col("c")).as("n_events"))
       .select(col("event_date"), col("n_users_exact"), col("n_events"),
         (abs(col("approx") - col("n_users_exact")).cast("double") * 100.0 /
           col("n_users_exact").cast("double") <= HllTolPct).as("hll_within_tol"))
