@@ -63,10 +63,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       // AQE sizes shuffles from THIS width down: 32 fixed partitions made
       // every sf100 reducer sort ~19M rows and spill (lineitem_leadtime_sla
-      // read 18× for 10× data); 8× cpus initial width keeps big-shuffle
-      // reducers in memory while AQE coalesces small shuffles back to a
-      // handful of tasks — the standard deploy-scale knob, not a fixture hack
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", cpus.toInt * 8)
+      // read 18× for 10× data), while a fixed 8×cpus taxed every sub-second
+      // sf0.1 query (VERDICT r10 #1b) — so the width now derives from the
+      // fixture's byte size (see FileSizing.initialShufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        graft.sources.FileSizing.initialShufflePartitions(sfDir, cpus.toInt))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
@@ -83,30 +84,52 @@ object Bench {
     // JSON carries an "errors" count and a failing total can't look healthy.
     // Correctness gating catches the breakage separately; this makes the perf
     // artifact self-auditing the way the steal/gc fields are.
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // optional comma-separated query filter for local single-query iteration;
     // the driver never sets it, so round benches always cover the registry
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
-      val dts = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, sfDir)
-          // sum as DOUBLE: a BIGINT sum of xxhash64 values overflows 2^63 under
-          // ANSI mode and aborts the query mid-scan, truncating the measurement
-          df.select(xxhash64(df.columns.map(col): _*).cast("double").as("h")).agg(sum("h")).collect()
-        } catch { case e: Throwable => errors(name) = e.getClass.getSimpleName }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // release blocks pinned by intra-query localCheckpoints so storage
-        // pressure from one query can't tax the next
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-        dt
+    def sweep(errors: scala.collection.mutable.Map[String, String]): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
+        val dts = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            val df = fn(spark, sfDir)
+            // sum as DOUBLE: a BIGINT sum of xxhash64 values overflows 2^63 under
+            // ANSI mode and aborts the query mid-scan, truncating the measurement
+            df.select(xxhash64(df.columns.map(col): _*).cast("double").as("h")).agg(sum("h")).collect()
+          } catch { case e: Throwable => errors(name) = e.getClass.getSimpleName }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // release blocks pinned by intra-query localCheckpoints so storage
+          // pressure from one query can't tax the next
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          dt
+        }
+        // MIN across runs: contention stalls only ever ADD time, so the min is
+        // the best estimate of the code's true cost on this host
+        name -> dts.min
       }
-      // MIN across runs: contention stalls only ever ADD time, so the min is
-      // the best estimate of the code's true cost on this host
-      name -> dts.min
+    // Steal-retry guard (VERDICT r10 #8): the r10 local bench shipped at
+    // steal 77,053 — a hypervisor-frozen artifact that had to be adjudicated
+    // away after the fact. When a sweep absorbs more than SPARK_GRAFT_MAX_STEAL
+    // ticks (default 5,000 ≈ 50 cpu-seconds stolen), run ONE more full sweep
+    // and keep whichever saw less steal, so a distorted run can't become the
+    // round's recorded number while a genuinely busy host still terminates.
+    val maxSteal =
+      try sys.env.getOrElse("SPARK_GRAFT_MAX_STEAL", "5000").toLong
+      catch { case _: NumberFormatException => 5000L }
+    var errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var sweepSteal = stealTicks
+    var results = sweep(errors)
+    sweepSteal = stealTicks - sweepSteal
+    var retried = false
+    if (sweepSteal > maxSteal) {
+      retried = true
+      val errors2 = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      var steal2 = stealTicks
+      val results2 = sweep(errors2)
+      steal2 = stealTicks - steal2
+      if (steal2 < sweepSteal) { results = results2; errors = errors2; sweepSteal = steal2 }
     }
     def ms(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"$k\":${ms(v)}" }.mkString("{", ",", "}")
@@ -118,6 +141,7 @@ object Bench {
     val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","runs":$runs,"agg":"min","loadavg_start":"$loadStart","loadavg_end":"$loadavg"""" +
       s""","gc_sec":${ms(gcSec)},"steal_ticks":$stealDelta""" +
+      s""","sweep_steal_ticks":$sweepSteal,"steal_retried":$retried""" +
       s""","errors":${errors.size},"query_errors":$errJson}"""
     val short = s"""{"metric":"total","value":${ms(total)}}"""
     try Files.writeString(Paths.get(outPath), full + "\n" + short + "\n")

@@ -12,8 +12,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // same deploy-scale shuffle width as Bench (AQE coalesces back down)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", cpus.toInt * 8)
+      // same input-size-derived shuffle width as Bench (AQE coalesces down)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        graft.sources.FileSizing.initialShufflePartitions(sfDir, cpus.toInt))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

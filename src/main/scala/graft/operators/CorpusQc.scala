@@ -631,27 +631,35 @@ object CorpusQc {
     */
   val MixBaseBudget = 300L
 
+  /** Sample-key buckets for the blocked running sums below: the u01 key is
+    * uniform in [0,1) by construction, so fixed-width buckets balance with
+    * no stats scan. */
+  private val MixBuckets = 512L
+
   /** Deterministic token-budget sampling per source: order each source's docs
     * by a cross-engine sample key (u01 of doc_id — the same LCG stream
     * discipline as the generators), then keep docs while the running token
     * count BEFORE the doc is inside the source's budget (so the first doc
     * always lands, and the doc that crosses the line is kept — budgets are
-    * soft floors, the packing convention). Per-source window, no global sort.
+    * soft floors, the packing convention). Block-parallel (r11): the
+    * per-source running sum recombines from monotone sample-key buckets via
+    * [[EventsOps.blockedRankPrefix]], so no task sorts a whole source even
+    * though `source` is a ~20-value vocabulary at any scale (the extended
+    * vocab sweep caught the old single-window form).
     */
   def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
     val srcIdx = substring(col("source"), 4, 8).cast("long")
     val u = R.u01(col("doc_id").cast("double"), 41)
-    val w = Window.partitionBy("source").orderBy("u", "doc_id")
-    docs(spark, dir)
+    val proj = docs(spark, dir)
       .select(col("doc_id"), col("source"), size(words).cast("long").as("n_tokens"),
         (lit(MixBaseBudget) * (lit(1L) + pmod(srcIdx, lit(3L)))).as("budget_tokens"),
         u.as("u"))
-      .withColumn("cum_before",
-        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("pick_order", row_number().over(w))
+    val bkt = least(floor(col("u") * MixBuckets), lit(MixBuckets - 1L)).cast("long")
+    EventsOps.blockedRankPrefix(proj, "source", Seq(col("u"), col("doc_id")),
+        bkt, col("n_tokens"), "_rn", "cum_before")
       .filter(col("cum_before") < col("budget_tokens"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("budget_tokens"),
-        col("pick_order"), col("cum_before"))
+        col("_rn").cast("int").as("pick_order"), col("cum_before"))
   }
 
   // ---------------- PII / sensitive-term scrubbing ----------------
@@ -722,19 +730,22 @@ object CorpusQc {
     * which is what a training scheduler consumes; membership itself is a
     * pure windowed projection any pass can re-derive.
     *
-    * Scale: one narrow projection + a per-source window (partition keys
-    * throughout, no global sort) + a map-side-collapsing rollup. The
-    * integer-division trap applies: Spark Column `/` is double division, so
-    * the phase formula is floor(double)·cast — exact while P·T < 2^53.
+    * Scale: one narrow projection + a BLOCK-PARALLEL per-source running sum
+    * ([[EventsOps.blockedRankPrefix]] over monotone token-count buckets —
+    * `source` is a ~20-value vocabulary at any scale, so the r10
+    * single-window form sorted a whole source's docs in one task; the
+    * per-source token total folds over the same tiny bucket-stats table) +
+    * a map-side-collapsing rollup. The integer-division trap applies: Spark
+    * Column `/` is double division, so the phase formula is
+    * floor(double)·cast — exact while P·T < 2^53.
     */
   def curriculum(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
-    val wSrc = Window.partitionBy("source")
-    docs(spark, dir)
+    val proj = docs(spark, dir)
       .select(col("doc_id"), col("source"), size(words).cast("long").as("n_tokens"))
-      .withColumn("cum_before",
-        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("total", sum(col("n_tokens")).over(wSrc))
+    val bkt = EventsOps.longBuckets(proj, col("n_tokens"), EventsOps.SeriesBlockRows,
+      Some(s"$dir#documents.n_tokens"))
+    EventsOps.blockedRankPrefix(proj, "source", Seq(col("n_tokens"), col("doc_id")),
+        bkt, col("n_tokens"), "_rn", "cum_before", Some("total"))
       .withColumn("phase",
         least(lit(1L) + floor(col("cum_before").cast("double") * CurriculumPhases /
           col("total").cast("double")).cast("long"), lit(CurriculumPhases.toLong)))

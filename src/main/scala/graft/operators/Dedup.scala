@@ -106,14 +106,43 @@ object Dedup {
     * MEMORY_AND_DISK blocks keeps the cross-query disk sharing AND the
     * in-query block reuse.
     */
+  /** (session, dir) → the checkpointed shingle frame plus its backing RDD
+    * handle. Without the memo every dedup entry point re-materialized its
+    * own MEMORY_AND_DISK copy of the same artifact, and copies piled up
+    * until the ContextCleaner GC'd them (ADVICE r10). The RDD handle makes
+    * the memo SAFE under the harness's blanket between-query unpersist: a
+    * localCheckpoint's lineage is truncated, so a cached frame whose blocks
+    * were dropped cannot recompute — the validity probe (storage level
+    * reset to NONE by unpersist) re-checkpoints instead of crashing.
+    */
+  private val shingleMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, org.apache.spark.rdd.RDD[_])]()
+
   private def docShingles(spark: SparkSession, dir: String): DataFrame = {
     val loc = shinglesLocation(spark)
     graft.sources.WriteOnce.ensure(loc, dir)(
       shinglesOf(Tables.documents(spark, dir))
         .write.mode("overwrite").parquet(loc))
-    spark.read.parquet(loc)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .localCheckpoint(eager = true)
+    val key = System.identityHashCode(spark) + "#" + dir
+    shingleMemo.compute(key, (_, cached) =>
+      if (cached != null &&
+          cached._2.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        cached
+      else {
+        // a superseded entry for the same session (dir switch) holds dead
+        // blocks — release them before caching the replacement
+        shingleMemo.forEach((k, v) =>
+          if (k != key && k.startsWith(System.identityHashCode(spark) + "#")) {
+            v._2.unpersist(blocking = false); shingleMemo.remove(k)
+          })
+        val df = spark.read.parquet(loc)
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .localCheckpoint(eager = true)
+        val rdd = df.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.getOrElse(df.rdd)
+        (df, rdd)
+      })._1
   }
 
   /** Non-distinct digest stream for the signature-only path: MIN-aggregation

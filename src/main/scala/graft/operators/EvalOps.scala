@@ -490,7 +490,8 @@ object EvalOps {
     val nTab = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
     val ranked = EventsOps.blockedRank(ev, "event_type",
         Seq(col("c"), col("event_id")),
-        EventsOps.longBuckets(ev, col("c"), EventsOps.SeriesBlockRows), "rn")
+        EventsOps.longBuckets(ev, col("c"), EventsOps.SeriesBlockRows,
+          Some(s"$dir#events.cents")), "rn")
       .join(broadcast(nTab), "event_type")
     val thr = ranked.groupBy("event_type")
       .agg(max(when(col("rn") === kOf(1, 100), col("c"))).as("lo"),

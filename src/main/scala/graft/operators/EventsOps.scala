@@ -85,11 +85,71 @@ object EventsOps {
       .drop("_bkt", "_off")
   }
 
+  /** [[blockedRank]] generalized to RUNNING SUMS: global 1-based rank plus
+    * the exclusive prefix sum of `value` within `key` under the
+    * (orderCols) total order, block-parallel — per-(key, bucket) partial
+    * counts AND sums roll into exclusive offsets through one window over
+    * the tiny stats table, and each row recombines offset + its bucket-local
+    * running value. Long-sum arithmetic is order-independent, so the result
+    * is bit-identical to the single-window form at any bucketing. Same
+    * monotone-bucket contract as [[blockedRank]]. Adds `rnName` (long),
+    * `cumName` (exclusive prefix sum, long) and — when `totName` is set —
+    * the per-key total of `value`. This is what keeps token-budget passes
+    * (curriculum phases, mixture sampling, sequence packing) from sorting a
+    * whole vocabulary key's docs in one task (the r11 vocab-sweep catch).
+    */
+  private[graft] def blockedRankPrefix(df: DataFrame, key: String,
+      orderCols: Seq[Column], bucket: Column, value: Column,
+      rnName: String, cumName: String, totName: Option[String] = None): DataFrame = {
+    val base = df.withColumn("_bkt", bucket).withColumn("_v", value)
+    val stats = base.groupBy(col(key), col("_bkt"))
+      .agg(count(lit(1)).as("_c"), sum(col("_v")).as("_s"))
+    val wOff = Window.partitionBy(key).orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = stats
+      .withColumn("_offc", coalesce(sum("_c").over(wOff), lit(0L)))
+      .withColumn("_offs", coalesce(sum("_s").over(wOff), lit(0L)))
+    // per-key totals fold over the same tiny stats table — never the fact rows
+    val withTot = totName.fold(off)(tn =>
+      off.join(stats.groupBy(col(key)).agg(sum(col("_s")).as(tn)), Seq(key)))
+    val wIn = Window.partitionBy(col(key), col("_bkt")).orderBy(orderCols: _*)
+    base.join(withTot.drop("_c", "_s"), Seq(key, "_bkt"))
+      .withColumn(rnName, col("_offc") + row_number().over(wIn))
+      .withColumn(cumName, col("_offs") +
+        coalesce(sum(col("_v")).over(wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_bkt", "_v", "_offc", "_offs")
+  }
+
+  /** Session-wide (dir, column-label) → (min, max, count) stats memo for the
+    * bucket builders below. Bucket boundaries only need to be a MONOTONE
+    * function of the order column — any (mn, width > 0) satisfies that — so
+    * serving a query from stats scanned once per fixture dir is
+    * correctness-neutral (only balance could drift, and the fixture is
+    * static within a session anyway). Without this, every blockedRank query
+    * paid its own eager min/max/count scan of the fact table: the r10 driver
+    * bench measured that as a ~0.1–0.4 s uniform tax across the ~330 small
+    * sf0.1 queries (VERDICT r10 #1a). Keyed by caller-supplied identity, not
+    * DataFrame reference — plan objects don't hash stably.
+    */
+  private val bucketStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+
+  private def bucketStats(df: DataFrame, c: Column,
+                          cacheKey: Option[String]): org.apache.spark.sql.Row = {
+    def scan = df.agg(min(c).as("mn"), max(c).as("mx"), count(lit(1)).as("cnt")).head()
+    cacheKey match {
+      case Some(k) => bucketStatsCache.computeIfAbsent(k, _ => scan)
+      case None    => scan
+    }
+  }
+
   /** Monotone equal-width buckets of a long column, sized for ~`blockRows`
-    * rows per bucket under a uniform spread (one tiny stats action; the
+    * rows per bucket under a uniform spread (one tiny stats action per
+    * (dir, column) when `cacheKey` is set — see [[bucketStats]]; the
     * literals fold into the plan, the IVF-centroid stance). */
-  private[graft] def longBuckets(df: DataFrame, c: Column, blockRows: Long): Column = {
-    val s = df.agg(min(c).as("mn"), max(c).as("mx"), count(lit(1)).as("cnt")).head()
+  private[graft] def longBuckets(df: DataFrame, c: Column, blockRows: Long,
+                                 cacheKey: Option[String] = None): Column = {
+    val s = bucketStats(df, c, cacheKey)
     if (s.isNullAt(0)) lit(0L)
     else {
       val (mn, mx, cnt) = (s.getLong(0), s.getLong(1), s.getLong(2))
@@ -100,8 +160,9 @@ object EventsOps {
   }
 
   /** Monotone equal-width buckets of a double column (same contract). */
-  private[graft] def doubleBuckets(df: DataFrame, c: Column, blockRows: Long): Column = {
-    val s = df.agg(min(c).as("mn"), max(c).as("mx"), count(lit(1)).as("cnt")).head()
+  private[graft] def doubleBuckets(df: DataFrame, c: Column, blockRows: Long,
+                                   cacheKey: Option[String] = None): Column = {
+    val s = bucketStats(df, c, cacheKey)
     if (s.isNullAt(0) || s.getDouble(0) == s.getDouble(1)) lit(0L)
     else {
       val (mn, mx, cnt) = (s.getDouble(0), s.getDouble(1), s.getLong(2))
@@ -125,7 +186,8 @@ object EventsOps {
     val ev = Tables.events(spark, dir)
       .select(col(key), col("ts"), col("event_id"), col("value"))
     blockedRank(ev, key, Seq(col("ts"), col("event_id")),
-      longBuckets(ev, unix_micros(col("ts")), blockRows), "rn")
+      longBuckets(ev, unix_micros(col("ts")), blockRows,
+        Some(s"$dir#events.ts_micros")), "rn")
       .withColumn("t", (col("rn") - 1).cast("int"))
       .select(col(key), col("value"), col("t"))
   }
@@ -988,7 +1050,8 @@ object EventsOps {
     val cur = ev.filter(col("ts") >= lit(PsiCutoff).cast("timestamp"))
     val nRef = ref.groupBy("event_type").agg(count(lit(1)).as("n"))
     val ranked = blockedRank(ref, "event_type", Seq(col("value"), col("event_id")),
-        doubleBuckets(ref, col("value"), SeriesBlockRows), "rn")
+        doubleBuckets(ref, col("value"), SeriesBlockRows,
+          Some(s"$dir#events.value@psi_ref")), "rn")
       .join(broadcast(nRef), "event_type")
     // ⌈i·n/10⌉ = (i·n+9) div 10; Column `/` is double division, so the div is
     // floor(double) — exact here since i·n+9 < 2^53 and non-integer quotients
@@ -1153,7 +1216,8 @@ object EventsOps {
     // among ties is arbitrary in both engines and boundary extraction below
     // is tie-insensitive — min over equal values)
     val ranked = blockedRank(ev, "event_type", Seq(col("value")),
-        doubleBuckets(ev, col("value"), SeriesBlockRows), "rn")
+        doubleBuckets(ev, col("value"), SeriesBlockRows,
+          Some(s"$dir#events.value")), "rn")
       .join(broadcast(counts), "event_type")
     def pos(q: Double) = (col("n") - 1).cast("double") * q + 1.0
     val boundary = Quantiles.map { case (q, _) =>
@@ -1308,7 +1372,8 @@ object EventsOps {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("ts"), col("event_id"), col("value"))
     val ranked = blockedRank(ev, "event_type", Seq(col("ts"), col("event_id")),
-        longBuckets(ev, unix_micros(col("ts")), blockRows), "rn")
+        longBuckets(ev, unix_micros(col("ts")), blockRows,
+          Some(s"$dir#events.ts_micros")), "rn")
       .withColumn("t", col("rn") - 1).drop("rn", "ts")
     val (aug, wTrail) = haloBlocks(ranked, "event_type", -AnomalyWin, -1, block)
     unHalo(aug
@@ -1372,8 +1437,13 @@ object EventsOps {
       .groupBy(to_date(col("ts")).as("event_date"), col("user_id"))
       .agg(count(lit(1)).as("c"))
       .groupBy("event_date")
+      // count the non-null user groups, not all groups: a NULL user_id forms
+      // its own (day, NULL) pair here, but count(DISTINCT user_id) — both the
+      // old form and the oracle — ignores nulls, as approx_count_distinct
+      // still does; counting it would silently skew hll_within_tol on
+      // nullable inputs (ADVICE r10). n_events keeps every row either way.
       .agg(approx_count_distinct(col("user_id"), HllRsd).as("approx"),
-        count(lit(1)).as("n_users_exact"),
+        count(col("user_id")).as("n_users_exact"),
         sum(col("c")).as("n_events"))
       .select(col("event_date"), col("n_users_exact"), col("n_events"),
         (abs(col("approx") - col("n_users_exact")).cast("double") * 100.0 /
@@ -2751,7 +2821,8 @@ object EventsOps {
     val decile = when(col("rn") <= r * (q + 1), ceil(col("rn") / (q + 1)))
       .otherwise(r + ceil((col("rn") - r * (q + 1)) / greatest(q, lit(1L))))
     blockedRank(ev, "event_type", Seq(col("value"), col("event_id")),
-        doubleBuckets(ev, col("value"), blockRows), "rn")
+        doubleBuckets(ev, col("value"), blockRows,
+          Some(s"$dir#events.value")), "rn")
       .join(broadcast(nTab), "event_type")
       .withColumn("decile", decile.cast("int"))
       .groupBy("event_type", "decile")

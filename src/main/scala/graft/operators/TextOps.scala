@@ -176,19 +176,22 @@ object TextOps {
     * straddles a boundary goes to the batch it started in (the usual
     * approximation when exact first-fit isn't worth a serial pass).
     *
-    * Packing is per-`source`: the running sum is a window within each source
-    * shard, so parallelism = #shards and no global total order exists
-    * anywhere in the plan — the shape packing has in production, where each
-    * data shard packs independently.
+    * Packing is per-`source`, and the running sum is BLOCK-PARALLEL (r11):
+    * `source` is a ~20-value vocabulary at any scale, so the old per-source
+    * window put a whole source's docs in one task; the sum now recombines
+    * from monotone doc_id buckets via [[EventsOps.blockedRankPrefix]] —
+    * no global total order exists anywhere in the plan, matching how
+    * production packing shards.
     */
   def seqPack(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(spark, dir)
+    val proj = docs(spark, dir)
       .select(col("doc_id"), col("source"), size(words).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+    val bkt = EventsOps.longBuckets(proj, col("doc_id"), EventsOps.SeriesBlockRows,
+      Some(s"$dir#documents.doc_id"))
+    EventsOps.blockedRankPrefix(proj, "source", Seq(col("doc_id")),
+        bkt, col("n_tokens"), "_rn", "_cum_before")
       .select(col("doc_id"), col("source"), col("n_tokens"),
-        floor((col("cum") - col("n_tokens")).cast("double") / PackBudget.toDouble)
+        floor(col("_cum_before").cast("double") / PackBudget.toDouble)
           .cast("long").as("batch_id"))
   }
 

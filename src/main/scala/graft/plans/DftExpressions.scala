@@ -4,11 +4,12 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Fused forward-rDFT aggregate: per input row (detr, t, n) it accumulates
   * ALL `maxK` bins' fx9-quantized re/im terms into one 2·maxK long buffer —
@@ -37,15 +38,29 @@ case class DftSumsAgg(
   private val TwoPi = 2.0 * math.Pi
 
   override def children: Seq[Expression] = Seq(detr, t, n)
-  override def nullable: Boolean = false
+  // declared input check makes a mis-typed caller (e.g. a LongType t) an
+  // analysis-time error instead of an executor ClassCastException (ADVICE r10)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (detr.dataType == DoubleType && t.dataType == IntegerType && n.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (DOUBLE, INT, BIGINT) inputs, got " +
+        s"(${detr.dataType.sql}, ${t.dataType.sql}, ${n.dataType.sql})")
+  // null when NO non-null (detr, t, n) triple contributed — matching what the
+  // composed sum(fx9(...)) form returned for an all-null group (ADVICE r10);
+  // unreachable from today's callers (detr = value − trend is non-null by
+  // construction) but kept parity-exact for reuse on nullable signals
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_dft_sums"
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](2 * maxK)
+  // slot 2·maxK is the seen-row flag; slots 0..2·maxK−1 the (re, im) sums
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](2 * maxK + 1)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val d = detr.eval(input); val tv = t.eval(input); val nv = n.eval(input)
     if (d != null && tv != null && nv != null) {
+      buf(2 * maxK) = 1L
       val dd = d.asInstanceOf[Double]
       val td = tv.asInstanceOf[Int].toDouble
       val nl = nv.asInstanceOf[Long]
@@ -65,11 +80,14 @@ case class DftSumsAgg(
 
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    while (i < 2 * maxK) { b1(i) += b2(i); i += 1 }
+    b1(2 * maxK) |= b2(2 * maxK)
     b1
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any =
+    if (buf(2 * maxK) == 0L) null
+    else new GenericArrayData(java.util.Arrays.copyOf(buf, 2 * maxK))
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(buf.length * 8)

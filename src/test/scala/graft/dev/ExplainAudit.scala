@@ -8,7 +8,8 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.01"
+    // dir from SPARK_GRAFT_SF_DIR (args stay query names), default sf0.01
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "tpch_q1", "tpch_q5", "diff_sample_cond", "diff_sample_inpaint",
       "ts_decompose_dim", "media_features", "dedup_minhash_sig", "gen_parity",
