@@ -88,27 +88,47 @@ object Bench {
     // the driver never sets it, so round benches always cover the registry
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    def sweep(errors: scala.collection.mutable.Map[String, String]): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
-        val dts = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          try {
-            val df = fn(spark, sfDir)
-            // sum as DOUBLE: a BIGINT sum of xxhash64 values overflows 2^63 under
-            // ANSI mode and aborts the query mid-scan, truncating the measurement
-            df.select(xxhash64(df.columns.map(col): _*).cast("double").as("h")).agg(sum("h")).collect()
-          } catch { case e: Throwable => errors(name) = e.getClass.getSimpleName }
-          val dt = (System.nanoTime() - t0) / 1e9
-          // release blocks pinned by intra-query localCheckpoints so storage
-          // pressure from one query can't tax the next
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-          dt
-        }
-        // MIN across runs: contention stalls only ever ADD time, so the min is
-        // the best estimate of the code's true cost on this host
-        name -> dts.min
+    // Runs are INTERLEAVED as full registry passes, not back-to-back per
+    // query: the r11 sf0.1 sweep had a time-localized host stall tax both
+    // consecutive runs of the same alphabetically-adjacent queries
+    // (stream_topk_trending 4.8 s in-sweep vs 1.4 s isolated, steal counter
+    // clean throughout — so the steal-retry guard never fired), which min()
+    // over adjacent runs cannot reject. Separating the runs by a whole
+    // registry pass decorrelates a minutes-wide stall from any one query
+    // while preserving warm-cache parity (codegen and file caches are
+    // session-wide either way). Passes also ALTERNATE direction: same-order
+    // passes take near-equal wall time, so a PERIODIC host freeze lands on
+    // the same registry position at the same phase every pass (observed:
+    // dedup_edit_distance stalled in both interleaved passes of one run,
+    // 6.5 s as the min, vs 2.0 s isolated); reversing every other pass puts
+    // each query at a different phase so min() keeps one clean sample.
+    def sweep(errors: scala.collection.mutable.Map[String, String]): Seq[(String, Double)] = {
+      val regAsc = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(kv => only.forall(_.contains(kv._1)))
+      val best = scala.collection.mutable.LinkedHashMap(
+        regAsc.map { case (n, _) => n -> Double.MaxValue }: _*)
+      for (r <- 1 to runs;
+           (name, fn) <- if (r % 2 == 1) regAsc else regAsc.reverse) {
+        val t0 = System.nanoTime()
+        try {
+          val df = fn(spark, sfDir)
+          // sum as DOUBLE: a BIGINT sum of xxhash64 values overflows 2^63 under
+          // ANSI mode and aborts the query mid-scan, truncating the measurement
+          df.select(xxhash64(df.columns.map(col): _*).cast("double").as("h")).agg(sum("h")).collect()
+        } catch { case e: Throwable => errors(name) = e.getClass.getSimpleName }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release blocks pinned by intra-query localCheckpoints so storage
+        // pressure from one query can't tax the next — session-scoped
+        // artifacts (Pinned) are exempt, they exist to be reused
+        spark.sparkContext.getPersistentRDDs.values
+          .filterNot(r => graft.sources.Pinned.contains(r.id))
+          .foreach(_.unpersist(blocking = true))
+        // MIN across runs: contention stalls only ever ADD time, so the min
+        // is the best estimate of the code's true cost on this host
+        if (dt < best(name)) best(name) = dt
       }
+      best.toSeq
+    }
     // Steal-retry guard (VERDICT r10 #8): the r10 local bench shipped at
     // steal 77,053 — a hypervisor-frozen artifact that had to be adjudicated
     // away after the fact. When a sweep absorbs more than SPARK_GRAFT_MAX_STEAL

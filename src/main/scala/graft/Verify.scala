@@ -27,7 +27,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // session-scoped artifacts (Pinned) are exempt — they exist to be
+      // reused across queries; everything else is per-query storage hygiene
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(r => graft.sources.Pinned.contains(r.id))
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -133,6 +133,7 @@ object Dedup {
         // blocks — release them before caching the replacement
         shingleMemo.forEach((k, v) =>
           if (k != key && k.startsWith(System.identityHashCode(spark) + "#")) {
+            graft.sources.Pinned.unpin(v._2.id)
             v._2.unpersist(blocking = false); shingleMemo.remove(k)
           })
         val df = spark.read.parquet(loc)
@@ -141,6 +142,10 @@ object Dedup {
         val rdd = df.queryExecution.analyzed.collectFirst {
           case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
         }.getOrElse(df.rdd)
+        // pinned: the harness's between-query unpersist exempts this id, so
+        // the artifact survives the sweep instead of re-checkpointing per
+        // consumer query
+        graft.sources.Pinned.pin(rdd.id)
         (df, rdd)
       })._1
   }
