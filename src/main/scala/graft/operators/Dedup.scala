@@ -118,7 +118,7 @@ object Dedup {
   private val shingleMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (DataFrame, org.apache.spark.rdd.RDD[_])]()
 
-  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame = {
     val loc = shinglesLocation(spark)
     graft.sources.WriteOnce.ensure(loc, dir)(
       shinglesOf(Tables.documents(spark, dir))
@@ -271,7 +271,7 @@ object Dedup {
   }
 
   /** Attach exact digest-set Jaccard to a (doc_a, doc_b) pair set. */
-  private def withJaccard(sh: DataFrame, pairs: DataFrame): DataFrame =
+  private[graft] def withJaccard(sh: DataFrame, pairs: DataFrame): DataFrame =
     withOverlap(sh, pairs)
       .select(col("doc_a"), col("doc_b"),
         r6(col("n_shared").cast("double") /
