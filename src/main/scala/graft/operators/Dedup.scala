@@ -233,10 +233,18 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsOf(docShingles(spark, dir))
 
-  private[graft] def minhashPairsOf(shRaw: DataFrame): DataFrame = {
-    val sh = shRaw.localCheckpoint(true)
+  /** Contract: `sh` must already be materialized (the [[docShingles]] memo
+    * frame, or a caller-side checkpoint) — it is referenced four times
+    * (bands, intersection twice, sizes). This method used to defensively
+    * `localCheckpoint` its input, which duplicated the memoized shingle
+    * frame per query: at sf100 the second ~400 M-row copy no longer fits in
+    * storage memory next to the first and the spill made the re-checkpoint
+    * alone 144 s of the 164 s query (51× for 10× docs — the r10 `weak`
+    * docs_curation_report decade ratio lived entirely in this line; every
+    * other phase of the chain scaled 5-6×).
+    */
+  private[graft] def minhashPairsOf(sh: DataFrame): DataFrame =
     withJaccard(sh, minhashCandidatesOf(sh))
-  }
 
   /** Raw LSH band candidates (pre-verification) over a shingle frame. */
   private[graft] def minhashCandidatesOf(sh: DataFrame): DataFrame = {
