@@ -15,10 +15,17 @@ object ExplainAudit {
       "ts_decompose_dim", "media_features", "dedup_minhash_sig", "gen_parity",
       "events_user_similarity_blocked", "events_calibration",
       "diff_forecast_rollout", "media_gif_frames")
+    // SPARK_GRAFT_EXPLAIN_DIR: write each plan to <dir>/<name>.txt as well as
+    // stdout (the sbt-shell pane truncates long multi-plan dumps)
+    val outDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
+    outDir.foreach(d => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
     names.foreach { n =>
       println(s"========== $n ==========")
-      println(SparkEntry.queries(n)(spark, sf).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      val plan = SparkEntry.queries(n)(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(plan)
+      outDir.foreach(d => java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(d, s"$n.txt"), plan))
     }
     spark.stop()
   }
