@@ -88,27 +88,35 @@ object Bench {
     // the driver never sets it, so round benches always cover the registry
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    // Runs are INTERLEAVED as full registry passes, not back-to-back per
-    // query: the r11 sf0.1 sweep had a time-localized host stall tax both
-    // consecutive runs of the same alphabetically-adjacent queries
-    // (stream_topk_trending 4.8 s in-sweep vs 1.4 s isolated, steal counter
-    // clean throughout — so the steal-retry guard never fired), which min()
-    // over adjacent runs cannot reject. Separating the runs by a whole
-    // registry pass decorrelates a minutes-wide stall from any one query
-    // while preserving warm-cache parity (codegen and file caches are
-    // session-wide either way). Passes also ALTERNATE direction: same-order
-    // passes take near-equal wall time, so a PERIODIC host freeze lands on
-    // the same registry position at the same phase every pass (observed:
-    // dedup_edit_distance stalled in both interleaved passes of one run,
-    // 6.5 s as the min, vs 2.0 s isolated); reversing every other pass puts
-    // each query at a different phase so min() keeps one clean sample.
+    // Run structure (VERDICT r11 #1, adjudicated r12): the r11 interleave
+    // change landed without a same-host comparison against the r10 per-query
+    // back-to-back structure, so the driver's 268→339 s r10→r11 gap could not
+    // be attributed. The r12 A/B (same code, same host, steal 4357 vs 827
+    // ticks) measured interleaved 369.0 s vs back-to-back 273.5 s — geomean
+    // 1.44×, 319/361 queries >10% slower interleaved, a UNIFORM methodology
+    // tax: separating a query's two samples by a ~170 s registry pass makes
+    // both samples cold (JIT, parquet footer/file caches), so min-of-2 never
+    // sees a warm run. The stall-decorrelation the interleave bought is
+    // already covered by the sweep-level steal-retry guard below, so the
+    // default reverts to the r10 back-to-back structure (restoring
+    // comparability with BENCH_r10 and the BASELINE anchor);
+    // SPARK_GRAFT_BENCH_INTERLEAVED=1 keeps the interleaved form available
+    // for stall diagnostics. (SPARK_GRAFT_BENCH_LEGACY=1, the r12 A/B's
+    // original opt-in name, is accepted as a no-op alias of the default.)
+    val interleaved = sys.env.get("SPARK_GRAFT_BENCH_INTERLEAVED").contains("1")
+    // Runs are back-to-back per query by default (see the `interleaved`
+    // adjudication note above: the r11 interleaved-pass structure cost a
+    // uniform ~1.44× on min-of-2 because neither sample ran warm). The
+    // residual risk the interleave addressed — a time-localized host stall
+    // taxing both adjacent samples of one query — is bounded by the
+    // sweep-level steal-retry guard, and a stall invisible to the steal
+    // counter only ever makes the recorded number WORSE, never better.
     def sweep(errors: scala.collection.mutable.Map[String, String]): Seq[(String, Double)] = {
       val regAsc = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(kv => only.forall(_.contains(kv._1)))
       val best = scala.collection.mutable.LinkedHashMap(
         regAsc.map { case (n, _) => n -> Double.MaxValue }: _*)
-      for (r <- 1 to runs;
-           (name, fn) <- if (r % 2 == 1) regAsc else regAsc.reverse) {
+      def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
@@ -127,6 +135,33 @@ object Bench {
         // is the best estimate of the code's true cost on this host
         if (dt < best(name)) best(name) = dt
       }
+      // The dedup shingle artifact (Dedup.docShingles: WriteOnce parquet +
+      // pinned localCheckpoint) is built once per session and shared by every
+      // dedup_* consumer, so whichever consumer ran FIRST in pass order used
+      // to absorb the build cost and every later one rode free — per-query
+      // numbers were order-dependent (VERDICT r11 #3). Building it HERE,
+      // before any consumer runs, as an explicitly timed pseudo-query makes
+      // each consumer's line measure its standalone marginal cost at any pass
+      // position, and the sharing is visible in the JSON instead of implicit.
+      // One sample, not min-of-runs: a second call is a memo hit and would
+      // time ~0 (a retried sweep therefore records the re-pin cost — the
+      // consumers stay order-independent either way, which is the point).
+      // Total stays honest — the build is still inside the sweep's summed
+      // time, just on its own line. Skipped under SPARK_GRAFT_BENCH_ONLY
+      // (local iteration on a filtered registry shouldn't pay an
+      // unconditional 2-3 s build).
+      if (only.isEmpty) {
+        val t0 = System.nanoTime()
+        try graft.operators.Dedup.docShingles(spark, sfDir)
+        catch { case e: Throwable => errors("dedup__shingle_artifact") = e.getClass.getSimpleName }
+        best("dedup__shingle_artifact") = (System.nanoTime() - t0) / 1e9
+      }
+      if (interleaved)
+        for (r <- 1 to runs;
+             (name, fn) <- if (r % 2 == 1) regAsc else regAsc.reverse) timeOne(name, fn)
+      else
+        // r10 structure: both samples of a query taken back-to-back
+        for ((name, fn) <- regAsc; _ <- 1 to runs) timeOne(name, fn)
       best.toSeq
     }
     // Steal-retry guard (VERDICT r10 #8): the r10 local bench shipped at
@@ -162,6 +197,7 @@ object Bench {
       s""","runs":$runs,"agg":"min","loadavg_start":"$loadStart","loadavg_end":"$loadavg"""" +
       s""","gc_sec":${ms(gcSec)},"steal_ticks":$stealDelta""" +
       s""","sweep_steal_ticks":$sweepSteal,"steal_retried":$retried""" +
+      s""","harness":"${if (interleaved) "interleaved" else "back_to_back"}"""" +
       s""","errors":${errors.size},"query_errors":$errJson}"""
     val short = s"""{"metric":"total","value":${ms(total)}}"""
     try Files.writeString(Paths.get(outPath), full + "\n" + short + "\n")

@@ -82,4 +82,24 @@ object FileSizing {
       } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
     math.max(cpus.toLong, math.min(cpus.toLong * 8, bytes / (8L << 20))).toInt
   }
+
+  /** Shuffle width — which for a stateful streaming query IS the state-store
+    * count, fixed at query start and NOT AQE-coalescible — for the eager
+    * micro-batch runners, derived from the stream's source bytes the same way
+    * [[initialShufflePartitions]] derives the batch AQE width. Unlike the
+    * batch form there is no `cpus` floor: each state-store partition pays
+    * per-micro-batch provider/commit overhead that AQE can never coalesce
+    * away, and on a tiny fixture 32 stores of ~60 rows each cost more than
+    * one store of 2 k rows does (the r11 c8/c32 scaling block measured the
+    * stream_* queries FASTER on 8 cores than 32 for exactly this reason —
+    * VERDICT r11 #6). ~8 MB of source per store keeps per-store state small
+    * at scale; the 8·cpus cap and the assume-BIG fallback on unsizable
+    * locations are shared with the batch form.
+    */
+  def streamShufflePartitions(spark: SparkSession, location: String, cpus: Int): Int = {
+    val bytes =
+      try bytesAt(spark, location)
+      catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    math.max(1L, math.min(cpus.toLong * 8, bytes / (8L << 20))).toInt
+  }
 }

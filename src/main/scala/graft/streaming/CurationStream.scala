@@ -78,13 +78,15 @@ object CurationStream {
   def streamCuratedIngest(spark: SparkSession, dir: String): DataFrame = {
     val sink = "stream_curated_sink"
     spark.catalog.dropTempView(sink)
-    val q = curatedIngest(docsStream(spark, dir)).writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamingOps.withStreamWidth(spark, s"$dir/documents.parquet") {
+      val q = curatedIngest(docsStream(spark, dir)).writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink).select("fp", "lang", "n_words", "quality_score")
   }
 

@@ -21,6 +21,22 @@ import graft.functions.Num.{r6, sqlR6}
   */
 object StreamingOps {
 
+  /** Runs an eager micro-batch execution with `spark.sql.shuffle.partitions`
+    * — the state-store count, pinned at stream start and outside AQE's reach
+    * — derived from the stream's SOURCE size instead of the session's batch
+    * width (see [[graft.sources.FileSizing.streamShufflePartitions]]), then
+    * restores the session conf. Results are unaffected: every stateful
+    * operator here (exact aggregation, watermark dedup) is
+    * partitioning-invariant; only where state rows land changes.
+    */
+  private[streaming] def withStreamWidth[T](spark: SparkSession, sourcePath: String)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, graft.sources.FileSizing.streamShufflePartitions(
+      spark, sourcePath, spark.sparkContext.defaultParallelism).toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Tumbling 1-hour aggregate; on a stream, late data beyond 2h is dropped. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
@@ -143,13 +159,15 @@ object StreamingOps {
     val sink = "stream_tumbling_sink"
     spark.catalog.dropTempView(sink)
     val agg = tumblingCounts(Tables.eventsStream(spark, dir))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamWidth(spark, s"$dir/events.parquet") {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink)
       .select(col("ws"), col("event_type"), col("n_events"),
         r6(col("sum_value")).as("sum_value"),
@@ -173,12 +191,14 @@ object StreamingOps {
     val sink = "stream_trending_sink"
     spark.catalog.dropTempView(sink)
     val agg = tumblingCounts(Tables.eventsStream(spark, dir))
-    val q = agg.writeStream
-      .format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamWidth(spark, s"$dir/events.parquet") {
+      val q = agg.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("ws").orderBy(desc("n_events"), asc("event_type"))
     spark.table(sink)
@@ -203,13 +223,15 @@ object StreamingOps {
     spark.catalog.dropTempView(sink)
     val ev = Tables.eventsStream(spark, dir)
     val replay = Tables.eventsStream(spark, dir).filter(col("event_id") % 10 === 0)
-    val q = dedupWithinWatermark(ev.unionByName(replay))
-      .select("event_id")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamWidth(spark, s"$dir/events.parquet") {
+      val q = dedupWithinWatermark(ev.unionByName(replay))
+        .select("event_id")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink)
   }
 
@@ -234,13 +256,15 @@ object StreamingOps {
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamWidth(spark, s"$dir/events.parquet") {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink)
       .select(col("c_mktsegment"), col("event_type"), col("n_events"),
         r6(col("sum_value")).as("sum_value"))

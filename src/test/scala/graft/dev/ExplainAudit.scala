@@ -20,6 +20,9 @@ object ExplainAudit {
     val outDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
     outDir.foreach(d => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
     names.foreach { n =>
+      // registry names are [a-z0-9_]; reject anything else so a stray arg
+      // can't path-escape SPARK_GRAFT_EXPLAIN_DIR (ADVICE r11)
+      require(n.matches("[A-Za-z0-9_]+"), s"bad query name: $n")
       println(s"========== $n ==========")
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
