@@ -268,19 +268,33 @@ object TextOps {
   /** Sketch-based vocabulary profiling: distinct words per source via HLL++
     * — the corpus-analysis twin of EventsOps.dailyUsersSketch (same oracle
     * design: exact count hash-checked, the sketch asserted in-tolerance,
-    * because the two engines' HLL implementations differ). At 100 TB the
-    * exploded (source, word) stream never materializes a distinct set: each
-    * partition folds into a KB-sized sketch map-side and only sketches
-    * shuffle.
+    * because the two engines' HLL implementations differ).
+    *
+    * The sketch and the exact twin deliberately do NOT share one agg call:
+    * mixing `approx_count_distinct` with `countDistinct` makes the distinct
+    * rewrite hoist the HLL's PARTIAL aggregation to the (source, word)
+    * grouping level, so the first exchange carries the full 1640-register
+    * HLL buffer PER DISTINCT WORD (~13 KB/row — the r12 before-plan's
+    * `Results [1642]` at Exchange (4); at corpus scale that is
+    * |vocabulary| × 13 KB of shuffle). Instead ONE narrow (source, word) →
+    * n_occ pre-aggregation (map-side partials collapse duplicate words
+    * before anything moves, 3 long-ish columns per row) feeds both rungs:
+    * the exact count is a plain count over the deduped rows, and the HLL
+    * runs over each distinct word once — bit-identical to sketching every
+    * occurrence, because HLL insertion is idempotent (a word always hashes
+    * to the same register/value, and merging takes register max). n_tokens
+    * recovers the occurrence total as Σ n_occ. TextSpec asserts exact
+    * equality against the single-agg form.
     */
   def vocabSketch(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.EventsOps.{HllRsd, HllTolPct}
     docs(spark, dir)
       .select(col("source"), explode(words).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("n_occ"))
       .groupBy("source")
       .agg(approx_count_distinct(col("word"), HllRsd).as("approx"),
-        countDistinct(col("word")).as("n_words_exact"),
-        count(lit(1)).as("n_tokens"))
+        count(col("word")).as("n_words_exact"),
+        sum(col("n_occ")).as("n_tokens"))
       .select(col("source"), col("n_words_exact"), col("n_tokens"),
         (abs(col("approx") - col("n_words_exact")).cast("double") * 100.0 /
           col("n_words_exact").cast("double") <= HllTolPct).as("hll_within_tol"))

@@ -700,6 +700,27 @@ class TextSpec extends SparkSpec {
     p.unpersist()
   }
 
+  test("vocab sketch over the deduped (source, word) table equals the single-agg distinct form") {
+    // the r12 rewrite pre-aggregates word occurrences before the HLL/exact
+    // rungs; HLL insertion is idempotent, so sketching each distinct word
+    // once must be BIT-identical to sketching every occurrence
+    import graft.operators.EventsOps.{HllRsd, HllTolPct}
+    val got = TextOps.vocabSketch(spark, sf).collect()
+      .map(_.toSeq).sortBy(_.head.toString)
+    val naive = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("word"))
+      .groupBy("source")
+      .agg(approx_count_distinct(col("word"), HllRsd).as("approx"),
+        countDistinct(col("word")).as("n_words_exact"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("source"), col("n_words_exact"), col("n_tokens"),
+        (abs(col("approx") - col("n_words_exact")).cast("double") * 100.0 /
+          col("n_words_exact").cast("double") <= HllTolPct).as("hll_within_tol"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(got.length == naive.length)
+    assert(got.zip(naive).forall { case (a, b) => a == b })
+  }
+
   test("tf-idf: at most top-k rows per doc, ranked by non-increasing score") {
     val t = TextOps.tfidfTop(spark, sf).cache()
     val perDoc = t.groupBy("doc_id").count()
